@@ -1,13 +1,55 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics.Queries
+import graft.etl.{Ingest, Transforms, Upsert}
+import graft.llm.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.streaming.StreamOps
+import graft.tables.Tables
+import graft.util.Scratch
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Operator registry is assembled from the per-category modules (§7.1):
+  * etl.Ingest (§2.1), etl.Transforms (§2.2/2.8), etl.Upsert (§2.4),
+  * analytics.Queries (§2.3/2.5-2.7), streaming.StreamOps (§2.9),
+  * llm.* (§2.10 north-star). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship (SURVEY.md §7.2 slice 0 — the reference's funnel ETL +
+    * BI query, README.md:86-87,102,124,163-166): read the raw event table,
+    * cast/derive year+month, write partitioned+compressed parquet (the
+    * CSV→parquet conversion that was the reference's big win), read it
+    * back with partition discovery, and run the funnel count. */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Scratch.dir("entry_funnel_etl")
+    Tables(spark, sfDir, "events")
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("year", "month")
+      .option("compression", "snappy")
+      .parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("users"))
+      .orderBy("event_type")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, QFn] =
+    Ingest.queries ++ Transforms.queries ++ Upsert.queries ++
+      Queries.queries ++ StreamOps.queries ++
+      TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      MultimodalOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (LSH/xxhash64-based and approximate ones) → rows-only check. */
+  def oracleSql: Map[String, String] =
+    Ingest.oracleSql ++ Transforms.oracleSql ++ Upsert.oracleSql ++
+      Queries.oracleSql ++ StreamOps.oracleSql ++
+      TextOps.oracleSql ++ DedupOps.oracleSql ++ SimilarityOps.oracleSql ++
+      MultimodalOps.oracleSql
 }

@@ -1,0 +1,303 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QFn
+import graft.tables.Tables
+import graft.util.Scratch
+
+/** SURVEY.md §2.3 (joins), §2.5 (aggregations), §2.6 (windows),
+  * §2.7 (sorts/limits/set ops) — the reference's BI surface.
+  *
+  * Scale notes: all joins are equi-joins on long keys — Catalyst
+  * broadcast-hashes the dimension sides (customer/part) and sort-merge/
+  * shuffled-hash joins fact⋈fact; AQE converts to broadcast at runtime when
+  * a filtered side shrinks. Aggregates are hash aggregates with map-side
+  * partial rows (no extra code needed — SURVEY.md §4).
+  */
+object Queries {
+
+  /** 1:1 customer⋈orders equi-join — the reference pre-materializes this
+    * into a wide Redshift table to "reduce the load on CPU"
+    * (README.md:29,113,141); in Spark it's a broadcast-hash join. */
+  val joinInnerCustomerOrders: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val cust = Tables(spark, sfDir, "customer")
+    orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** orders⋈product via the lineitem bridge (README.md:114). */
+  val joinInnerOrdersProduct: QFn = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+    val part = Tables(spark, sfDir, "part")
+    val orders = Tables(spark, sfDir, "orders")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Behavioral events ⋈ customer dimension (README.md:102 funnel BI). */
+  val joinFunnelCustomer: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val cust = Tables(spark, sfDir, "customer")
+    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  /** Spectrum-style federated join: CSV "lake" table ⋈ parquet "warehouse"
+    * table in one session (README.md:92-94,170) — federation is free in
+    * Spark, no external-schema plumbing. */
+  val joinFederatedSpectrum: QFn = (spark, sfDir) => {
+    val cust = Tables(spark, sfDir, "customer")
+    val lakeDir = Scratch.dir("join_federated_lake")
+    cust.write.mode("overwrite").option("header", true).csv(lakeDir)
+    val lakeCust = spark.read.schema(cust.schema)
+      .option("header", true).csv(lakeDir)
+    Tables(spark, sfDir, "orders")
+      .join(broadcast(lakeCust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** DELETE-matching = left anti join (README.md:67,151 "delete all data
+    * from final area where ORDER ID of staging matches final"). */
+  val joinDeleteMatching: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
+      .select("o_orderkey")
+    orders.join(stg, Seq("o_orderkey"), "left_anti")
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** Dual of the delete: rows of final that ARE in staging (left semi). */
+  val joinSemiExists: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
+      .select("o_orderkey")
+    orders.join(stg, Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** "Viewing but not buying" (README.md:102): (user, day) pairs with a
+    * view but no purchase — left join + IS NULL filter (anti formulation).
+    * Day granularity: every user in the testdata eventually buys, so the
+    * user-level set is empty; the session-level question is the real BI one. */
+  val joinLeftBehavior: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("bought", lit(1))
+    views.join(buys, Seq("user_id", "day"), "left")
+      .filter(col("bought").isNull)
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .orderBy("user_id", "day")
+  }
+
+  /** The dashboard's headline view: "product category of each year and the
+    * number of times it got sold" (README.md:99-100). */
+  def salesByCategoryYear(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val part = Tables(spark, sfDir, "part")
+    val orders = Tables(spark, sfDir, "orders")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("p_type"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("sold_cnt"))
+  }
+
+  val aggSalesByCategoryYear: QFn = (spark, sfDir) =>
+    salesByCategoryYear(spark, sfDir).orderBy("p_type", "o_year")
+
+  /** Funnel stage counts (README.md:102,160). */
+  val aggFunnelCounts: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** "How frequently user is buying" (README.md:160). */
+  val aggPurchaseFrequency: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy("user_id")
+
+  /** Revenue rollup behind the sales view (README.md:99-100,113).
+    * Exact-decimal sum ⇒ order-independent ⇒ oracle-stable. */
+  val aggSumRevenue: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Distinct users per funnel stage (README.md:102). At 100 TB swap
+    * countDistinct for approx_count_distinct (HLL) — exact kept here for
+    * the oracle. */
+  val aggDistinctUsers: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** Last-write-wins dedup as a window (§2.6; README.md:67,151): latest
+    * order per customer. */
+  val windowDedupLatest: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .orderBy("o_custkey")
+
+  /** Per-user funnel sequencing (§2.6; README.md:102 "viewing but not
+    * buying" needs the per-user event order): lag + row_number over a
+    * user-partitioned window. Ordered by event_id (unique) so both engines
+    * agree without timestamp-precision hazards. */
+  val windowFunnelOrder: QFn = (spark, sfDir) => {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        row_number().over(w).as("seq"))
+      .orderBy("event_id")
+  }
+
+  /** Top-k sold categories (README.md:100 dashboard ordering). */
+  val sortTopkCategories: QFn = (spark, sfDir) =>
+    salesByCategoryYear(spark, sfDir)
+      .orderBy(col("sold_cnt").desc, col("p_type"), col("o_year"))
+      .limit(10)
+
+  /** historical ∪ current with a missing column in the current feed
+    * (§2.7; README.md:54-56,141). */
+  val unionHistCurrent: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val hist = orders.filter(col("o_orderdate") < lit("2000-01-01"))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val curr = orders.filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select("o_orderkey", "o_totalprice") // o_orderstatus missing
+    hist.unionByName(curr, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  /** DELETE as whole-row set difference (§2.7; README.md:67,151). */
+  val exceptDeleteSemantics: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val all = orders.select("o_orderkey", "o_orderstatus")
+    val gone = orders.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderstatus")
+    all.exceptAll(gone).orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "join_inner_customer_orders" -> joinInnerCustomerOrders,
+    "join_inner_orders_product" -> joinInnerOrdersProduct,
+    "join_funnel_customer" -> joinFunnelCustomer,
+    "join_federated_spectrum" -> joinFederatedSpectrum,
+    "join_delete_matching" -> joinDeleteMatching,
+    "join_semi_exists" -> joinSemiExists,
+    "join_left_behavior" -> joinLeftBehavior,
+    "agg_sales_by_category_year" -> aggSalesByCategoryYear,
+    "agg_funnel_counts" -> aggFunnelCounts,
+    "agg_purchase_frequency" -> aggPurchaseFrequency,
+    "agg_sum_revenue" -> aggSumRevenue,
+    "agg_distinct_users" -> aggDistinctUsers,
+    "window_dedup_latest" -> windowDedupLatest,
+    "window_funnel_order" -> windowFunnelOrder,
+    "sort_topk_categories" -> sortTopkCategories,
+    "union_hist_current" -> unionHistCurrent,
+    "except_delete_semantics" -> exceptDeleteSemantics,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_inner_customer_orders" ->
+      ("SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    "join_inner_orders_product" ->
+      ("SELECT l_orderkey, l_linenumber, p_brand, p_type FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "join_funnel_customer" ->
+      ("SELECT c_mktsegment, event_type, count(*) AS cnt FROM events " +
+        "JOIN customer ON user_id = c_custkey GROUP BY 1, 2 ORDER BY 1, 2"),
+    "join_federated_spectrum" ->
+      ("SELECT c_mktsegment, count(*) AS cnt, " +
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
+    "join_delete_matching" ->
+      ("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey NOT IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') " +
+        "ORDER BY o_orderkey"),
+    "join_semi_exists" ->
+      ("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') " +
+        "ORDER BY o_orderkey"),
+    "join_left_behavior" ->
+      ("SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events WHERE event_type = 'view' " +
+        "EXCEPT SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') FROM events WHERE event_type = 'purchase' " +
+        "ORDER BY user_id, day"),
+    "agg_sales_by_category_year" ->
+      ("SELECT p_type, CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS sold_cnt " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2 ORDER BY 1, 2"),
+    "agg_funnel_counts" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    "agg_purchase_frequency" ->
+      ("SELECT user_id, count(*) AS n_purchases, " +
+        "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts, " +
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"),
+    "agg_sum_revenue" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue, " +
+        "count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    "agg_distinct_users" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS cnt " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "window_dedup_latest" ->
+      ("SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date FROM orders " +
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 " +
+        "ORDER BY o_custkey"),
+    "window_funnel_order" ->
+      ("SELECT user_id, event_id, event_type, " +
+        "lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS seq " +
+        "FROM events ORDER BY event_id"),
+    "sort_topk_categories" ->
+      ("SELECT p_type, CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS sold_cnt " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2 " +
+        "ORDER BY sold_cnt DESC, p_type, o_year LIMIT 10"),
+    "union_hist_current" ->
+      ("SELECT * FROM (" +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01' " +
+        "UNION ALL SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01') ORDER BY o_orderkey"),
+    "except_delete_semantics" ->
+      ("SELECT * FROM (" +
+        "SELECT o_orderkey, o_orderstatus FROM orders " +
+        "EXCEPT ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F') " +
+        "ORDER BY o_orderkey"),
+  )
+}

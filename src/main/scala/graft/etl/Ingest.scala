@@ -1,0 +1,206 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QFn
+import graft.tables.Tables
+import graft.util.Scratch
+
+/** SURVEY.md §2.1 — scans, sources, sinks.
+  *
+  * The reference ingests CSV into MySQL with header-skip + quoting
+  * (README.md:17-19,136-139), tolerates invalid chars on Redshift COPY
+  * (README.md:32-35,143-146), infers lake schemas with Glue Crawlers
+  * (README.md:10,163), converts CSV→partitioned+compressed parquet
+  * (README.md:83-87,165-166), and processes "ALL the files present in S3"
+  * parameterized by filename (README.md:90,168). Each op here round-trips
+  * through a real file sink/source so the option handling is actually
+  * exercised, then returns a deterministic DataFrame for the DuckDB oracle.
+  *
+  * Scale notes (100 TB): all writes are plain distributed df.write (no
+  * coalesce/collect); partitioned writes shuffle by partition cols only;
+  * reads rely on Spark's parallel file listing + split planning.
+  */
+object Ingest {
+
+  /** CSV load with header + quote handling (README.md:17-19 LOAD DATA ...
+    * ENCLOSED BY '"' IGNORE 1 LINES). */
+  val scanCsvHeaderQuoted: QFn = (spark, sfDir) => {
+    val cust = Tables(spark, sfDir, "customer")
+    val dir = Scratch.dir("scan_csv_header_quoted")
+    cust.write.mode("overwrite")
+      .option("header", true).option("quoteAll", true).csv(dir)
+    spark.read.schema(cust.schema)
+      .option("header", true).option("quote", "\"").option("sep", ",")
+      .csv(dir)
+      .orderBy("c_custkey")
+  }
+
+  /** Invalid/special-char-tolerant CSV ingest + sanitization
+    * (README.md:32-35,143-146 `acceptinvchars`): non-printable/non-ASCII
+    * chars are replaced with '?' exactly like Redshift's acceptinvchars. */
+  val scanCsvInvalidChars: QFn = (spark, sfDir) => {
+    val nation = Tables(spark, sfDir, "nation")
+      // inject a Latin-1 and a CJK char so the sanitizer has work to do
+      .withColumn("n_name", concat(col("n_name"), lit("é中")))
+    val dir = Scratch.dir("scan_csv_invalid_chars")
+    nation.write.mode("overwrite").option("header", true).csv(dir)
+    spark.read.schema(Tables(spark, sfDir, "nation").schema)
+      .option("header", true).option("mode", "PERMISSIVE")
+      .csv(dir)
+      .withColumn("n_name", regexp_replace(col("n_name"), "[^\\x20-\\x7E]", "?"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Crawler-style schema inference from raw CSV (README.md:10,163). */
+  val scanCsvInferSchema: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("scan_csv_infer_schema")
+    Tables(spark, sfDir, "region").write.mode("overwrite")
+      .option("header", true).csv(dir)
+    spark.read.option("header", true).option("inferSchema", true).csv(dir)
+      .orderBy("r_regionkey")
+  }
+
+  /** Plain parquet scan of a lake table (README.md:83,127). */
+  val scanParquet: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Hive-partitioned parquet read with automatic partition discovery
+    * (README.md:83,166,168 — crawler re-run picks up year/month partitions;
+    * in Spark discovery is free). Partition pruning then applies to any
+    * filter on o_year/o_month — the reference's Athena cost win. */
+  val scanParquetPartitioned: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("scan_parquet_partitioned")
+    Tables(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year", "o_month").parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy("o_year", "o_month")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_year", "o_month")
+  }
+
+  /** Data-Pipeline-style extract: pre-joined SELECT against the OLTP store
+    * (README.md:52-56,113,141). Parquet read stands in for the JDBC source;
+    * with a real JDBC URL the same `option("query", ...)` plan pushes the
+    * join's WHERE down to the database. */
+  val scanJdbcExport: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val cust = Tables(spark, sfDir, "customer")
+    orders.join(cust, orders("o_custkey") === cust("c_custkey"))
+      .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Process ALL files in a bucket, parameterized by filename
+    * (README.md:90,168): glob read + input_file_name() dispatch. */
+  val scanGlobDynamic: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("scan_glob_dynamic")
+    val ev = Tables(spark, sfDir, "events")
+    Seq("click", "error", "purchase", "signup", "view").foreach { t =>
+      ev.filter(col("event_type") === t).select("event_id", "user_id")
+        .write.mode("overwrite").option("header", true).csv(s"$dir/${t}_files")
+    }
+    spark.read.schema("event_id LONG, user_id LONG")
+      .option("header", true).csv(s"$dir/*_files")
+      .withColumn("src_type",
+        regexp_extract(input_file_name(), "([a-z]+)_files", 1))
+      .groupBy("src_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("src_type")
+  }
+
+  /** CSV export of a query result (README.md:54-56,141 Data Pipeline → S3
+    * CSV), read back to prove fidelity. */
+  val sinkCsv: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("sink_csv")
+    Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .write.mode("overwrite").option("header", true).csv(dir)
+    spark.read.schema("l_returnflag STRING, sum_price DOUBLE, cnt LONG")
+      .option("header", true).csv(dir)
+      .orderBy("l_returnflag")
+  }
+
+  /** Parquet sink with compression + partitioning by derived cols
+    * (README.md:86-87,127,165-166 — the reference's "major performance
+    * difference" conversion). zstd + partitionBy(year, month). */
+  val sinkParquetPartitionedCompressed: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("sink_parquet_partitioned_compressed")
+    Tables(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite")
+      .partitionBy("o_year", "o_month")
+      .option("compression", "zstd")
+      .parquet(dir)
+    spark.read.parquet(dir)
+      .select("o_orderkey", "o_year", "o_month")
+      .orderBy("o_orderkey")
+  }
+
+  /** Positional column binding on load (README.md:29,142 "Order of the
+    * columns in SQL query and order of columns in table should be same").
+    * Emulates `insertInto` semantics: the source's columns are bound to the
+    * target schema BY POSITION, so the caller must align them first. */
+  val sinkTablePositional: QFn = (spark, sfDir) => {
+    val cust = Tables(spark, sfDir, "customer")
+    val target = cust.schema.fieldNames
+    // source arrives with columns shuffled (as from an ad-hoc SELECT) ...
+    val shuffled = cust.select("c_mktsegment", "c_custkey", "c_name",
+      "c_nationkey", "c_acctbal")
+    // ... correct positional load = reorder to target order, bind by position
+    val bound = insertPositional(shuffled.select(target.map(col): _*), target)
+    val dir = Scratch.dir("sink_table_positional")
+    bound.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).orderBy("c_custkey")
+  }
+
+  /** insertInto-style positional bind: names are taken from the target, not
+    * the source. Misaligned sources silently produce garbage — see the
+    * PositionalTrapSpec test. */
+  def insertPositional(source: DataFrame, targetCols: Seq[String]): DataFrame =
+    source.toDF(targetCols: _*)
+
+  val queries: Map[String, QFn] = Map(
+    "scan_csv_header_quoted" -> scanCsvHeaderQuoted,
+    "scan_csv_invalid_chars" -> scanCsvInvalidChars,
+    "scan_csv_infer_schema" -> scanCsvInferSchema,
+    "scan_parquet" -> scanParquet,
+    "scan_parquet_partitioned" -> scanParquetPartitioned,
+    "scan_jdbc_export" -> scanJdbcExport,
+    "scan_glob_dynamic" -> scanGlobDynamic,
+    "sink_csv" -> sinkCsv,
+    "sink_parquet_partitioned_compressed" -> sinkParquetPartitionedCompressed,
+    "sink_table_positional" -> sinkTablePositional,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_csv_header_quoted" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+    "scan_csv_invalid_chars" ->
+      "SELECT n_nationkey, n_name || '??' AS n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_csv_infer_schema" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "scan_parquet" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_parquet_partitioned" ->
+      "SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month, count(*) AS cnt FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
+    "scan_jdbc_export" ->
+      "SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
+    "scan_glob_dynamic" ->
+      "SELECT event_type AS src_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    "sink_csv" ->
+      "SELECT l_returnflag, ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
+    "sink_parquet_partitioned_compressed" ->
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month FROM orders ORDER BY o_orderkey",
+    "sink_table_positional" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+  )
+}

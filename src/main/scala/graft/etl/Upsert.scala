@@ -1,0 +1,97 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QFn
+import graft.tables.Tables
+
+/** SURVEY.md §2.4 — the reference's signature operator: the staging→final
+  * incremental upsert (README.md:65-72,149-154): COPY to staging, DELETE
+  * rows of final matching staging's ORDER ID, INSERT staging, TRUNCATE.
+  * Net semantics = last-write-wins upsert keyed on o_orderkey.
+  *
+  * Spark-first design: DELETE-matching + INSERT is exactly
+  * `final LEFT ANTI JOIN staging` ∪ staging — one shuffle on the key (or
+  * zero when staging broadcasts, the common case: an hourly batch is tiny
+  * next to the accumulated table). At warehouse scale the same plan backs a
+  * partition-overwrite (replaceWhere) or a Delta/Iceberg MERGE; the join
+  * shape is identical.
+  */
+object Upsert {
+
+  /** Last-write-wins merge of `staging` into `current` on `key`
+    * (README.md:67-70,151-154's 4 SQL statements as one plan). */
+  def upsert(current: DataFrame, staging: DataFrame, key: String): DataFrame =
+    current.join(staging, Seq(key), "left_anti").unionByName(staging)
+
+  /** Window-based dedup: newest row per key wins (README.md:67,120,151
+    * "so that we don't have to worry about the duplicacy"). */
+  def dedupLatest(df: DataFrame, key: String, order: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(key).orderBy(order: _*)))
+      .filter(col("rn") === 1)
+      .drop("rn")
+
+  /** The upsert as an oracle-checkable query: full orders = "final";
+    * staging = re-delivered recent orders with doubled price (so staging
+    * winning is observable). */
+  val incrementalUpsert: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val fin = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    upsert(fin, stg, "o_orderkey").orderBy("o_orderkey")
+  }
+
+  /** Dedup-by-business-key, newest wins (README.md:67,120,151): highest
+    * line number per order stands in for "latest batch". */
+  val dedupByKey: QFn = (spark, sfDir) =>
+    // l_quantity desc tie-break: the synthetic data has duplicate
+    // (l_orderkey, l_linenumber) pairs, so linenumber alone is ambiguous.
+    dedupLatest(Tables(spark, sfDir, "lineitem"),
+      "l_orderkey", Seq(col("l_linenumber").desc, col("l_quantity").desc))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey")
+
+  /** Historical one-time load ∪ rolling current loads (README.md:54-56,63,
+    * 141 — `table/historical` and `table/current` S3 folders). */
+  val historicalPlusCurrentUnion: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val hist = orders.filter(col("o_orderdate") < lit("2000-01-01"))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val curr = orders.filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select("o_orderstatus", "o_orderkey", "o_totalprice") // different order
+    hist.unionByName(curr)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "incremental_upsert" -> incrementalUpsert,
+    "dedup_by_key" -> dedupByKey,
+    "historical_plus_current_union" -> historicalPlusCurrentUnion,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "incremental_upsert" ->
+      ("WITH stg AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') " +
+        "SELECT * FROM (" +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM stg) " +
+        "UNION ALL SELECT * FROM stg) ORDER BY o_orderkey"),
+    "dedup_by_key" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_quantity DESC) = 1 " +
+        "ORDER BY l_orderkey"),
+    "historical_plus_current_union" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+  )
+}

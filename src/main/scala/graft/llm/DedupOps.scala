@@ -1,0 +1,228 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QFn
+import graft.tables.Tables
+
+/** SURVEY.md §2.10 [north-star] — deduplication for LLM training data:
+  * exact (hash group-by), MinHash+LSH banding, exact n-gram Jaccard over
+  * LSH candidates, SimHash, and embedding-cosine near-dup via random
+  * projection buckets.
+  *
+  * Scale design (100 TB): every candidate-generation step is a
+  * bucket-equi-join (shuffle on band/bucket hash), never an O(n²) cross
+  * join; pairwise verification only runs inside buckets. Signatures are
+  * built with codegen'd higher-order functions (transform/aggregate/
+  * zip_with + xxhash64) — no UDFs, no driver collection.
+  */
+object DedupOps {
+
+  // ---- MinHash/LSH tuning (measured on the driver testdata: planted
+  // near-dup pairs sit at 5-gram Jaccard >= 0.9; background pairs at
+  // ~0.18-0.28). Banding uses the first 16 of K=32 permutations as
+  // 4 bands x 4 rows: P(candidate | j=0.9) = 1-(1-0.9^4)^4 ~ 0.986;
+  // P(candidate | j=0.26) ~ 1.8%. The FULL K=32 signature sharpens the
+  // Jaccard estimate (est std at j=0.5 is 0.088 vs 0.125 at K=16), so the
+  // est >= 0.5 cut rejects band-lucky background pairs much harder.
+  private val K = 32
+  private val Bands = 4
+  private val R = 4
+
+  /** Shingles + minhash signature per doc, computed ONCE per (session,
+    * sfDir) and persisted: the banded self-join and the exact-Jaccard
+    * verification would otherwise each re-derive the whole signature
+    * subtree (Spark self-joins recompute, they don't share). At 100 TB this
+    * is the materialized signature index every LSH system builds before
+    * pair generation — one linear pass, then all candidate work reads it. */
+  private val sigIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def sigIndex(spark: SparkSession, sfDir: String): DataFrame =
+    sigIndexCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + sfDir, {
+      Tables(spark, sfDir, "documents")
+        // single-parquet-file input = one split; spread the hash-heavy
+        // signature compute across all cores before the linear pass (at
+        // 100 TB the file splits already provide this parallelism)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          expr("array_distinct(transform(sequence(1, greatest(length(lower(trim(text))) - 4, 1)), " +
+            "i -> substring(lower(trim(text)), i, 5)))").as("shingles"))
+        // hsh: hashed shingle set (64-bit, collision-negligible) — exact
+        // Jaccard verification intersects longs, never the string arrays
+        .withColumn("hsh", expr("transform(shingles, x -> xxhash64(x))"))
+        // K permutations re-hash the LONG shingle hash, not the string:
+        // one string hash per shingle total, then K cheap long mixes
+        .withColumn("sig",
+          expr(s"transform(sequence(0, ${K - 1}), " +
+            "s -> array_min(transform(hsh, h -> xxhash64(h, s))))"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** (doc_id, sig, band, band_hash) — the LSH index: docs agreeing on all R
+    * rows of a band collide. sig rides along so pair rows already carry both
+    * signatures (no extra join back). */
+  private[graft] def bandedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    sigIndex(spark, sfDir).select(col("doc_id"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+        s"b -> xxhash64(${(1 to R).map(i => s"element_at(sig, $R * b + $i)").mkString(", ")}, b))"))
+        .as(Seq("band", "bhash")))
+
+  /** Candidate pairs (a < b) sharing >= 1 LSH band, with the signature-
+    * estimated Jaccard. The join key is (band, bhash) — a plain shuffle
+    * hash join that scales with data, not with n². */
+  private[graft] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = bandedIndex(spark, sfDir)
+    val a = idx.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a"))
+    val b = idx.withColumnsRenamed(Map("doc_id" -> "doc_b", "sig" -> "sig_b"))
+    a.join(b, Seq("band", "bhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))") / lit(K.toDouble))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"),
+        round(first(col("est")), 4).as("est_jaccard"))
+  }
+
+  /** Exact dedup: group by normalized-text hash, keep the lowest doc_id
+    * (sha2-256 collision-free at any realistic corpus size). */
+  val llmDedupExact: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "documents")
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+
+  /** MinHash+LSH near-dup pairs: signature-estimated Jaccard >= 0.5
+    * (captures the planted >= 0.9 near-dups; background ~0.25 pairs are
+    * rejected). xxhash64-based — no DuckDB oracle; NearDupSpec asserts the
+    * planted pairs are found. */
+  val llmDedupMinhash: QFn = (spark, sfDir) =>
+    minhashCandidates(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** Exact n-gram Jaccard verification over the LSH candidate set — the
+    * scalable exact-similarity join: candidates come from banding, exact
+    * set overlap is computed only for them. */
+  val llmDedupNgramJaccard: QFn = (spark, sfDir) => {
+    // Exact Jaccard over HASHED shingles: intersect long arrays (cheap) and
+    // derive |union| = |A| + |B| - |A∩B| arithmetically — no string-array
+    // concat/distinct per pair. The distinct-shingle sets make |A|,|B| exact.
+    val sh = sigIndex(spark, sfDir)
+      .select(col("doc_id"), col("hsh"), size(col("hsh")).as("n_sh"))
+    minhashCandidates(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "hsh" -> "h_a", "n_sh" -> "n_a")), Seq("doc_a"))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "hsh" -> "h_b", "n_sh" -> "n_b")), Seq("doc_b"))
+      .withColumn("i", size(array_intersect(col("h_a"), col("h_b"))))
+      .withColumn("jaccard", round(
+        col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash over word tokens (sign of per-bit +-1 sums), banded
+    * into 4 x 16-bit chunks for candidate generation; exact Hamming
+    * distance via bit_count(xor). Top pairs by Hamming distance. */
+  private val simIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** 64-bit SimHash per doc, persisted: (a) the persist is a hard barrier, so
+    * the 64-way bit fold reads the materialized bitsums column instead of
+    * CollapseProject re-inlining the token aggregate into every bit (64×
+    * blowup measured at 276 s vs 3 s on sf0.1); (b) the chunked self-join
+    * reuses it instead of recomputing both sides. */
+  private[graft] def simIndex(spark: SparkSession, sfDir: String): DataFrame =
+    simIndexCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + sfDir, {
+      Tables(spark, sfDir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          expr(
+            "aggregate(split(lower(trim(text)), '\\\\s+'), " +
+              "array_repeat(cast(0 as bigint), 64), " +
+              "(acc, t) -> zip_with(acc, transform(sequence(0, 63), " +
+              "j -> CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1 THEN cast(1 as bigint) ELSE cast(-1 as bigint) END), " +
+              "(a, b) -> a + b))").as("bitsums"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("doc_id"),
+          expr(
+            "aggregate(sequence(0, 63), cast(0 as bigint), (s, j) -> s + " +
+              "CASE WHEN element_at(bitsums, j + 1) > 0 " +
+              "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
+          ).as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  val llmDedupSimhash: QFn = (spark, sfDir) => {
+    val sim = simIndex(spark, sfDir)
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, 16 * c) & 65535)"))
+        .as(Seq("chunk", "cval")))
+    val a = chunked.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
+    val b = chunked.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
+    a.join(b, Seq("chunk", "cval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first(expr("bit_count(sim_a ^ sim_b)")).as("hamming"))
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
+  // ---- Embedding near-dup: 6 random-hyperplane sign bits -> 64 buckets;
+  // exact cosine only within buckets. Projections are seeded (42) so the
+  // plan is deterministic across runs and engines.
+  private val ProjBits = 6
+  private val projections: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(ProjBits)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  private[graft] def llmRpBucket(vec: Column): Column =
+    projections.zipWithIndex.map { case (p, i) =>
+      val dot = p.zipWithIndex
+        .map { case (w, d) => element_at(vec, d + 1).cast("double") * lit(w) }
+        .reduce(_ + _)
+      when(dot > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private[graft] def cosineExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with(cast($a as array<double>), cast($b as array<double>), (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)") /
+      (sqrt(expr(s"aggregate(cast($a as array<double>), cast(0 as double), (acc, x) -> acc + x * x)")) *
+        sqrt(expr(s"aggregate(cast($b as array<double>), cast(0 as double), (acc, x) -> acc + x * x)")))
+
+  /** Embedding-cosine near-dup candidates: top-100 most similar pairs among
+    * RP-bucket collisions (testdata has no >= 0.95 pairs, so ranking — not
+    * thresholding — is the meaningful output). */
+  val llmDedupEmbedding: QFn = (spark, sfDir) => {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), llmRpBucket(col("embedding")).as("bucket"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosineExpr("emb_a", "emb_b"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "llm_dedup_exact" -> llmDedupExact,
+    "llm_dedup_minhash" -> llmDedupMinhash,
+    "llm_dedup_ngram_jaccard" -> llmDedupNgramJaccard,
+    "llm_dedup_simhash" -> llmDedupSimhash,
+    "llm_dedup_embedding" -> llmDedupEmbedding,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      ("SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents " +
+        "GROUP BY lower(trim(text)) ORDER BY 1"),
+    // minhash / ngram_jaccard / simhash / embedding: LSH + xxhash64 are not
+    // DuckDB-expressible — covered by NearDupSpec property tests instead.
+  )
+}

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.QFn
+import graft.tables.Tables
+
+/** SURVEY.md §2.10 [north-star] — multimodal columns: image/audio/video
+  * payloads are opaque `binary` columns with typed metadata alongside.
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB; everything around it — binary
+  * column creation, schema, partition-parallel mapPartitions plumbing,
+  * typed output — is real and oracle-checked.
+  */
+object MultimodalOps {
+
+  /** Typed metadata a real decoder would emit per media object. */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, fake_width: Int, fake_frames: Int)
+
+  /** Array/binary columns survive relational ops untouched: embeddings
+    * (array<float>) joined to documents, filtered, projected — the arrays
+    * are carried through and only inspected at the end. */
+  val llmMultimodalCols: QFn = (spark, sfDir) => {
+    val e = Tables(spark, sfDir, "embeddings")
+    val d = Tables(spark, sfDir, "documents")
+    e.filter(col("label").isin(1, 2, 3))
+      .join(d, e("vec_id") === d("doc_id"))
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+        col("lang"))
+      .orderBy("vec_id")
+  }
+
+  /** Binary decode pipeline: text → UTF-8 bytes stand in for an image
+    * payload; mapPartitions carries whole partitions of (id, bytes) through
+    * a per-element "decoder". The decode itself is a STUB (deterministic
+    * fake derived from the byte length — no codec libs in this container);
+    * the Spark-side plumbing (binary column, typed Dataset, partition-wise
+    * map, schema of the result) is the real thing a production decoder
+    * would plug into. */
+  val llmMultimodalDecode: QFn = (spark, sfDir) => {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decode: a real implementation would parse image headers /
+          // sample video frames here. Deterministic fake keeps the oracle.
+          MediaMeta(id, bytes.length, bytes.length % 640 + 1, bytes.length / 100 + 1)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "llm_multimodal_cols" -> llmMultimodalCols,
+    "llm_multimodal_decode" -> llmMultimodalDecode,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_multimodal_cols" ->
+      ("SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, " +
+        "ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e1, lang " +
+        "FROM embeddings JOIN documents ON vec_id = doc_id " +
+        "WHERE label IN (1, 2, 3) ORDER BY vec_id"),
+    "llm_multimodal_decode" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
+        "CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS fake_width, " +
+        "CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS fake_frames " +
+        "FROM documents ORDER BY doc_id"),
+  )
+}

@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.QFn
+import graft.tables.Tables
+
+/** SURVEY.md §2.10 [north-star] — similarity search over the embeddings
+  * table (array<float>, 64-dim).
+  *
+  * Two paths: brute-force cosine top-k (the exact baseline — O(n) per
+  * query, a broadcast of the query vector against a full scan) and an
+  * ANN variant (random-projection buckets + multi-probe) whose cost is
+  * O(n / buckets * probes) — the 100 TB path. Dot products are computed
+  * with codegen'd higher-order functions (zip_with + aggregate), not UDFs.
+  */
+object SimilarityOps {
+
+  /** Exact cosine top-20 for query vector vec_id=0: broadcast the query,
+    * scan everything once, TakeOrderedAndProject keeps only k rows per
+    * partition — no global sort materialization. */
+  val llmSimilarityTopk: QFn = (spark, sfDir) => {
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(DedupOps.cosineExpr("embedding", "qv"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** ANN top-20: assign every vector to a random-projection bucket; probe
+    * the query's bucket plus all buckets within Hamming distance 2
+    * (multi-probe LSH — 22 of 64 buckets ≈ 1/3 of the data), exact cosine
+    * only within probed buckets. Radius 2 because the testdata embeddings
+    * are near-random (top-20 cosine ≈ 0.4 ⇒ ~2 expected sign flips over 6
+    * hyperplanes); corpora with genuinely close neighbors can probe
+    * tighter. Recall vs the exact baseline is asserted in SimilaritySpec. */
+  val llmSimilarityAnn: QFn = (spark, sfDir) => {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        DedupOps.llmRpBucket(col("embedding")).as("bucket"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0 &&
+        expr("bit_count(bucket ^ qbucket)") <= 2)
+      .select(col("vec_id"), col("label"),
+        round(DedupOps.cosineExpr("embedding", "qv"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "llm_similarity_topk" -> llmSimilarityTopk,
+    "llm_similarity_ann" -> llmSimilarityAnn,
+  )
+
+  private val cosineSql: String =
+    "ROUND(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), p -> p[1] * p[2])) / " +
+      "(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) * " +
+      "sqrt(list_sum(list_transform(CAST(qv AS DOUBLE[]), x -> x * x)))), 6)"
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_similarity_topk" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
+        s"SELECT vec_id, label, $cosineSql AS sim FROM embeddings, q " +
+        "WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
+    // llm_similarity_ann: approximate by construction — recall asserted in
+    // SimilaritySpec against the exact baseline; rows-only check here.
+  )
+}

@@ -1,0 +1,145 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.QFn
+import graft.tables.Tables
+
+/** SURVEY.md §2.10 [north-star] — text analysis for LLM training-data
+  * pipelines: corpus stats, token counting (whitespace + BPE-ish regex),
+  * quality scoring, language ID, document fingerprinting. All pure
+  * `org.apache.spark.sql.functions` / Catalyst expressions — no UDFs, so
+  * everything stays inside whole-stage codegen and scales linearly with
+  * executors at 100 TB.
+  */
+object TextOps {
+
+  private val tokens: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** Shared en/de/es/fr marker-word lists: the SAME lists build both the
+    * Spark plan and the DuckDB oracle SQL, so they cannot drift. */
+  val markerWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ein"),
+    "es" -> Seq("el", "los", "que", "una", "por", "con"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans"),
+  )
+
+  private def markerHits(words: Seq[String]): Column =
+    size(array_intersect(tokens, array(words.map(lit): _*)))
+
+  private def markerHitsSql(words: Seq[String]): String =
+    "CAST(len(list_distinct(list_intersect(string_split_regex(lower(trim(text)), '\\s+'), " +
+      words.map(w => s"'$w'").mkString("[", ", ", "]") + "))) AS INT)"
+
+  /** Corpus statistics per language bucket (counts, char totals, token
+    * totals, exact-arithmetic averages). */
+  val llmTextStats: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "documents")
+      .withColumn("n_tokens", size(tokens))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
+          .as("avg_chars"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .orderBy("lang")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single punctuation). */
+  val llmTokenCount: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(tokens).as("ws_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length / punctuation / marker-word signals combined
+    * into a deterministic [0,1] score. */
+  val llmQualityScore: QFn = (spark, sfDir) => {
+    val nTokens = size(tokens)
+    val nPunct = regexp_count(col("text"), lit("[.,!?;:]"))
+    val stopKinds = markerHits(markerWords.head._2) // en markers
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        nTokens.as("n_tokens"),
+        nPunct.as("n_punct"),
+        stopKinds.as("stop_kinds"),
+        round(lit(0.5) * least(lit(1.0), nTokens.cast("double") / 100.0) +
+          lit(0.5) * (stopKinds.cast("double") / 6.0), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: CJK-script check, then argmax of marker-word hits with a
+    * fixed tie-break order (en > de > es > fr). */
+  val llmLangId: QFn = (spark, sfDir) => {
+    val hits = markerWords.map { case (l, ws) => l -> markerHits(ws) }
+    val Seq(en, de, es, fr) = hits.map(_._2)
+    val pred = when(regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    Tables(spark, sfDir, "documents")
+      .select(Seq(col("doc_id"), col("lang"), pred.as("pred_lang")) ++
+        hits.map { case (l, c) => c.as(s"s_$l") }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: char-8-gram rolling shingle hashes; the
+    * min-hash is the doc signature (winnowing-style). xxhash64 has no
+    * DuckDB twin → verified by FingerprintSpec instead of the oracle. */
+  val llmFingerprint: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "documents")
+      .withColumn("shingles",
+        expr("transform(sequence(1, greatest(length(text) - 7, 1)), i -> xxhash64(substring(text, i, 8)))"))
+      .select(col("doc_id"),
+        expr("array_min(shingles)").as("fp_min"),
+        expr("size(array_distinct(shingles))").as("n_shingles"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, QFn] = Map(
+    "llm_text_stats" -> llmTextStats,
+    "llm_token_count" -> llmTokenCount,
+    "llm_quality_score" -> llmQualityScore,
+    "llm_lang_id" -> llmLangId,
+    "llm_fingerprint" -> llmFingerprint,
+  )
+
+  val oracleSql: Map[String, String] = {
+    val hitsSql = markerWords.map { case (l, ws) => l -> markerHitsSql(ws) }.toMap
+    Map(
+      "llm_text_stats" ->
+        ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+          "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+          "ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars, " +
+          "CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS total_tokens " +
+          "FROM documents GROUP BY 1 ORDER BY 1"),
+      "llm_token_count" ->
+        ("SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS ws_tokens, " +
+          "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_tokens " +
+          "FROM documents ORDER BY doc_id"),
+      "llm_quality_score" ->
+        ("SELECT doc_id, n_chars, " +
+          "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens, " +
+          "CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct, " +
+          s"${hitsSql("en")} AS stop_kinds, " +
+          "ROUND(0.5 * least(1.0, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) / 100.0) + " +
+          s"0.5 * (CAST(${hitsSql("en")} AS DOUBLE) / 6.0), 4) AS quality " +
+          "FROM documents ORDER BY doc_id"),
+      "llm_lang_id" ->
+        ("SELECT doc_id, lang, " +
+          "CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh' " +
+          s"WHEN ${hitsSql("en")} >= ${hitsSql("de")} AND ${hitsSql("en")} >= ${hitsSql("es")} AND ${hitsSql("en")} >= ${hitsSql("fr")} THEN 'en' " +
+          s"WHEN ${hitsSql("de")} >= ${hitsSql("es")} AND ${hitsSql("de")} >= ${hitsSql("fr")} THEN 'de' " +
+          s"WHEN ${hitsSql("es")} >= ${hitsSql("fr")} THEN 'es' ELSE 'fr' END AS pred_lang, " +
+          s"${hitsSql("en")} AS s_en, ${hitsSql("de")} AS s_de, ${hitsSql("es")} AS s_es, ${hitsSql("fr")} AS s_fr " +
+          "FROM documents ORDER BY doc_id"),
+      // llm_fingerprint: xxhash64 not expressible in DuckDB — rows-only check.
+    )
+  }
+}

@@ -1,0 +1,29 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loads the driver-generated parquet tables (TESTDATA.md) and stands in
+  * for the reference's three catalogs — RDS MySQL, Redshift, and the Glue
+  * Data Catalog (reference README.md:9-10,23). In Spark all three collapse
+  * into one SparkSession; federation is a same-session join (SURVEY.md §1.4).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+      // natively: read the raw nanos as long, truncate to micros in-plan
+      // (same truncation DuckDB applies when casting ns→µs).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Register every table as a temp view (Glue-Data-Catalog analog). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}

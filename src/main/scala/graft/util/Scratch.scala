@@ -1,0 +1,24 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Scratch space for operators that exercise real sinks/sources (CSV lake
+  * round-trips, partitioned parquet writes, streaming file drops). Lives
+  * under the repo's target/ so nothing outside /root/repo is touched. */
+object Scratch {
+  private val root = "/root/repo/target/scratch"
+
+  /** Fresh (emptied) scratch directory for an operator run. */
+  def dir(name: String): String = {
+    val p = Paths.get(root, name)
+    delete(p)
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  def delete(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+    finally walk.close()
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2.10 — MinHash/LSH property check: every pair with EXACT
+  * 5-gram Jaccard >= 0.8 (the planted near-dups) must be found by the
+  * LSH-banded candidate generation, with no full cross join. */
+class NearDupSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private lazy val docs = graft.tables.Tables(spark, sfDir, "documents")
+
+  /** Brute-force exact Jaccard over all pairs — O(n²), test-only oracle. */
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    val sh = docs.select(col("doc_id"),
+      expr("array_distinct(transform(sequence(1, greatest(length(lower(trim(text))) - 4, 1)), " +
+        "i -> substring(lower(trim(text)), i, 5)))").as("sh"))
+    val a = sh.select(col("doc_id").as("ida"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("idb"), col("sh").as("shb"))
+    a.crossJoin(b).filter(col("ida") < col("idb"))
+      .withColumn("j",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_distinct(concat(col("sha"), col("shb")))))
+      .filter(col("j") >= 0.8)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH finds every exact-Jaccard>=0.8 pair") {
+    val found = graft.llm.DedupOps.llmDedupMinhash(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exactPairs -- found
+    assert(missed.isEmpty, s"LSH missed planted near-dups: $missed")
+  }
+
+  test("ngram-jaccard verification keeps exactly the >=0.5 candidate pairs") {
+    val verified = graft.llm.DedupOps.llmDedupNgramJaccard(spark, sfDir)
+    val rows = verified.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+    // the >=0.8 exact pairs all survive verification
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exactPairs -- got).isEmpty)
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val n = docs.count()
+    val res = graft.llm.DedupOps.llmDedupExact(spark, sfDir)
+    assert(res.agg(sum("n_copies")).collect().head.getLong(0) == n)
+  }
+}

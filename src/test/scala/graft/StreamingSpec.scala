@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §5.2.5 — streaming path produces the same final state as the
+  * batch path (README.md:74-76 event-driven upsert ≡ batch upsert). */
+class StreamingSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  test("file-source streaming upsert == batch upsert") {
+    val streamed = graft.streaming.StreamOps.streamFileSourceUpsert(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val orders = graft.tables.Tables(spark, sfDir, "orders")
+    val expected = orders.select(col("o_orderkey"),
+      when(col("o_orderdate") >= lit("2001-01-01"), col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice")).as("p"),
+      col("o_orderstatus"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(streamed == expected)
+  }
+
+  test("watermark dedup restores exactly-once counts after duplicate drop") {
+    val res = graft.streaming.StreamOps.streamWatermarkLate(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = graft.tables.Tables(spark, sfDir, "events")
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == expected)
+  }
+}
