@@ -27,6 +27,7 @@ object SparkEntry {
     Tables(spark, sfDir, "events")
       .withColumn("year", year(col("ts")))
       .withColumn("month", month(col("ts")))
+      .repartition(col("year"), col("month"))
       .write.mode("overwrite")
       .partitionBy("year", "month")
       .option("compression", "snappy")

@@ -76,6 +76,9 @@ object Ingest {
     Tables(spark, sfDir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
       .withColumn("o_month", month(col("o_orderdate")))
+      // cluster rows by partition key before the write: one file per
+      // (year, month) instead of tasks × partitions small files
+      .repartition(col("o_year"), col("o_month"))
       .write.mode("overwrite").partitionBy("o_year", "o_month").parquet(dir)
     spark.read.parquet(dir)
       .groupBy("o_year", "o_month")
@@ -136,6 +139,10 @@ object Ingest {
     Tables(spark, sfDir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
       .withColumn("o_month", month(col("o_orderdate")))
+      // avoid the tasks × partitions small-file explosion (see
+      // scan_parquet_partitioned); at 100 TB add a salt column to this
+      // repartition when single partitions exceed one task's write budget
+      .repartition(col("o_year"), col("o_month"))
       .write.mode("overwrite")
       .partitionBy("o_year", "o_month")
       .option("compression", "zstd")

@@ -17,14 +17,17 @@ object SimilarityOps {
 
   /** Exact cosine top-20 for query vector vec_id=0: broadcast the query,
     * scan everything once, TakeOrderedAndProject keeps only k rows per
-    * partition — no global sort materialization. */
+    * partition — no global sort materialization. Norms come precomputed
+    * from the persisted embedding index (DedupOps.embIndex). */
   val llmSimilarityTopk: QFn = (spark, sfDir) => {
-    val e = Tables(spark, sfDir, "embeddings")
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val e = DedupOps.embIndex(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("qv"), col("norm").as("qnorm"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
-        round(DedupOps.cosineExpr("embedding", "qv"), 6).as("sim"))
+        round(DedupOps.dotExpr("emb", "qv") / (col("norm") * col("qnorm")), 6)
+          .as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(20)
   }
@@ -37,16 +40,16 @@ object SimilarityOps {
     * hyperplanes); corpora with genuinely close neighbors can probe
     * tighter. Recall vs the exact baseline is asserted in SimilaritySpec. */
   val llmSimilarityAnn: QFn = (spark, sfDir) => {
-    val e = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"),
-        DedupOps.llmRpBucket(col("embedding")).as("bucket"))
+    val e = DedupOps.embIndex(spark, sfDir)
     val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+      .select(col("emb").as("qv"), col("norm").as("qnorm"),
+        col("bucket").as("qbucket"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0 &&
         expr("bit_count(bucket ^ qbucket)") <= 2)
       .select(col("vec_id"), col("label"),
-        round(DedupOps.cosineExpr("embedding", "qv"), 6).as("sim"))
+        round(DedupOps.dotExpr("emb", "qv") / (col("norm") * col("qnorm")), 6)
+          .as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(20)
   }
