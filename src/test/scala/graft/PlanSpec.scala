@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the properties that decide 100 TB behavior
+  * (SURVEY.md §4): dimension joins broadcast, scans prune columns and
+  * partitions, predicates reach the parquet reader, hot paths stay inside
+  * whole-stage codegen. A regression here is a silent 100× at scale even
+  * when results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("customer⋈orders broadcasts the dimension side") {
+    val p = plan(graft.analytics.Queries.joinInnerCustomerOrders(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join must not sort-merge")
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val p = plan(graft.etl.Ingest.scanParquet(spark, sfDir))
+    // 4 selected columns of 11 — ReadSchema must not include the rest
+    assert(p.contains("l_quantity") && !p.contains("l_extendedprice"),
+      s"scan must read only selected columns:\n$p")
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val df = graft.tables.Tables(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"filter must be pushed to the reader:\n$p")
+  }
+
+  test("partition pruning on the partitioned-write read-back") {
+    val dir = graft.util.Scratch.dir("plan_partition_pruning")
+    graft.tables.Tables(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("o_year") === 1998)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && p.contains("o_year"),
+      s"partition filter missing:\n$p")
+    // pruned scan carries the equality predicate (attr ids vary: o_year#NN)
+    val scanned = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert("""\(o_year#\d+ = 1998\)""".r.findFirstIn(scanned).isDefined,
+      s"partition predicate not applied at scan:\n$scanned")
+  }
+
+  test("aggregation runs inside whole-stage codegen") {
+    val df = graft.analytics.Queries.aggFunnelCounts(spark, sfDir)
+    df.collect() // AQE: codegen spans only exist in the finalized plan
+    val p = plan(df)
+    // "*(n)" prefixes mark WholeStageCodegen spans in the compact tree form
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(2) HashAggregate"),
+      s"hash aggregate fell out of codegen:\n$p")
+  }
+
+  test("upsert plan: anti-join broadcasts the staging side when small") {
+    val orders = graft.tables.Tables(spark, sfDir, "orders")
+    val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
+    val p = plan(graft.etl.Upsert.upsert(orders, stg, "o_orderkey"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$p")
+  }
+}
