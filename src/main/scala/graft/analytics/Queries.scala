@@ -201,6 +201,45 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Sales rollup with subtotal rows — (year, status) → year → grand total
+    * (§2.5 extension; Spark `rollup` is a single multi-grouping hash agg,
+    * no extra shuffle vs the plain groupBy). Rollup nulls are folded to
+    * 'ALL' so both engines order identically. */
+  val aggRollupSales: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_year").cast("string"), lit("ALL")).as("o_year"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("cnt"))
+      .orderBy("o_year", "o_orderstatus")
+
+  /** Funnel cube — all (event_type × year) margins in one pass (§2.5
+    * extension). */
+  val aggCubeFunnel: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .cube(col("event_type"), year(col("ts")).as("y"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("users"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("y").cast("string"), lit("ALL")).as("y"),
+        col("cnt"), col("users"))
+      .orderBy("event_type", "y")
+
+  /** Exact order-statistics per status (§2.5 extension): median and p90 of
+    * order totals. Exact `percentile` (deterministic order statistic) so the
+    * DuckDB quantile_cont oracle agrees; at 100 TB swap for
+    * percentile_approx (t-digest) and drop the hash-match to rows-only. */
+  val aggPercentilePrice: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
   /** DELETE as whole-row set difference (§2.7; README.md:67,151). */
   val exceptDeleteSemantics: QFn = (spark, sfDir) => {
     val orders = Tables(spark, sfDir, "orders")
@@ -223,6 +262,9 @@ object Queries {
     "agg_purchase_frequency" -> aggPurchaseFrequency,
     "agg_sum_revenue" -> aggSumRevenue,
     "agg_distinct_users" -> aggDistinctUsers,
+    "agg_rollup_sales" -> aggRollupSales,
+    "agg_cube_funnel" -> aggCubeFunnel,
+    "agg_percentile_price" -> aggPercentilePrice,
     "window_dedup_latest" -> windowDedupLatest,
     "window_funnel_order" -> windowFunnelOrder,
     "sort_topk_categories" -> sortTopkCategories,
@@ -275,6 +317,21 @@ object Queries {
     "agg_distinct_users" ->
       ("SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS cnt " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+    "agg_rollup_sales" ->
+      ("SELECT COALESCE(CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR), 'ALL') AS o_year, " +
+        "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, count(*) AS cnt " +
+        "FROM orders GROUP BY ROLLUP(CAST(year(o_orderdate) AS INT), o_orderstatus) " +
+        "ORDER BY o_year, o_orderstatus"),
+    "agg_cube_funnel" ->
+      ("SELECT COALESCE(event_type, 'ALL') AS event_type, " +
+        "COALESCE(CAST(CAST(year(ts) AS INT) AS VARCHAR), 'ALL') AS y, " +
+        "count(*) AS cnt, count(DISTINCT user_id) AS users " +
+        "FROM events GROUP BY CUBE(event_type, CAST(year(ts) AS INT)) " +
+        "ORDER BY event_type, y"),
+    "agg_percentile_price" ->
+      ("SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
+        "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS cnt " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
     "window_dedup_latest" ->
       ("SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date FROM orders " +
         "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 " +
