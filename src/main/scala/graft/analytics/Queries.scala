@@ -240,6 +240,40 @@ object Queries {
         count(lit(1)).as("cnt"))
       .orderBy("o_orderstatus")
 
+  /** Athena-style SQL entry point (§3.3; README.md:78-83): the reference's
+    * BI queries are SQL text against the Data Catalog; here the catalog is
+    * temp views and the engine is spark.sql — parser → analyzer → Catalyst,
+    * same plan as the DataFrame form. */
+  val sqlAthenaStyle: QFn = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_mktsegment, year(o_orderdate) AS o_year,
+        |       count(*) AS n_orders,
+        |       round(cast(sum(cast(o_totalprice AS decimal(18,4))) AS double), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY c_mktsegment, year(o_orderdate)
+        |ORDER BY c_mktsegment, o_year""".stripMargin)
+  }
+
+  /** Skew-safe two-phase aggregation (SURVEY.md §7.3 salting): partial agg
+    * on (key, salt) spreads a hot key over N reducers, final agg merges the
+    * partials. Result is provably identical to the direct groupBy (counts
+    * and exact-decimal sums are associative) — the DuckDB oracle checks
+    * exactly that. At 100 TB this is the pattern for keys too hot for AQE's
+    * skew-join splitting to save. */
+  val aggSkewSalted: QFn = (spark, sfDir) => {
+    val salted = Tables(spark, sfDir, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("pc"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("pq"))
+    salted.groupBy("l_returnflag")
+      .agg(sum(col("pc")).as("cnt"),
+        round(sum(col("pq")).cast("double"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** DELETE as whole-row set difference (§2.7; README.md:67,151). */
   val exceptDeleteSemantics: QFn = (spark, sfDir) => {
     val orders = Tables(spark, sfDir, "orders")
@@ -265,6 +299,8 @@ object Queries {
     "agg_rollup_sales" -> aggRollupSales,
     "agg_cube_funnel" -> aggCubeFunnel,
     "agg_percentile_price" -> aggPercentilePrice,
+    "sql_athena_style" -> sqlAthenaStyle,
+    "agg_skew_salted" -> aggSkewSalted,
     "window_dedup_latest" -> windowDedupLatest,
     "window_funnel_order" -> windowFunnelOrder,
     "sort_topk_categories" -> sortTopkCategories,
@@ -332,6 +368,15 @@ object Queries {
       ("SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS cnt " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
+    "sql_athena_style" ->
+      ("SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_orders, " +
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderstatus <> 'P' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "agg_skew_salted" ->
+      ("SELECT l_returnflag, count(*) AS cnt, " +
+        "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "window_dedup_latest" ->
       ("SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date FROM orders " +
         "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 " +

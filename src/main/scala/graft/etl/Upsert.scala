@@ -71,10 +71,49 @@ object Upsert {
       .orderBy("o_orderstatus")
   }
 
+  /** Partition-overwrite upsert — the 100 TB path (SURVEY.md §2.4 "at
+    * scale"): the accumulated table is partitioned by year; a staging batch
+    * only touches recent partitions, so only THOSE are rebuilt
+    * (anti-join ∪ staging within touched partitions) and rewritten via
+    * dynamic partition overwrite. Untouched partitions are never read or
+    * written — the unit of work scales with the batch, not the table.
+    * localCheckpoint breaks the read-from/overwrite-to-same-path cycle the
+    * way a snapshot dir or Delta/Iceberg commit would in production. */
+  val upsertPartitionOverwrite: QFn = (spark, sfDir) => {
+    import graft.util.Scratch
+    val dir = Scratch.dir("upsert_partition_overwrite")
+    val orders = Tables(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_year")
+    orders.repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir) // accumulated state
+    val stg = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_year")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val touched = stg.select("o_year").distinct()
+      val refreshed = spark.read.parquet(dir)
+        .join(broadcast(touched), Seq("o_year")) // partition-prunes the scan
+        .join(stg.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(stg)
+        .localCheckpoint()
+      refreshed.repartition(col("o_year"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    spark.read.parquet(dir)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, QFn] = Map(
     "incremental_upsert" -> incrementalUpsert,
     "dedup_by_key" -> dedupByKey,
     "historical_plus_current_union" -> historicalPlusCurrentUnion,
+    "upsert_partition_overwrite" -> upsertPartitionOverwrite,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -93,5 +132,9 @@ object Upsert {
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
+    "upsert_partition_overwrite" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01' " +
+        "THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice, o_orderstatus " +
+        "FROM orders ORDER BY o_orderkey"),
   )
 }
