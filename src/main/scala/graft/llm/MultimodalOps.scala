@@ -54,9 +54,35 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over a binary "video" payload: fixed-size byte windows
+    * stand in for frames; every k-th window is sampled and a per-frame
+    * feature (here: a byte checksum — a real pipeline would run a vision
+    * encoder) is emitted as an array column. The Spark-side shape — binary
+    * in, `array<struct>`-like typed columns out, one row per kept frame via
+    * posexplode — is exactly what a production frame sampler produces. */
+  val llmMultimodalFramesample: QFn = (spark, sfDir) => {
+    val frameBytes = 64
+    val stride = 4 // keep every 4th frame
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .withColumn("n_frames",
+        ceil(length(col("media")).cast("double") / frameBytes).cast("int"))
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(expr(
+          s"transform(sequence(0, (n_frames - 1) div $stride), " +
+            s"k -> aggregate(transform(sequence(1, $frameBytes), " +
+            s"i -> coalesce(ascii(substr(cast(media as string), k * $stride * $frameBytes + i, 1)), 0)), " +
+            "0, (acc, b) -> acc + b))"))
+          .as(Seq("frame_idx", "frame_checksum")))
+      .select(col("doc_id"), col("n_frames"),
+        (col("frame_idx") * stride).as("frame_no"), col("frame_checksum"))
+      .orderBy("doc_id", "frame_no")
+  }
+
   val queries: Map[String, QFn] = Map(
     "llm_multimodal_cols" -> llmMultimodalCols,
     "llm_multimodal_decode" -> llmMultimodalDecode,
+    "llm_multimodal_framesample" -> llmMultimodalFramesample,
   )
 
   val oracleSql: Map[String, String] = Map(

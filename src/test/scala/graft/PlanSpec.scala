@@ -61,6 +61,16 @@ class PlanSpec extends AnyFunSuite {
       s"hash aggregate fell out of codegen:\n$p")
   }
 
+  test("events ns-timestamp rewrite does not block filter pushdown") {
+    // Tables() rewrites events.ts (parquet ns → micros) via a projection;
+    // a filter on an untouched column must still reach the reader.
+    val df = graft.tables.Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "view")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]"),
+      s"event_type filter must push through the ts projection:\n$p")
+  }
+
   test("upsert plan: anti-join broadcasts the staging side when small") {
     val orders = graft.tables.Tables(spark, sfDir, "orders")
     val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
