@@ -37,7 +37,8 @@ object Queries {
     li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
       .join(orders, li("l_orderkey") === orders("o_orderkey"))
       .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
-      .orderBy("l_orderkey", "l_linenumber")
+      // order by all projected cols: (orderkey, linenumber) is non-unique
+      .orderBy("l_orderkey", "l_linenumber", "p_brand", "p_type")
   }
 
   /** Behavioral events ⋈ customer dimension (README.md:102 funnel BI). */
@@ -315,7 +316,7 @@ object Queries {
     "join_inner_orders_product" ->
       ("SELECT l_orderkey, l_linenumber, p_brand, p_type FROM lineitem " +
         "JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey " +
-        "ORDER BY l_orderkey, l_linenumber"),
+        "ORDER BY 1, 2, 3, 4"),
     "join_funnel_customer" ->
       ("SELECT c_mktsegment, event_type, count(*) AS cnt FROM events " +
         "JOIN customer ON user_id = c_custkey GROUP BY 1, 2 ORDER BY 1, 2"),

@@ -61,11 +61,14 @@ object Ingest {
       .orderBy("r_regionkey")
   }
 
-  /** Plain parquet scan of a lake table (README.md:83,127). */
+  /** Plain parquet scan of a lake table (README.md:83,127). Ordered by ALL
+    * projected columns: (l_orderkey, l_linenumber) is not unique in the
+    * synthetic data, and a tie with differing other columns would make the
+    * row order engine-dependent. */
   val scanParquet: QFn = (spark, sfDir) =>
     Tables(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
   /** Hive-partitioned parquet read with automatic partition discovery
     * (README.md:83,166,168 — crawler re-run picks up year/month partitions;
@@ -196,7 +199,7 @@ object Ingest {
     "scan_csv_infer_schema" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "scan_parquet" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY 1, 2, 3, 4",
     "scan_parquet_partitioned" ->
       "SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month, count(*) AS cnt FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
     "scan_jdbc_export" ->
