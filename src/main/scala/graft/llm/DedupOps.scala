@@ -125,6 +125,39 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup cluster resolution — connected components over the LSH pair
+    * graph via min-label propagation: every doc starts labeled with its own
+    * id; each round adopts the minimum label among itself and its neighbors.
+    * Converges in graph-diameter rounds (near-dup clusters are shallow; 5
+    * covers them — NearDupSpec checks against a union-find ground truth).
+    * Each round is two keyed shuffles; localCheckpoint caps lineage growth —
+    * the same loop GraphX/Pregel would run, without the RDD detour.
+    * Output: one row per doc with its cluster id; `is_canonical` marks the
+    * cluster representative (min doc_id) a dedup pass would keep. */
+  val llmDedupCluster: QFn = (spark, sfDir) => {
+    val pairs = minhashCandidates(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = sigIndex(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to 5) {
+      val nbrMin = edges
+        .join(labels.withColumnsRenamed(Map("doc_id" -> "doc_b", "label" -> "nbl")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nbl")).as("nl"))
+      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash over word tokens (sign of per-bit +-1 sums), banded
     * into 4 x 16-bit chunks for candidate generation; exact Hamming
     * distance via bit_count(xor). Top pairs by Hamming distance. */
@@ -247,6 +280,7 @@ object DedupOps {
     "llm_dedup_ngram_jaccard" -> llmDedupNgramJaccard,
     "llm_dedup_simhash" -> llmDedupSimhash,
     "llm_dedup_embedding" -> llmDedupEmbedding,
+    "llm_dedup_cluster" -> llmDedupCluster,
   )
 
   val oracleSql: Map[String, String] = Map(

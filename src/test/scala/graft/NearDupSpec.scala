@@ -45,6 +45,29 @@ class NearDupSpec extends AnyFunSuite {
     assert((exactPairs -- got).isEmpty)
   }
 
+  test("cluster resolution equals union-find over the pair graph") {
+    val clusters = graft.llm.DedupOps.llmDedupCluster(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: union-find over the same est>=0.5 pair set
+    val pairs = graft.llm.DedupOps.llmDedupMinhash(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    clusters.foreach { case (doc, cl) =>
+      assert(cl == find(doc), s"doc $doc: expected cluster ${find(doc)}, got $cl")
+    }
+    // every doc present exactly once
+    assert(clusters.size == docs.count())
+  }
+
   test("exact dedup groups identical normalized text") {
     val n = docs.count()
     val res = graft.llm.DedupOps.llmDedupExact(spark, sfDir)
