@@ -140,17 +140,28 @@ object DedupOps {
       .select("doc_a", "doc_b")
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint() // rejoined every round — materialize once
     var labels = sigIndex(spark, sfDir)
       .select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to 5) {
+    // Iterate to fixpoint (convergence = no label changed this round), with
+    // a hard bound as a pathological-graph stop. The per-round changed-count
+    // is one action over the checkpointed frames — the same driver-side
+    // convergence check Pregel runs.
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
       val nbrMin = edges
         .join(labels.withColumnsRenamed(Map("doc_id" -> "doc_b", "label" -> "nbl")), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("nbl")).as("nl"))
-      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
     }
     labels
       .select(col("doc_id"), col("label").as("cluster_id"),

@@ -54,9 +54,33 @@ object SimilarityOps {
       .limit(20)
   }
 
+  /** Batch k-NN join — the real similarity-search workload shape: a query
+    * SET (here: label-0 vectors) against the whole corpus, top-5 neighbors
+    * each. Broadcast the query set, one corpus scan, per-query ranking via a
+    * qid-partitioned window (partial top-k per partition, no global sort).
+    * Exact (not ANN) so the DuckDB oracle can replay it; the ANN variant of
+    * the same join swaps in the bucket prefilter of llm_similarity_ann. */
+  val llmSimilarityKnnJoin: QFn = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.embIndex(spark, sfDir)
+    val queries = e.filter(col("label") === 0 && col("vec_id") < 200)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(DedupOps.dotExpr("emb", "qv") / (col("norm") * col("qnorm")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, QFn] = Map(
     "llm_similarity_topk" -> llmSimilarityTopk,
     "llm_similarity_ann" -> llmSimilarityAnn,
+    "llm_similarity_knn_join" -> llmSimilarityKnnJoin,
   )
 
   private val cosineSql: String =
@@ -71,5 +95,11 @@ object SimilarityOps {
         "WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
     // llm_similarity_ann: approximate by construction — recall asserted in
     // SimilaritySpec against the exact baseline; rows-only check here.
+    "llm_similarity_knn_join" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE label = 0 AND vec_id < 200) " +
+        s"SELECT qid, vec_id, label, $cosineSql AS sim, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY " + cosineSql + " DESC, vec_id) AS INT) AS rank " +
+        "FROM embeddings, q WHERE vec_id <> qid " +
+        "QUALIFY rank <= 5 ORDER BY qid, rank"),
   )
 }
