@@ -38,8 +38,15 @@ object DedupOps {
   private val sigIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Cache key unique per SparkContext lifetime (applicationId) — an
+    * identity hash could be reused after GC and hand a new session a
+    * DataFrame bound to a stopped context. Entries live for the harness
+    * process lifetime by design (one context, up to three sfDirs). */
+  private def cacheKey(spark: SparkSession, sfDir: String): String =
+    spark.sparkContext.applicationId + "|" + sfDir
+
   private[graft] def sigIndex(spark: SparkSession, sfDir: String): DataFrame =
-    sigIndexCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + sfDir, {
+    sigIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
       Tables(spark, sfDir, "documents")
         // single-parquet-file input = one split; spread the hash-heavy
         // signature compute across all cores before the linear pass (at
@@ -70,19 +77,27 @@ object DedupOps {
 
   /** Candidate pairs (a < b) sharing >= 1 LSH band, with the signature-
     * estimated Jaccard. The join key is (band, bhash) — a plain shuffle
-    * hash join that scales with data, not with n². */
-  private[graft] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val idx = bandedIndex(spark, sfDir)
-    val a = idx.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a"))
-    val b = idx.withColumnsRenamed(Map("doc_id" -> "doc_b", "sig" -> "sig_b"))
-    a.join(b, Seq("band", "bhash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("est",
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))") / lit(K.toDouble))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared_bands"),
-        round(first(col("est")), 4).as("est_jaccard"))
-  }
+    * hash join that scales with data, not with n². Cached: the pair frame is
+    * small (collisions only) but the self-join producing it is the most
+    * expensive dedup stage, and three operators (minhash, ngram-jaccard,
+    * cluster) consume it. */
+  private val candidatesCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    candidatesCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      val idx = bandedIndex(spark, sfDir)
+      val a = idx.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a"))
+      val b = idx.withColumnsRenamed(Map("doc_id" -> "doc_b", "sig" -> "sig_b"))
+      a.join(b, Seq("band", "bhash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("est",
+          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))") / lit(K.toDouble))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared_bands"),
+          round(first(col("est")), 4).as("est_jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Exact dedup: group by normalized-text hash, keep the lowest doc_id
     * (sha2-256 collision-free at any realistic corpus size). */
@@ -126,12 +141,15 @@ object DedupOps {
   }
 
   /** Near-dup cluster resolution — connected components over the LSH pair
-    * graph via min-label propagation: every doc starts labeled with its own
-    * id; each round adopts the minimum label among itself and its neighbors.
-    * Converges in graph-diameter rounds (near-dup clusters are shallow; 5
-    * covers them — NearDupSpec checks against a union-find ground truth).
-    * Each round is two keyed shuffles; localCheckpoint caps lineage growth —
-    * the same loop GraphX/Pregel would run, without the RDD detour.
+    * graph via min-label propagation with pointer doubling: each round every
+    * doc adopts the minimum label among itself and its neighbors, then
+    * shortcuts through its current representative (label := label-of-label).
+    * The shortcut gives O(log diameter) convergence, so the 20-round bound
+    * covers components of diameter ~2^20 — effectively any real pair graph —
+    * instead of failing silently on chains longer than the round count.
+    * Each round is three keyed shuffles; localCheckpoint caps lineage growth
+    * — the same loop GraphX/Pregel would run, without the RDD detour.
+    * NearDupSpec checks the result against a union-find ground truth.
     * Output: one row per doc with its cluster id; `is_canonical` marks the
     * cluster representative (min doc_id) a dedup pass would keep. */
   val llmDedupCluster: QFn = (spark, sfDir) => {
@@ -154,9 +172,15 @@ object DedupOps {
         .join(labels.withColumnsRenamed(Map("doc_id" -> "doc_b", "label" -> "nbl")), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("nbl")).as("nl"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer doubling: follow the label one more hop
+      val next = stepped
+        .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
         .filter(col("label") =!= col("old")).count()
@@ -181,7 +205,7 @@ object DedupOps {
     * blowup measured at 276 s vs 3 s on sf0.1); (b) the chunked self-join
     * reuses it instead of recomputing both sides. */
   private[graft] def simIndex(spark: SparkSession, sfDir: String): DataFrame =
-    simIndexCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + sfDir, {
+    simIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
       Tables(spark, sfDir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"),
@@ -256,7 +280,7 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private[graft] def embIndex(spark: SparkSession, sfDir: String): DataFrame =
-    embIndexCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + sfDir, {
+    embIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
       Tables(spark, sfDir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("label"),

@@ -61,17 +61,22 @@ object MultimodalOps {
     * in, `array<struct>`-like typed columns out, one row per kept frame via
     * posexplode — is exactly what a production frame sampler produces. */
   val llmMultimodalFramesample: QFn = (spark, sfDir) => {
-    val frameBytes = 64
+    val frameChars = 64
     val stride = 4 // keep every 4th frame
+    // Frames are CODEPOINT windows end to end (n_frames from the decoded
+    // string, windows by substr, checksum = codepoint sum): mixing byte
+    // counts with character indexing would diverge on multibyte text. The
+    // binary column still flows through the pipeline as the payload a real
+    // decoder would consume.
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .withColumn("n_frames",
-        ceil(length(col("media")).cast("double") / frameBytes).cast("int"))
+        ceil(length(decode(col("media"), "UTF-8")).cast("double") / frameChars).cast("int"))
       .select(col("doc_id"), col("n_frames"),
         posexplode(expr(
           s"transform(sequence(0, (n_frames - 1) div $stride), " +
-            s"k -> aggregate(transform(sequence(1, $frameBytes), " +
-            s"i -> coalesce(ascii(substr(cast(media as string), k * $stride * $frameBytes + i, 1)), 0)), " +
+            s"k -> aggregate(transform(sequence(1, $frameChars), " +
+            s"i -> coalesce(ascii(substr(decode(media, 'UTF-8'), k * $stride * $frameChars + i, 1)), 0)), " +
             "0, (acc, b) -> acc + b))"))
           .as(Seq("frame_idx", "frame_checksum")))
       .select(col("doc_id"), col("n_frames"),

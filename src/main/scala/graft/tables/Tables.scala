@@ -16,10 +16,20 @@ object Tables {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
       // natively: read the raw nanos as long, truncate to micros in-plan
-      // (same truncation DuckDB applies when casting ns→µs).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      // (same truncation DuckDB applies when casting ns→µs). The legacy flag
+      // is only needed while the relation's schema is resolved (the eager
+      // part of read.parquet), so restore it immediately — leaving it set
+      // would silently change how OTHER ns-timestamp parquet reads behave
+      // for the rest of the session.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

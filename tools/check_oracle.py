@@ -26,7 +26,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # 12 significant digits: engines agree after explicit ROUND()s; 6
+        # digits would mask real differences in large (~1e8+) aggregates
+        return f"{v:.12g}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
