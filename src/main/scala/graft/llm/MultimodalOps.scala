@@ -84,10 +84,29 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** Resize stub: downsample the payload by keeping every 2nd codepoint
+    * (a real implementation would bilinear-resample pixel rows — no image
+    * libs in this container). Emits the resized length plus a checksum of
+    * the kept codepoints, so the downsample is observable and testable.
+    * Codepoint-indexed end to end, like framesample. */
+  val llmMultimodalResize: QFn = (spark, sfDir) => {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .withColumn("s", decode(col("media"), "UTF-8"))
+      .select(col("doc_id"),
+        length(col("s")).as("orig_len"),
+        expr("cast((length(s) + 1) div 2 as int)").as("resized_len"),
+        expr("aggregate(sequence(1, (length(s) + 1) div 2), 0, " +
+          "(acc, i) -> acc + coalesce(ascii(substr(s, 2 * i - 1, 1)), 0))")
+          .as("resized_checksum"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
     "llm_multimodal_cols" -> llmMultimodalCols,
     "llm_multimodal_decode" -> llmMultimodalDecode,
     "llm_multimodal_framesample" -> llmMultimodalFramesample,
+    "llm_multimodal_resize" -> llmMultimodalResize,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -34,6 +34,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq.sortBy(t => (t._1, t._3)) == expected)
   }
 
+  test("resize keeps every 2nd codepoint (Scala recomputation)") {
+    val got = graft.llm.MultimodalOps.llmMultimodalResize(spark, sfDir)
+      .filter(col("doc_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val texts = graft.tables.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 10).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = texts.toSeq.sortBy(_._1).map { case (id, t) =>
+      val kept = t.zipWithIndex.collect { case (c, i) if i % 2 == 0 => c.toInt }
+      (id, t.length, (t.length + 1) / 2, kept.sum)
+    }
+    assert(got.toSeq.sortBy(_._1) == expected)
+  }
+
   test("frame count scales with document length") {
     val df = graft.llm.MultimodalOps.llmMultimodalFramesample(spark, sfDir)
     val perDoc = df.groupBy("doc_id").count()
