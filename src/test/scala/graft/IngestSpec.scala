@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CSV ingest robustness — the reference tolerates malformed/special-char
+  * input on load (acceptinvchars, README.md:32-35): PERMISSIVE mode must
+  * absorb corrupt rows as nulls without failing the scan, and the
+  * sanitizer must leave printable ASCII untouched. */
+class IngestSpec extends AnyFunSuite {
+  import SparkFixture.spark
+
+  test("PERMISSIVE csv scan absorbs malformed rows; FAILFAST rejects them") {
+    val dir = graft.util.Scratch.dir("ingest_spec_malformed")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data.csv"),
+      """id,name,score
+        |1,alice,3.5
+        |2,bob,not_a_number
+        |3,"carol,with,commas",7.25
+        |4,dave
+        |""".stripMargin)
+    val schema = "id INT, name STRING, score DOUBLE"
+    val permissive = spark.read.schema(schema)
+      .option("header", true).option("mode", "PERMISSIVE").csv(dir)
+    val rows = permissive.orderBy("id").collect()
+    assert(rows.length == 4)
+    assert(rows(1).isNullAt(2), "bad double becomes null, row kept")
+    assert(rows(2).getString(1) == "carol,with,commas", "quoted commas preserved")
+    assert(rows(3).isNullAt(2), "short row padded with null")
+
+    val failfast = spark.read.schema(schema)
+      .option("header", true).option("mode", "FAILFAST").csv(dir)
+    assertThrows[org.apache.spark.SparkException](failfast.collect())
+  }
+
+  test("invalid-char sanitizer replaces exactly the non-printable-ASCII chars") {
+    import spark.implicits._
+    val df = Seq("plain ascii 123!", "café 中文", "tab\there").toDF("s")
+      .select(regexp_replace(col("s"), "[^\\x20-\\x7E]", "?").as("clean"))
+    val got = df.collect().map(_.getString(0))
+    assert(got(0) == "plain ascii 123!")
+    assert(got(1) == "caf? ??")
+    assert(got(2) == "tab?here")
+  }
+}
