@@ -70,7 +70,13 @@ object StreamOps {
   }
 
   /** Hourly tumbling-window counts over the event stream (README.md:58-60
-    * hourly cadence as a real stream aggregation). */
+    * hourly cadence as a real stream aggregation).
+    *
+    * Scale note: complete-mode + memory sink is the TEST harness shape (the
+    * DuckDB oracle needs the whole result). A production 100 TB stream runs
+    * the same plan with `withWatermark` + update/append mode into a real
+    * sink, so state is bounded by the watermark horizon instead of holding
+    * every window forever. */
   val streamHourlyWindow: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
     val base = Scratch.dir("stream_hourly_window")
