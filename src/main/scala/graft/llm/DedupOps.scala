@@ -59,7 +59,9 @@ object DedupOps {
         // Jaccard verification intersects longs, never the string arrays
         .withColumn("hsh", expr("transform(shingles, x -> xxhash64(x))"))
         // K permutations re-hash the LONG shingle hash, not the string:
-        // one string hash per shingle total, then K cheap long mixes
+        // one string hash per shingle total, then K cheap long mixes.
+        // (A single-fold variant maintaining all K minima in one pass was
+        // measured at parity — HOF lambda dispatch dominates, not passes.)
         .withColumn("sig",
           expr(s"transform(sequence(0, ${K - 1}), " +
             "s -> array_min(transform(hsh, h -> xxhash64(h, s))))"))
