@@ -102,7 +102,22 @@ object TextOps {
         expr("size(array_distinct(shingles))").as("n_shingles"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary: top-50 tokens by document frequency — the
+    * distributed wordcount shape (explode → two-level agg). Partial
+    * aggregation happens map-side, so the shuffle carries one row per
+    * (partition, token), not per occurrence — the property that keeps this
+    * linear at 100 TB. */
+  val llmVocabTopk: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(50)
+
   val queries: Map[String, QFn] = Map(
+    "llm_vocab_topk" -> llmVocabTopk,
     "llm_text_stats" -> llmTextStats,
     "llm_token_count" -> llmTokenCount,
     "llm_quality_score" -> llmQualityScore,
@@ -113,6 +128,11 @@ object TextOps {
   val oracleSql: Map[String, String] = {
     val hitsSql = markerWords.map { case (l, ws) => l -> markerHitsSql(ws) }.toMap
     Map(
+      "llm_vocab_topk" ->
+        ("SELECT token, count(*) AS doc_freq FROM (" +
+          "SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS token " +
+          "FROM documents) WHERE length(token) >= 2 " +
+          "GROUP BY 1 ORDER BY doc_freq DESC, token LIMIT 50"),
       "llm_text_stats" ->
         ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
           "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +

@@ -20,6 +20,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("streaming hourly window == batch date_trunc aggregation") {
+    val streamed = graft.streaming.StreamOps.streamHourlyWindow(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.tables.Tables(spark, sfDir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"))
+      .count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("watermark dedup restores exactly-once counts after duplicate drop") {
     val res = graft.streaming.StreamOps.streamWatermarkLate(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
