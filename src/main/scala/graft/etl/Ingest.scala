@@ -118,6 +118,19 @@ object Ingest {
       .orderBy("src_type")
   }
 
+  /** JSON-lines lake round-trip (§2.1 extension — the third bread-and-butter
+    * lake format next to CSV and parquet): write documents as jsonl, read
+    * back with an explicit schema (schema-on-read), prove fidelity. */
+  val scanJsonl: QFn = (spark, sfDir) => {
+    val docs = Tables(spark, sfDir, "documents")
+    val dir = Scratch.dir("scan_jsonl")
+    docs.select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").json(dir)
+    spark.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+      .json(dir)
+      .orderBy("doc_id")
+  }
+
   /** CSV export of a query result (README.md:54-56,141 Data Pipeline → S3
     * CSV), read back to prove fidelity. */
   val sinkCsv: QFn = (spark, sfDir) => {
@@ -186,6 +199,7 @@ object Ingest {
     "scan_parquet_partitioned" -> scanParquetPartitioned,
     "scan_jdbc_export" -> scanJdbcExport,
     "scan_glob_dynamic" -> scanGlobDynamic,
+    "scan_jsonl" -> scanJsonl,
     "sink_csv" -> sinkCsv,
     "sink_parquet_partitioned_compressed" -> sinkParquetPartitionedCompressed,
     "sink_table_positional" -> sinkTablePositional,
@@ -206,6 +220,8 @@ object Ingest {
       "SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
     "scan_glob_dynamic" ->
       "SELECT event_type AS src_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    "scan_jsonl" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "sink_csv" ->
       "SELECT l_returnflag, ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
     "sink_parquet_partitioned_compressed" ->

@@ -116,7 +116,30 @@ object TextOps {
       .orderBy(col("doc_freq").desc, col("token"))
       .limit(50)
 
+  /** PII scrubbing — email/phone redaction, the safety pass every training
+    * corpus runs. The testdata has no PII, so deterministic addresses are
+    * injected first and the scrubber must remove exactly those; output
+    * counts prove nothing else was touched. Same regex subset is valid in
+    * Java (Spark) and RE2-ish (DuckDB) dialects. */
+  val llmPiiScrub: QFn = (spark, sfDir) => {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val dirty = concat(col("text"),
+      lit(" contact: user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-0199"))
+    val clean = regexp_replace(regexp_replace(dirty, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        regexp_count(clean, lit("<EMAIL>")).as("n_emails"),
+        regexp_count(clean, lit("<PHONE>")).as("n_phones"),
+        (length(dirty) - length(clean)).as("chars_removed"),
+        substring(clean, -40, 40).as("tail"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_pii_scrub" -> llmPiiScrub,
     "llm_vocab_topk" -> llmVocabTopk,
     "llm_text_stats" -> llmTextStats,
     "llm_token_count" -> llmTokenCount,
@@ -128,6 +151,16 @@ object TextOps {
   val oracleSql: Map[String, String] = {
     val hitsSql = markerWords.map { case (l, ws) => l -> markerHitsSql(ws) }.toMap
     Map(
+      "llm_pii_scrub" ->
+        ("WITH d AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) || " +
+          "'@example.com or +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' AS dirty " +
+          "FROM documents), c AS (SELECT doc_id, dirty, " +
+          "regexp_replace(regexp_replace(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), " +
+          "'\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean FROM d) " +
+          "SELECT doc_id, CAST(len(regexp_extract_all(clean, '<EMAIL>')) AS INT) AS n_emails, " +
+          "CAST(len(regexp_extract_all(clean, '<PHONE>')) AS INT) AS n_phones, " +
+          "CAST(length(dirty) - length(clean) AS INT) AS chars_removed, " +
+          "substr(clean, -40, 40) AS tail FROM c ORDER BY doc_id"),
       "llm_vocab_topk" ->
         ("SELECT token, count(*) AS doc_freq FROM (" +
           "SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS token " +
