@@ -311,7 +311,28 @@ object DedupOps {
       .limit(100)
   }
 
+  /** Train/eval decontamination — the benchmark-leakage check every
+    * training corpus runs: split the corpus (even doc_id = train, odd =
+    * eval), hash each doc's distinct 13-grams, and flag eval docs sharing
+    * any 13-gram with the train side. The collision test is a semi-join on
+    * the gram hash — shuffle scales with distinct grams, never pairs.
+    * Brute-force-verified in NearDupSpec. */
+  val llmDecontaminate: QFn = (spark, sfDir) => {
+    val grams = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), (pmod(col("doc_id"), lit(2)) === 0).as("is_train"),
+        explode(expr(
+          "array_distinct(transform(sequence(1, greatest(length(lower(trim(text))) - 12, 1)), " +
+            "i -> xxhash64(substring(lower(trim(text)), i, 13))))")).as("g"))
+    val trainGrams = grams.filter(col("is_train")).select("g").distinct()
+    grams.filter(!col("is_train"))
+      .join(trainGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_decontaminate" -> llmDecontaminate,
     "llm_dedup_exact" -> llmDedupExact,
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_dedup_ngram_jaccard" -> llmDedupNgramJaccard,

@@ -68,6 +68,22 @@ class NearDupSpec extends AnyFunSuite {
     assert(clusters.size == docs.count())
   }
 
+  test("decontamination equals brute-force 13-gram overlap") {
+    val got = graft.llm.DedupOps.llmDecontaminate(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: per doc, its distinct 13-gram string set; eval doc is
+    // contaminated iff it shares a gram with the union of train grams
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim)
+    def grams(t: String): Set[String] =
+      (1 to math.max(t.length - 12, 1)).map(i => t.slice(i - 1, i - 1 + 13)).toSet
+    val trainGrams = texts.filter(_._1 % 2 == 0).flatMap(t => grams(t._2)).toSet
+    val expected = texts.filter(_._1 % 2 != 0).map { case (id, t) =>
+      id -> grams(t).count(trainGrams.contains).toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == expected)
+  }
+
   test("exact dedup groups identical normalized text") {
     val n = docs.count()
     val res = graft.llm.DedupOps.llmDedupExact(spark, sfDir)
