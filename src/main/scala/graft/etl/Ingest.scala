@@ -208,8 +208,11 @@ object Ingest {
   val oracleSql: Map[String, String] = Map(
     "scan_csv_header_quoted" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+    // Same sanitizing regexp on the oracle side (not a hardcoded '??'
+    // suffix) so non-ASCII source text can't silently diverge the two.
     "scan_csv_invalid_chars" ->
-      "SELECT n_nationkey, n_name || '??' AS n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+      ("SELECT n_nationkey, regexp_replace(n_name || 'é中', '[^\\x20-\\x7E]', '?', 'g') AS n_name, n_regionkey " +
+        "FROM nation ORDER BY n_nationkey"),
     "scan_csv_infer_schema" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "scan_parquet" ->

@@ -165,10 +165,15 @@ object Transforms {
         "SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m, count(*) AS cnt " +
         "FROM orders, a WHERE o_orderdate >= a.asof - INTERVAL 6 MONTH " +
         "AND o_orderdate < a.asof - INTERVAL 30 DAY GROUP BY 1, 2 ORDER BY 1, 2"),
+    // The oracle applies the SAME sanitizing regexp (not a precomputed
+    // "+2 chars" delta), so it stays correct even if the testdata gains
+    // non-ASCII text. DuckDB RE2 and Java regex agree on [^\x20-\x7E]
+    // over codepoints; ContractSpec exercises the non-ASCII path.
     "fn_clean_invalid_chars" ->
-      ("SELECT doc_id, length(text) + 2 AS clean_len, " +
-        "substr(text || '??', 1, 20) AS clean_head, n_chars " +
-        "FROM documents ORDER BY doc_id"),
+      ("WITH c AS (SELECT doc_id, regexp_replace(text || 'é中', '[^\\x20-\\x7E]', '?', 'g') AS cleaned, n_chars FROM documents) " +
+        "SELECT doc_id, CAST(length(cleaned) AS INT) AS clean_len, " +
+        "substr(cleaned, 1, 20) AS clean_head, n_chars " +
+        "FROM c ORDER BY doc_id"),
     "fn_filename_param" ->
       ("SELECT 'events' AS fname, count(*) AS cnt, count(DISTINCT user_id) AS n_users " +
         "FROM events GROUP BY 1 ORDER BY 1"),

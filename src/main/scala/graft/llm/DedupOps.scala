@@ -263,6 +263,25 @@ object DedupOps {
       when(dot > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** DuckDB rendering of [[llmRpBucket]], generated from the SAME seeded
+    * `projections` array (the way TextOps shares markerWords) so the plan
+    * and the oracle cannot drift. Scala's Double.toString is the shortest
+    * round-trip representation, so DuckDB parses back the identical bits,
+    * and list_sum folds left like Spark's aggregate — the sign decisions
+    * match exactly. */
+  private[graft] def bucketSqlDuck(embExpr: String): String =
+    projections.zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(list_zip($embExpr, CAST($lits AS DOUBLE[])), p -> p[1] * p[2])) > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB CTE producing the embIndex columns (vec_id, label, emb, norm,
+    * bucket) — shared by the embedding near-dup and ANN oracles. */
+  private[graft] def embIndexSqlDuck: String =
+    "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb, " +
+      "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm, " +
+      bucketSqlDuck("CAST(embedding AS DOUBLE[])") + " AS bucket FROM embeddings"
+
   private[graft] def cosineExpr(a: String, b: String): Column =
     expr(s"aggregate(zip_with(cast($a as array<double>), cast($b as array<double>), (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)") /
       (sqrt(expr(s"aggregate(cast($a as array<double>), cast(0 as double), (acc, x) -> acc + x * x)")) *
@@ -345,7 +364,13 @@ object DedupOps {
     "llm_dedup_exact" ->
       ("SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY lower(trim(text)) ORDER BY 1"),
-    // minhash / ngram_jaccard / simhash / embedding: LSH + xxhash64 are not
-    // DuckDB-expressible — covered by NearDupSpec property tests instead.
+    // minhash / ngram_jaccard / simhash: xxhash64-based — not DuckDB-
+    // expressible; covered by NearDupSpec property tests instead.
+    "llm_dedup_embedding" ->
+      (s"WITH e AS ($embIndexSqlDuck) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "ROUND(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) / (a.norm * b.norm), 6) AS cosine " +
+        "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+        "ORDER BY cosine DESC, vec_a, vec_b LIMIT 100"),
   )
 }

@@ -70,13 +70,18 @@ object MultimodalOps {
     // decoder would consume.
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      // Hoist the decoded string to a per-row column: Catalyst does not CSE
+      // inside HOF lambdas, so referencing decode(media) in the per-element
+      // lambda below would re-decode the payload once per sampled byte
+      // (~64× per frame, measured ~8× slower than this shape).
+      .withColumn("s", decode(col("media"), "UTF-8"))
       .withColumn("n_frames",
-        ceil(length(decode(col("media"), "UTF-8")).cast("double") / frameChars).cast("int"))
+        ceil(length(col("s")).cast("double") / frameChars).cast("int"))
       .select(col("doc_id"), col("n_frames"),
         posexplode(expr(
           s"transform(sequence(0, (n_frames - 1) div $stride), " +
             s"k -> aggregate(transform(sequence(1, $frameChars), " +
-            s"i -> coalesce(ascii(substr(decode(media, 'UTF-8'), k * $stride * $frameChars + i, 1)), 0)), " +
+            s"i -> coalesce(ascii(substr(s, k * $stride * $frameChars + i, 1)), 0)), " +
             "0, (acc, b) -> acc + b))"))
           .as(Seq("frame_idx", "frame_checksum")))
       .select(col("doc_id"), col("n_frames"),
@@ -119,6 +124,21 @@ object MultimodalOps {
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
         "CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS fake_width, " +
         "CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS fake_frames " +
+        "FROM documents ORDER BY doc_id"),
+    // Codepoint-window arithmetic replayed exactly: DuckDB ascii('') = 0 and
+    // -1 // 4 = 0 (truncation) both match Spark, verified empirically.
+    "llm_multimodal_framesample" ->
+      ("WITH g AS (SELECT doc_id, text AS s, CAST(ceil(length(text) / 64.0) AS INT) AS n_frames FROM documents) " +
+        "SELECT doc_id, n_frames, CAST(k * 4 AS INT) AS frame_no, " +
+        "CAST(coalesce(list_sum(list_transform(range(1, 65), " +
+        "i -> coalesce(ascii(substr(s, CAST(k * 4 * 64 + i AS BIGINT), 1)), 0))), 0) AS INT) AS frame_checksum " +
+        "FROM g, unnest(range(0, (n_frames - 1) // 4 + 1)) AS t(k) " +
+        "ORDER BY doc_id, frame_no"),
+    "llm_multimodal_resize" ->
+      ("SELECT doc_id, CAST(length(text) AS INT) AS orig_len, " +
+        "CAST((length(text) + 1) // 2 AS INT) AS resized_len, " +
+        "CAST(coalesce(list_sum(list_transform(range(1, (length(text) + 1) // 2 + 1), " +
+        "i -> coalesce(ascii(substr(text, CAST(2 * i - 1 AS BIGINT), 1)), 0))), 0) AS INT) AS resized_checksum " +
         "FROM documents ORDER BY doc_id"),
   )
 }

@@ -57,50 +57,65 @@ object SimilarityOps {
   }
 
   /** IVF cell assignments, computed once per (session, sfDir): k-means
-    * (MLlib, seeded) as the coarse quantizer, every vector assigned to its
-    * nearest centroid cell — the inverted-file index structure. At 100 TB
-    * the fit runs on a sample and the transform is one linear pass. */
+    * (MLlib, seeded) as the coarse quantizer fit on a BOUNDED SAMPLE (a
+    * coarse quantizer needs cluster shape, not every point — at 100 TB the
+    * fit must never see the full corpus), then every vector assigned to its
+    * nearest centroid cell in one linear pass — the inverted-file index
+    * structure. Returns (assignments, centroid table); the centroid table
+    * is nlist rows, tiny by construction. */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[String,
-      (org.apache.spark.sql.DataFrame, Array[org.apache.spark.ml.linalg.Vector])]
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
 
-  private def ivfIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String) =
+  /** Cap on rows fed to the k-means fit — fixed regardless of corpus size. */
+  private val FitSampleRows = 20000L
+
+  private[graft] def ivfIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String) =
     ivfCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + sfDir, {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = DedupOps.embIndex(spark, sfDir)
         .withColumn("fv", array_to_vector(col("emb")))
+      // embIndex is persisted, so this count is a cached-scan metadata pass
+      val frac = math.min(1.0, FitSampleRows.toDouble / math.max(1L, e.count()))
       val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
         .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(e)
+        .fit(e.sample(frac, 42))
       val assigned = model.transform(e)
         .select("vec_id", "label", "emb", "norm", "cell")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (assigned, model.clusterCenters)
+      val centers = spark.createDataFrame(
+        model.clusterCenters.zipWithIndex.toIndexedSeq
+          .map { case (c, i) => (i, c.toArray) })
+        .toDF("cell", "centroid")
+      (assigned, centers)
     })
 
   /** IVF ANN top-20: probe the 4 cells whose centroids are closest to the
     * query (nprobe=4 of nlist=16 → ~1/4 of the data scanned), exact cosine
-    * within probed cells. Recall vs the exact baseline asserted in
-    * SimilaritySpec. Centroid ranking happens on the driver — the centroid
-    * table is tiny by construction (nlist rows). */
+    * within probed cells. Cell ranking and the query vector both flow
+    * through the plan (broadcast of 1-row query × nlist-row centroid table
+    * → top-4 cells → semi-join on cell) — no driver collect, no literal
+    * query array in the SQL. Recall vs the exact baseline asserted in
+    * SimilaritySpec. */
   val llmSimilarityIvf: QFn = (spark, sfDir) => {
     val (assigned, centers) = ivfIndex(spark, sfDir)
-    val qRow = assigned.filter(col("vec_id") === 0)
-      .select("emb", "norm").head()
-    val qv = qRow.getSeq[Double](0).toArray
-    val qnorm = qRow.getDouble(1)
-    val probed = centers.zipWithIndex.map { case (c, i) =>
-      val arr = c.toArray
-      val dist = math.sqrt(arr.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
-      (i, dist)
-    }.sortBy(_._2).take(4).map(_._1)
+    val q = assigned.filter(col("vec_id") === 0)
+      .select(col("emb").as("qv"), col("norm").as("qnorm"))
+    val probedCells = centers.crossJoin(broadcast(q))
+      .select(col("cell"),
+        expr("aggregate(zip_with(centroid, qv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)")
+          .as("d2"))
+      .orderBy(col("d2"), col("cell"))
+      .limit(4)
+      .select("cell")
     assigned
-      .filter(col("cell").isin(probed.toIndexedSeq: _*) && col("vec_id") =!= 0)
+      .join(broadcast(probedCells), Seq("cell"), "left_semi")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(
-          expr(s"aggregate(zip_with(emb, array(${qv.map(w => s"cast($w as double)").mkString(",")}), (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
-            / (col("norm") * lit(qnorm)), 6).as("sim"))
+        round(DedupOps.dotExpr("emb", "qv") / (col("norm") * col("qnorm")), 6)
+          .as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(20)
   }
@@ -145,8 +160,17 @@ object SimilarityOps {
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
         s"SELECT vec_id, label, $cosineSql AS sim FROM embeddings, q " +
         "WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
-    // llm_similarity_ann: approximate by construction — recall asserted in
-    // SimilaritySpec against the exact baseline; rows-only check here.
+    // llm_similarity_ann IS replayable: the RP projections are seeded
+    // literals, so the bucket bit-sum is plain SQL (rendered from the same
+    // array — DedupOps.bucketSqlDuck); recall vs exact is additionally
+    // asserted in SimilaritySpec.
+    "llm_similarity_ann" ->
+      (s"WITH e AS (${DedupOps.embIndexSqlDuck}), " +
+        "q AS (SELECT emb AS qv, norm AS qnorm, bucket AS qbucket FROM e WHERE vec_id = 0) " +
+        "SELECT vec_id, label, " +
+        "ROUND(list_sum(list_transform(list_zip(emb, qv), p -> p[1] * p[2])) / (norm * qnorm), 6) AS sim " +
+        "FROM e, q WHERE vec_id <> 0 AND bit_count(xor(CAST(bucket AS BIGINT), CAST(qbucket AS BIGINT))) <= 2 " +
+        "ORDER BY sim DESC, vec_id LIMIT 20"),
     "llm_similarity_knn_join" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE label = 0 AND vec_id < 200) " +
         s"SELECT qid, vec_id, label, $cosineSql AS sim, " +
