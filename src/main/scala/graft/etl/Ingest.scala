@@ -89,17 +89,75 @@ object Ingest {
       .orderBy("o_year", "o_month")
   }
 
-  /** Data-Pipeline-style extract: pre-joined SELECT against the OLTP store
-    * (README.md:52-56,113,141). Parquet read stands in for the JDBC source;
-    * with a real JDBC URL the same `option("query", ...)` plan pushes the
-    * join's WHERE down to the database. */
-  val scanJdbcExport: QFn = (spark, sfDir) => {
-    val orders = Tables(spark, sfDir, "orders")
-    val cust = Tables(spark, sfDir, "customer")
-    orders.join(cust, orders("o_custkey") === cust("c_custkey"))
-      .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
-      .orderBy("o_orderkey")
-  }
+  /** Per-session embedded-Derby OLTP stand-in, seeded once through Spark's
+    * own JDBC sink. `None` = Derby unavailable on this classpath → the
+    * parquet fallback below. Keyed by (appId, sfDir) so concurrent suites
+    * sharing the JVM never fight over one database directory. */
+  private val derbyCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[String]]
+
+  private def derbyUrl(spark: SparkSession, sfDir: String): Option[String] =
+    derbyCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + sfDir, {
+      try {
+        // keep derby.log inside the repo's scratch space
+        System.setProperty("derby.system.home",
+          "/root/repo/target/scratch/derby-home")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("/root/repo/target/scratch/derby-home"))
+        val db = Scratch.dir(
+          "derby_" + spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_-]", "_")) + "/oltp"
+        val url = s"jdbc:derby:$db;create=true"
+        Tables(spark, sfDir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").format("jdbc")
+          .option("url", url).option("dbtable", "ORDERS").save()
+        Tables(spark, sfDir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .write.mode("overwrite").format("jdbc")
+          .option("url", url).option("dbtable", "CUSTOMER").save()
+        Some(url)
+      } catch { case e: Throwable =>
+        System.err.println("[ingest] embedded Derby unavailable " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); scan_jdbc_export falls back to parquet")
+        None
+      }
+    })
+
+  /** Data-Pipeline-style extract: a SELECT against the OLTP store over real
+    * JDBC (README.md:52-56,113,141 — the reference's extract is a SQL query
+    * on RDS MySQL). Spark ships Derby, so the OLTP side is an in-process
+    * Derby database seeded through the JDBC sink; the read is a genuine
+    * `format("jdbc")` scan — partitioned on the numeric key (4 stride
+    * ranges; at scale derive lower/upperBound from a min/max probe query
+    * first) with the price predicate pushed INTO the database
+    * (PushedFilters on the JDBCRelation — asserted in PlanSpec), then a
+    * broadcast join against the small CUSTOMER dimension. Falls back to the
+    * equivalent parquet join if the Derby driver cannot boot. */
+  val scanJdbcExport: QFn = (spark, sfDir) =>
+    derbyUrl(spark, sfDir) match {
+      case Some(url) =>
+        val orders = spark.read.format("jdbc")
+          .option("url", url).option("dbtable", "ORDERS")
+          .option("partitionColumn", "O_ORDERKEY")
+          .option("lowerBound", "1").option("upperBound", "1000000")
+          .option("numPartitions", "4")
+          .load()
+          .filter(col("O_TOTALPRICE") >= 0) // pushed down to Derby
+        val cust = spark.read.format("jdbc")
+          .option("url", url).option("dbtable", "CUSTOMER").load()
+        orders.join(broadcast(cust), col("O_CUSTKEY") === col("C_CUSTKEY"))
+          .select(col("O_ORDERKEY").as("o_orderkey"), col("C_NAME").as("c_name"),
+            col("C_MKTSEGMENT").as("c_mktsegment"),
+            col("O_TOTALPRICE").as("o_totalprice"))
+          .orderBy("o_orderkey")
+      case None =>
+        val orders = Tables(spark, sfDir, "orders")
+          .filter(col("o_totalprice") >= 0)
+        val cust = Tables(spark, sfDir, "customer")
+        orders.join(cust, orders("o_custkey") === cust("c_custkey"))
+          .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+          .orderBy("o_orderkey")
+    }
 
   /** Process ALL files in a bucket, parameterized by filename
     * (README.md:90,168): glob read + input_file_name() dispatch. */
@@ -172,6 +230,7 @@ object Ingest {
     * columns in SQL query and order of columns in table should be same").
     * Emulates `insertInto` semantics: the source's columns are bound to the
     * target schema BY POSITION, so the caller must align them first. */
+  // (misalignment trap exercised in ContractSpec)
   val sinkTablePositional: QFn = (spark, sfDir) => {
     val cust = Tables(spark, sfDir, "customer")
     val target = cust.schema.fieldNames
@@ -187,7 +246,7 @@ object Ingest {
 
   /** insertInto-style positional bind: names are taken from the target, not
     * the source. Misaligned sources silently produce garbage — see the
-    * PositionalTrapSpec test. */
+    * ContractSpec "positional bind" test. */
   def insertPositional(source: DataFrame, targetCols: Seq[String]): DataFrame =
     source.toDF(targetCols: _*)
 
@@ -219,8 +278,10 @@ object Ingest {
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY 1, 2, 3, 4",
     "scan_parquet_partitioned" ->
       "SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month, count(*) AS cnt FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
+    // WHERE mirrors the predicate the Spark side pushes into the database
     "scan_jdbc_export" ->
-      "SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
+      ("SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE o_totalprice >= 0 ORDER BY o_orderkey"),
     "scan_glob_dynamic" ->
       "SELECT event_type AS src_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "scan_jsonl" ->

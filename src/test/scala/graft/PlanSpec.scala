@@ -71,6 +71,18 @@ class PlanSpec extends AnyFunSuite {
       s"event_type filter must push through the ts projection:\n$p")
   }
 
+  test("jdbc extract scans a real JDBCRelation with the predicate pushed into the database") {
+    val df = graft.etl.Ingest.scanJdbcExport(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("JDBCRelation(ORDERS)"),
+      s"expected a real JDBC scan (Derby fallback must not trigger here):\n$p")
+    assert(p.contains("numPartitions=4"), s"JDBC read must be range-partitioned:\n$p")
+    // the '*' prefix marks a filter the database itself evaluates
+    assert(p.contains("*GreaterThanOrEqual(o_totalprice,0.0)"),
+      s"price predicate must be pushed into the database:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"CUSTOMER dim must broadcast:\n$p")
+  }
+
   test("upsert plan: anti-join broadcasts the staging side when small") {
     val orders = graft.tables.Tables(spark, sfDir, "orders")
     val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
