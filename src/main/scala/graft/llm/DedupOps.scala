@@ -40,14 +40,37 @@ object DedupOps {
 
   /** Cache key unique per SparkContext lifetime (applicationId) — an
     * identity hash could be reused after GC and hand a new session a
-    * DataFrame bound to a stopped context. Entries live for the harness
-    * process lifetime by design (one context, up to three sfDirs). */
+    * DataFrame bound to a stopped context. Entries live until the harness
+    * exits or [[clearCaches]] releases them. */
   private def cacheKey(spark: SparkSession, sfDir: String): String =
     spark.sparkContext.applicationId + "|" + sfDir
 
+  /** Every frame this module persists, INCLUDING intermediates that are not
+    * themselves cache values (simIndex's bitsums barrier) — so a long-lived
+    * session embedding these operators can release executor storage instead
+    * of leaking it until shutdown. */
+  private val persistedFrames =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def tracked(df: DataFrame): DataFrame =
+    persistedFrames.synchronized { persistedFrames += df; df }
+
+  /** Unpersist every index frame and forget the per-session caches. Safe to
+    * call between corpora; the next operator call rebuilds lazily. */
+  def clearCaches(): Unit = persistedFrames.synchronized {
+    persistedFrames.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    persistedFrames.clear()
+    sigIndexCache.clear()
+    candidatesCache.clear()
+    simIndexCache.clear()
+    embIndexCache.clear()
+  }
+
   private[graft] def sigIndex(spark: SparkSession, sfDir: String): DataFrame =
     sigIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      Tables(spark, sfDir, "documents")
+      tracked(Tables(spark, sfDir, "documents")
         // single-parquet-file input = one split; spread the hash-heavy
         // signature compute across all cores before the linear pass (at
         // 100 TB the file splits already provide this parallelism)
@@ -65,7 +88,7 @@ object DedupOps {
         .withColumn("sig",
           expr(s"transform(sequence(0, ${K - 1}), " +
             "s -> array_min(transform(hsh, h -> xxhash64(h, s))))"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   /** (doc_id, sig, band, band_hash) — the LSH index: docs agreeing on all R
@@ -91,14 +114,14 @@ object DedupOps {
       val idx = bandedIndex(spark, sfDir)
       val a = idx.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a"))
       val b = idx.withColumnsRenamed(Map("doc_id" -> "doc_b", "sig" -> "sig_b"))
-      a.join(b, Seq("band", "bhash"))
+      tracked(a.join(b, Seq("band", "bhash"))
         .filter(col("doc_a") < col("doc_b"))
         .withColumn("est",
           expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))") / lit(K.toDouble))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_shared_bands"),
           round(first(col("est")), 4).as("est_jaccard"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   /** Exact dedup: group by normalized-text hash, keep the lowest doc_id
@@ -205,10 +228,11 @@ object DedupOps {
     * the 64-way bit fold reads the materialized bitsums column instead of
     * CollapseProject re-inlining the token aggregate into every bit (64×
     * blowup measured at 276 s vs 3 s on sf0.1); (b) the chunked self-join
-    * reuses it instead of recomputing both sides. */
+    * reuses it instead of recomputing both sides. The intermediate bitsums
+    * frame is tracked too, so clearCaches can actually release it. */
   private[graft] def simIndex(spark: SparkSession, sfDir: String): DataFrame =
     simIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      Tables(spark, sfDir, "documents")
+      val bitsums = tracked(Tables(spark, sfDir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           expr(
@@ -217,14 +241,15 @@ object DedupOps {
               "(acc, t) -> zip_with(acc, transform(sequence(0, 63), " +
               "j -> CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1 THEN cast(1 as bigint) ELSE cast(-1 as bigint) END), " +
               "(a, b) -> a + b))").as("bitsums"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      tracked(bitsums
         .select(col("doc_id"),
           expr(
             "aggregate(sequence(0, 63), cast(0 as bigint), (s, j) -> s + " +
               "CASE WHEN element_at(bitsums, j + 1) > 0 " +
               "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
           ).as("simhash"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   val llmDedupSimhash: QFn = (spark, sfDir) => {
@@ -302,14 +327,14 @@ object DedupOps {
 
   private[graft] def embIndex(spark: SparkSession, sfDir: String): DataFrame =
     embIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      Tables(spark, sfDir, "embeddings")
+      tracked(Tables(spark, sfDir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("label"),
           expr("cast(embedding as array<double>)").as("emb"))
         .withColumn("norm",
           sqrt(expr("aggregate(emb, cast(0 as double), (acc, x) -> acc + x * x)")))
         .withColumn("bucket", llmRpBucket(col("emb")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   /** Embedding-cosine near-dup candidates: top-100 most similar pairs among
@@ -364,8 +389,9 @@ object DedupOps {
     "llm_dedup_exact" ->
       ("SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY lower(trim(text)) ORDER BY 1"),
-    // minhash / ngram_jaccard / simhash: xxhash64-based — not DuckDB-
-    // expressible; covered by NearDupSpec property tests instead.
+    // minhash / ngram_jaccard: xxhash64-based — not DuckDB-expressible;
+    // covered by NearDupSpec property tests. simhash: ditto, covered by
+    // FingerprintSpec (index fold + pair ranking vs driver recompute).
     "llm_dedup_embedding" ->
       (s"WITH e AS ($embIndexSqlDuck) " +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +

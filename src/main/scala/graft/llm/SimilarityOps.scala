@@ -70,6 +70,22 @@ object SimilarityOps {
   /** Cap on rows fed to the k-means fit — fixed regardless of corpus size. */
   private val FitSampleRows = 20000L
 
+  private val persistedFrames =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+
+  private def tracked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    persistedFrames.synchronized { persistedFrames += df; df }
+
+  /** Release the persisted IVF assignments and forget the cache (companion
+    * to [[DedupOps.clearCaches]] for long-lived sessions). */
+  def clearCaches(): Unit = persistedFrames.synchronized {
+    persistedFrames.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    persistedFrames.clear()
+    ivfCache.clear()
+  }
+
   private[graft] def ivfIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String) =
     ivfCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + sfDir, {
       import org.apache.spark.ml.clustering.KMeans
@@ -81,9 +97,9 @@ object SimilarityOps {
       val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(e.sample(frac, 42))
-      val assigned = model.transform(e)
+      val assigned = tracked(model.transform(e)
         .select("vec_id", "label", "emb", "norm", "cell")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val centers = spark.createDataFrame(
         model.clusterCenters.zipWithIndex.toIndexedSeq
           .map { case (c, i) => (i, c.toArray) })

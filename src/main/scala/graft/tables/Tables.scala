@@ -21,14 +21,18 @@ object Tables {
       // part of read.parquet), so restore it immediately — leaving it set
       // would silently change how OTHER ns-timestamp parquet reads behave
       // for the rest of the session.
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      // synchronized: the set/restore races if two threads resolve reads on
+      // the same session concurrently (conf is session-global mutable state)
+      this.synchronized {
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try spark.read.parquet(s"$sfDir/$name.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
