@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical no-n² evidence for the dedup pipeline: replicate the sf0.1
+  * documents corpus ×1/×2/×4 and time index build + each dedup operator at
+  * every scale. If candidate generation were pairwise, ×4 data would cost
+  * ×16 — the table this prints (recorded in BASELINE.md) shows whether
+  * growth stays ~linear.
+  *
+  * Replica r > 0 gets doc_id + r·10⁷ and a per-replica alphabet rotation
+  * (translate), so cross-replica texts share no 5-gram shingles: the
+  * near-dup pair structure grows linearly with scale, as in a real corpus
+  * growing by new content — NOT quadratically as naive duplication of
+  * identical texts would force regardless of algorithm.
+  */
+object ScaleCheck {
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // JVM/codegen warmup (untimed): run the whole pipeline once on the base
+    // corpus, then drop its indexes — otherwise scale-1 absorbs the one-time
+    // JIT/codegen cost of the HOF-heavy expressions and growth between
+    // scales is not attributable to data size.
+    graft.llm.DedupOps.llmDedupMinhash(spark, base).count()
+    graft.llm.DedupOps.llmDedupNgramJaccard(spark, base).count()
+    graft.llm.DedupOps.llmDedupCluster(spark, base).count()
+    graft.llm.DedupOps.llmDecontaminate(spark, base).count()
+    graft.llm.DedupOps.clearCaches()
+
+    val ops: Seq[(String, QFn)] = Seq(
+      "minhash" -> graft.llm.DedupOps.llmDedupMinhash,
+      "ngram_jaccard" -> graft.llm.DedupOps.llmDedupNgramJaccard,
+      "cluster" -> graft.llm.DedupOps.llmDedupCluster,
+      "decontaminate" -> graft.llm.DedupOps.llmDecontaminate,
+    )
+
+    Seq(1, 2, 4, 8).foreach { scale =>
+      val dir =
+        if (scale == 1) base
+        else {
+          val d = graft.util.Scratch.dir(s"scale_x$scale")
+          val docs = spark.read.parquet(s"$base/documents.parquet")
+          (0 until scale).map { r =>
+            val rot = Alpha.drop(r % 26) + Alpha.take(r % 26)
+            docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+              .withColumn("text", translate(col("text"), Alpha, rot))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$d/documents.parquet")
+          d
+        }
+      val tIndex = time {
+        graft.llm.DedupOps.sigIndex(spark, dir).count()
+        graft.llm.DedupOps.minhashCandidates(spark, dir).count()
+      }
+      // fn(...) must sit INSIDE the timed block: cluster's convergence loop
+      // executes eagerly when the query is constructed, not at count()
+      val timed = ops.map { case (name, fn) =>
+        name -> time(fn(spark, dir).count())
+      }
+      def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      println(s"""{"metric":"scale_check","scale":$scale,"index_sec":${f2(tIndex)},""" +
+        timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+      // release this scale's persisted indexes before the next one
+      graft.llm.DedupOps.clearCaches()
+    }
+    spark.stop()
+  }
+}

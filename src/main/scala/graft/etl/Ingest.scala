@@ -96,7 +96,7 @@ object Ingest {
   private val derbyCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[String]]
 
-  private def derbyUrl(spark: SparkSession, sfDir: String): Option[String] =
+  private[graft] def derbyUrl(spark: SparkSession, sfDir: String): Option[String] =
     derbyCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + sfDir, {
       try {
         // keep derby.log inside the repo's scratch space

@@ -75,9 +75,15 @@ object DedupOps {
         // signature compute across all cores before the linear pass (at
         // 100 TB the file splits already provide this parallelism)
         .repartition(spark.sparkContext.defaultParallelism)
+        // Hoist the normalized text: Catalyst does not CSE inside HOF
+        // lambdas, so substring(lower(trim(text)), ...) per shingle would
+        // re-lowercase the whole document once per shingle — O(len²)/doc.
+        // Two textual uses below (length + lambda) keep CollapseProject
+        // from re-inlining the non-cheap alias.
+        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
         .select(col("doc_id"),
-          expr("array_distinct(transform(sequence(1, greatest(length(lower(trim(text))) - 4, 1)), " +
-            "i -> substring(lower(trim(text)), i, 5)))").as("shingles"))
+          expr("array_distinct(transform(sequence(1, greatest(length(t) - 4, 1)), " +
+            "i -> substring(t, i, 5)))").as("shingles"))
         // hsh: hashed shingle set (64-bit, collision-negligible) — exact
         // Jaccard verification intersects longs, never the string arrays
         .withColumn("hsh", expr("transform(shingles, x -> xxhash64(x))"))
@@ -362,11 +368,14 @@ object DedupOps {
     * the gram hash — shuffle scales with distinct grams, never pairs.
     * Brute-force-verified in NearDupSpec. */
   val llmDecontaminate: QFn = (spark, sfDir) => {
+    // normalized text hoisted for the same no-CSE-in-lambdas reason as
+    // sigIndex — without it every 13-gram re-lowercases the whole doc
     val grams = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .select(col("doc_id"), (pmod(col("doc_id"), lit(2)) === 0).as("is_train"),
         explode(expr(
-          "array_distinct(transform(sequence(1, greatest(length(lower(trim(text))) - 12, 1)), " +
-            "i -> xxhash64(substring(lower(trim(text)), i, 13))))")).as("g"))
+          "array_distinct(transform(sequence(1, greatest(length(t) - 12, 1)), " +
+            "i -> xxhash64(substring(t, i, 13))))")).as("g"))
     val trainGrams = grams.filter(col("is_train")).select("g").distinct()
     grams.filter(!col("is_train"))
       .join(trainGrams, Seq("g"), "left_semi")
