@@ -282,15 +282,14 @@ object DedupOps {
     Seq.fill(ProjBits)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  /** Expects an array<double> vector. Each hyperplane dot product is a
-    * zip_with/aggregate fold against a literal array — 6 compact HOFs
+  /** Expects an array<double> vector. Each hyperplane dot product is the
+    * native codegen'd vector_dot against a literal array — 6 tight loops
     * instead of a 384-term unrolled element_at expression (which blows
     * past JIT size limits and drops to interpreted evaluation). */
   private[graft] def llmRpBucket(vec: Column): Column =
     projections.zipWithIndex.map { case (p, i) =>
       val parr = array(p.toIndexedSeq.map(lit): _*)
-      val dot = aggregate(zip_with(vec, parr, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = call_function("vector_dot", vec, parr)
       when(dot > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -313,15 +312,19 @@ object DedupOps {
       "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm, " +
       bucketSqlDuck("CAST(embedding AS DOUBLE[])") + " AS bucket FROM embeddings"
 
-  private[graft] def cosineExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with(cast($a as array<double>), cast($b as array<double>), (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)") /
-      (sqrt(expr(s"aggregate(cast($a as array<double>), cast(0 as double), (acc, x) -> acc + x * x)")) *
-        sqrt(expr(s"aggregate(cast($b as array<double>), cast(0 as double), (acc, x) -> acc + x * x)")))
+  /** Cosine via the native codegen'd dot (graft.functions.VectorDot) —
+    * bit-identical to the old HOF fold (same left-to-right summation). */
+  private[graft] def cosineExpr(a: String, b: String): Column = {
+    val (ca, cb) = (s"cast($a as array<double>)", s"cast($b as array<double>)")
+    expr(s"vector_dot($ca, $cb)") /
+      (sqrt(expr(s"vector_dot($ca, $ca)")) * sqrt(expr(s"vector_dot($cb, $cb)")))
+  }
 
-  /** Pair dot product over pre-cast double arrays — the only per-pair HOF;
-    * norms come precomputed from embIndex so cosine is dot / (norm·norm). */
+  /** Pair dot product over pre-cast double arrays (native expression, stays
+    * in whole-stage codegen); norms come precomputed from embIndex so
+    * cosine is dot / (norm·norm). */
   private[graft] def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+    expr(s"vector_dot($a, $b)")
 
   /** Embedding index, computed ONCE per (session, sfDir) and persisted:
     * double-cast vector, L2 norm, and RP bucket. Every similarity/near-dup
@@ -337,8 +340,7 @@ object DedupOps {
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("label"),
           expr("cast(embedding as array<double>)").as("emb"))
-        .withColumn("norm",
-          sqrt(expr("aggregate(emb, cast(0 as double), (acc, x) -> acc + x * x)")))
+        .withColumn("norm", sqrt(expr("vector_dot(emb, emb)")))
         .withColumn("bucket", llmRpBucket(col("emb")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })

@@ -13,6 +13,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every operator loads its inputs here, so this is the one chokepoint
+    // where the session reliably picks up the graft native functions
+    graft.functions.GraftFunctions.ensure(spark)
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
       // natively: read the raw nanos as long, truncate to micros in-plan
