@@ -41,16 +41,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] =
     Ingest.queries ++ Transforms.queries ++ Upsert.queries ++
-      Queries.queries ++ StreamOps.queries ++
+      Queries.queries ++ graft.analytics.Temporal.queries ++
+      StreamOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++ graft.llm.SampleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (LSH/xxhash64-based and approximate ones) → rows-only check. */
   def oracleSql: Map[String, String] =
     Ingest.oracleSql ++ Transforms.oracleSql ++ Upsert.oracleSql ++
-      Queries.oracleSql ++ StreamOps.oracleSql ++
+      Queries.oracleSql ++ graft.analytics.Temporal.oracleSql ++
+      StreamOps.oracleSql ++
       TextOps.oracleSql ++ DedupOps.oracleSql ++ SimilarityOps.oracleSql ++
-      MultimodalOps.oracleSql
+      MultimodalOps.oracleSql ++ graft.llm.SampleOps.oracleSql
 }

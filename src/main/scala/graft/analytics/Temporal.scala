@@ -1,0 +1,153 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QFn
+import graft.tables.Tables
+
+/** SURVEY.md §2 extension — temporal operators Spark has no built-in for:
+  * as-of join, range join, sessionization. The reference's event-funnel
+  * analytics (README.md:90-102) stop at per-type counts; these are the
+  * standard next questions an event warehouse answers ("what was the last
+  * purchase before this click", "which value band", "how long are
+  * sessions"), each built in the shape that survives 100 TB.
+  */
+object Temporal {
+
+  /** As-of join: every click event matched to the SAME USER's most recent
+    * purchase event at-or-before it (trade/quote semantics).
+    *
+    * Spark-first shape: NOT a per-row range probe — tag both streams,
+    * union, and carry the last purchase forward with a window running over
+    * (ts, is_quote DESC), i.e. ONE hash shuffle on user_id and a per-user
+    * sort, no join node at all. This is the linear-cost as-of shape that
+    * holds at any scale; an actual range join here would be O(clicks ×
+    * purchases) per user.
+    *
+    * Determinism: purchases are first deduped to one row per (user_id, ts)
+    * keeping the max event_id, so "the most recent purchase" is unique even
+    * with timestamp collisions (the DuckDB ASOF JOIN oracle would otherwise
+    * be ambiguous). */
+  val joinAsofPurchase: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), lit(1).as("is_q"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"),
+        lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("is_q"),
+        lit(null).cast("long").as("p_event_id"),
+        lit(null).cast("double").as("p_value"), col("event_id"))
+    // at equal ts the purchase sorts first (is_q DESC), so ts >= semantics
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_purchase_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("is_q") === 0)
+      .select("event_id", "user_id", "ts", "last_purchase_id", "last_purchase_value")
+      .orderBy("event_id")
+  }
+
+  /** Value bands for the range join — shared between the Spark plan and
+    * the DuckDB oracle so they cannot drift. [lo, hi) half-open,
+    * non-overlapping, covering the full events.value range. */
+  val bands: Seq[(String, Double, Double)] = Seq(
+    ("p_micro", 0.0, 1.0),
+    ("q_small", 1.0, 5.0),
+    ("r_mid", 5.0, 20.0),
+    ("s_large", 20.0, 100.0),
+    ("t_huge", 100.0, 1000.0))
+
+  /** Range join: events classified into irregular value bands via a
+    * non-equi join, then aggregated per band.
+    *
+    * The band table is bounded (a handful of rows), so the right plan IS
+    * the broadcast nested-loop — each event row scans 5 broadcast rows,
+    * linear in events, zero shuffle for the join itself. For range tables
+    * too big to broadcast, the scale shape is bucket expansion: explode
+    * each range into fixed-width buckets, equi-join on bucket, re-filter —
+    * same output, shuffle instead of nested loop. Sum runs over
+    * decimal(18,4) (order-independent), cast back for the oracle hash. */
+  val joinRangeBands: QFn = (spark, sfDir) => {
+    val b = spark.createDataFrame(bands).toDF("band", "lo", "hi")
+    Tables(spark, sfDir, "events")
+      .join(broadcast(b), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band", "lo", "hi")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_value"))
+      .orderBy("lo")
+  }
+
+  /** Sessionization: per-user sessions split at >30 min inactivity gaps —
+    * lag to detect boundaries, running sum to number sessions, then one
+    * aggregate per session. Two window passes + one aggregate over the
+    * SAME user_id partitioning, so Spark plans a single shuffle and reuses
+    * the sort — the standard linear sessionize. */
+  val windowSessionize: QFn = (spark, sfDir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, sfDir, "events")
+      // exact integer microseconds on BOTH sides (unix_micros / epoch_us):
+      // second-truncated casts disagree with fractional epochs on gaps
+      // that straddle the 30-minute boundary
+      .withColumn("new_sess",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+          > 30L * 60 * 1000000 || lag(col("ts"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "join_asof_purchase" -> joinAsofPurchase,
+    "join_range_bands" -> joinRangeBands,
+    "window_sessionize" -> windowSessionize,
+  )
+
+  private def bandsSqlDuck: String =
+    bands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    // DuckDB's native ASOF JOIN is the independent oracle for the
+    // union+window implementation; purchases deduped identically first
+    "join_asof_purchase" ->
+      ("WITH p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value, " +
+        "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "pd AS (SELECT user_id, ts, p_event_id, p_value FROM p WHERE rn = 1) " +
+        "SELECT e.event_id, e.user_id, e.ts, pd.p_event_id AS last_purchase_id, " +
+        "pd.p_value AS last_purchase_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') e " +
+        "ASOF LEFT JOIN pd ON e.user_id = pd.user_id AND e.ts >= pd.ts " +
+        "ORDER BY e.event_id"),
+    // lo/hi cast to DOUBLE: DuckDB types VALUES literals as DECIMAL,
+    // which would hash-mismatch Spark's double band columns
+    "join_range_bands" ->
+      (s"SELECT band, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi, count(*) AS n_events, " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value " +
+        s"FROM events JOIN (VALUES $bandsSqlDuck) b(band, lo, hi) " +
+        "ON value >= lo AND value < hi GROUP BY 1, 2, 3 ORDER BY lo"),
+    "window_sessionize" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM g) " +
+        "SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events, " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value " +
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2"),
+  )
+}

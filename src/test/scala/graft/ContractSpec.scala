@@ -16,9 +16,10 @@ class ContractSpec extends AnyFunSuite {
     val all = Seq(
       graft.etl.Ingest.queries, graft.etl.Transforms.queries,
       graft.etl.Upsert.queries, graft.analytics.Queries.queries,
+      graft.analytics.Temporal.queries,
       graft.streaming.StreamOps.queries, graft.llm.TextOps.queries,
       graft.llm.DedupOps.queries, graft.llm.SimilarityOps.queries,
-      graft.llm.MultimodalOps.queries)
+      graft.llm.MultimodalOps.queries, graft.llm.SampleOps.queries)
     assert(all.map(_.size).sum == SparkEntry.queries.size, "duplicate query keys across modules")
   }
 

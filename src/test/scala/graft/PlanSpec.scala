@@ -83,6 +83,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"CUSTOMER dim must broadcast:\n$p")
   }
 
+  test("as-of join plans as union+window — no join node, one hash shuffle") {
+    val df = graft.analytics.Temporal.joinAsofPurchase(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"as-of must not plan a join node:\n$p")
+    // one full-data shuffle for the carry-forward window, plus one
+    // purchases-only (user_id, ts) shuffle for the timestamp-tie dedup
+    val userOnly = "hashpartitioning\\(user_id#\\d+L?, \\d".r.findAllIn(p).size
+    val userTs = "hashpartitioning\\(user_id#\\d+L?, ts#".r.findAllIn(p).size
+    assert(userOnly == 1 && userTs == 1,
+      s"expected 1 full user_id shuffle + 1 purchase-dedup shuffle, got $userOnly/$userTs:\n$p")
+  }
+
+  test("range join broadcasts the bounded band table") {
+    val p = plan(graft.analytics.Temporal.joinRangeBands(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bounded-dim range join should be a broadcast nested loop:\n$p")
+  }
+
+  test("sessionize reuses one user_id shuffle across windows and aggregate") {
+    val p = plan(graft.analytics.Temporal.windowSessionize(spark, sfDir))
+    val shuffles = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly one user_id shuffle, got $shuffles:\n$p")
+  }
+
   test("upsert plan: anti-join broadcasts the staging side when small") {
     val orders = graft.tables.Tables(spark, sfDir, "orders")
     val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
