@@ -2,8 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -63,16 +65,108 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise mean of array<double> vectors — the embedding-centroid
+  * aggregate. A TypedImperativeAggregate carrying (sums, count): update
+  * adds one vector into the running sums, merge adds partial sums, so the
+  * shuffle moves one (dim+1)-wide buffer per group per partition — the
+  * map-side-combine property that keeps centroid computation linear at
+  * 100 TB. The composed-operator spelling (posexplode → groupBy(label,
+  * pos) → avg → re-assemble) shuffles dim× more rows; VectorAvgSpec pins
+  * equivalence against it.
+  *
+  * Vectors are expected dense (no null elements) and same-dimension; the
+  * common prefix is averaged on mismatch. Empty groups yield null. */
+case class VectorAvg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[VectorAvg.Buf] with ImplicitCastInputTypes
+    with UnaryLike[Expression] {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_avg"
+
+  override def createAggregationBuffer(): VectorAvg.Buf = new VectorAvg.Buf(null, 0L)
+
+  override def update(b: VectorAvg.Buf, input: InternalRow): VectorAvg.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (b.sums == null) b.sums = new Array[Double](arr.numElements())
+      val m = math.min(b.sums.length, arr.numElements())
+      var i = 0
+      while (i < m) { b.sums(i) += arr.getDouble(i); i += 1 }
+      b.n += 1
+    }
+    b
+  }
+
+  override def merge(b: VectorAvg.Buf, o: VectorAvg.Buf): VectorAvg.Buf = {
+    if (o.sums != null) {
+      if (b.sums == null) { b.sums = o.sums.clone(); b.n = o.n }
+      else {
+        val m = math.min(b.sums.length, o.sums.length)
+        var i = 0
+        while (i < m) { b.sums(i) += o.sums(i); i += 1 }
+        b.n += o.n
+      }
+    }
+    b
+  }
+
+  override def eval(b: VectorAvg.Buf): Any =
+    if (b.n == 0L || b.sums == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      b.sums.map(_ / b.n))
+
+  override def serialize(b: VectorAvg.Buf): Array[Byte] = {
+    val len = if (b.sums == null) -1 else b.sums.length
+    val buf = java.nio.ByteBuffer.allocate(8 + 4 + math.max(len, 0) * 8)
+    buf.putLong(b.n).putInt(len)
+    if (len > 0) b.sums.foreach(buf.putDouble)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VectorAvg.Buf = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val n = buf.getLong()
+    val len = buf.getInt()
+    val sums = if (len < 0) null else Array.fill(len)(buf.getDouble())
+    new VectorAvg.Buf(sums, n)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorAvg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorAvg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorAvg =
+    copy(child = newChild)
+}
+
+object VectorAvg {
+  /** Mutable aggregation state: running element sums + vector count. */
+  final class Buf(var sums: Array[Double], var n: Long)
+}
+
 /** Session-scoped registration of the graft native functions, so plans and
   * SQL strings can call them by name. Idempotent and cheap — callers invoke
   * it on every table load rather than tracking which sessions saw it. */
 object GraftFunctions {
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vector_dot" -> { exprs =>
+      require(exprs.length == 2, "vector_dot(a, b) takes exactly 2 arguments")
+      VectorDot(exprs.head, exprs(1))
+    },
+    "vector_avg" -> { exprs =>
+      require(exprs.length == 1, "vector_avg(v) takes exactly 1 argument")
+      VectorAvg(exprs.head)
+    })
+
   def ensure(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_dot",
-      exprs => {
-        require(exprs.length == 2, "vector_dot(a, b) takes exactly 2 arguments")
-        VectorDot(exprs.head, exprs(1))
-      },
-      "built-in")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 }

@@ -159,7 +159,23 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  /** Per-label embedding centroids via the native vector_avg aggregate
+    * (graft.functions.VectorAvg): one (dim+1)-wide buffer per (group,
+    * partition) crosses the shuffle — map-side combine over vectors, the
+    * shape that stays linear at 100 TB (the explode-and-regroup spelling
+    * shuffles dim× more rows). Elements rounded so the order-dependent
+    * last-bits of float summation can't flip the oracle hash. */
+  val llmEmbeddingCentroid: QFn = (spark, sfDir) => {
+    val e = DedupOps.embIndex(spark, sfDir)
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"), expr("vector_avg(emb)").as("c"))
+      .select(col("label"), col("n_vectors"),
+        expr("transform(c, x -> round(x, 6))").as("centroid"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_embedding_centroid" -> llmEmbeddingCentroid,
     "llm_similarity_topk" -> llmSimilarityTopk,
     "llm_similarity_ann" -> llmSimilarityAnn,
     "llm_similarity_ivf" -> llmSimilarityIvf,
@@ -172,6 +188,16 @@ object SimilarityOps {
       "sqrt(list_sum(list_transform(CAST(qv AS DOUBLE[]), x -> x * x)))), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    // independent spelling: per-dimension avg via an unnested index range
+    // (this DuckDB lacks WITH ORDINALITY), reassembled ordered by index
+    "llm_embedding_centroid" ->
+      ("WITH u AS (SELECT label, CAST(idx AS INT) AS idx, emb[idx] AS e FROM " +
+        "(SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "unnest(range(1, len(emb) + 1)) AS t(idx)), " +
+        "a AS (SELECT label, idx, ROUND(avg(e), 6) AS m, count(*) AS cnt " +
+        "FROM u GROUP BY 1, 2) " +
+        "SELECT label, CAST(max(cnt) AS BIGINT) AS n_vectors, " +
+        "list(m ORDER BY idx) AS centroid FROM a GROUP BY label ORDER BY label"),
     "llm_similarity_topk" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
         s"SELECT vec_id, label, $cosineSql AS sim FROM embeddings, q " +

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.functions.VectorAvg — the typed-imperative centroid aggregate must
+  * match the composed Spark spelling (posexplode → per-dimension avg →
+  * ordered reassembly), survive serialization across partial/final
+  * aggregation, and handle empty/null inputs. */
+class VectorAvgSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  test("vector_avg equals the explode-and-regroup spelling to 1e-9") {
+    val e = graft.tables.Tables(spark, sfDir, "embeddings")
+      .select(col("label"), expr("cast(embedding as array<double>)").as("emb"))
+      // many partitions so partial buffers really merge
+      .repartition(7)
+    val native = e.groupBy("label").agg(expr("vector_avg(emb)").as("c"))
+      .collect().map(r => r.getAs[Number](0).longValue() -> r.getSeq[Double](1)).toMap
+    val composed = e
+      .select(col("label"), posexplode(col("emb")).as(Seq("idx", "v")))
+      .groupBy("label", "idx").agg(avg(col("v")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("idx"), col("m")))).as("s"))
+      .select(col("label"), expr("transform(s, p -> p.m)").as("c"))
+      .collect().map(r => r.getAs[Number](0).longValue() -> r.getSeq[Double](1)).toMap
+    assert(native.keySet == composed.keySet && native.nonEmpty)
+    native.foreach { case (l, v) =>
+      v.zip(composed(l)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"label $l: $a vs $b")
+      }
+    }
+  }
+
+  test("vector_avg of an empty group is null; null vectors are skipped") {
+    val r = spark.sql(
+      "SELECT vector_avg(v) AS c FROM (SELECT cast(null as array<double>) AS v)"
+    ).collect().head
+    assert(r.isNullAt(0))
+    val r2 = spark.sql(
+      "SELECT vector_avg(v) AS c FROM (" +
+        "SELECT array(1.0d, 3.0d) AS v UNION ALL SELECT cast(null as array<double>) " +
+        "UNION ALL SELECT array(3.0d, 5.0d))").collect().head
+    assert(r2.getSeq[Double](0) == Seq(2.0, 4.0))
+  }
+
+  test("GraftExtensions exposes every GraftFunctions builder with working arity") {
+    // getOrCreate would hand back the fixture session (extensions only
+    // apply to a freshly built one), so exercise the same builder list the
+    // extension injects: names, arity checks, and constructed expressions.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val byName = graft.functions.GraftFunctions.builders.toMap
+    assert(byName.keySet == Set("vector_dot", "vector_avg"))
+    val lit = Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    assert(byName("vector_dot")(Seq(lit, lit)).isInstanceOf[graft.functions.VectorDot])
+    assert(byName("vector_avg")(Seq(lit)).isInstanceOf[graft.functions.VectorAvg])
+    intercept[IllegalArgumentException](byName("vector_dot")(Seq(lit)))
+    intercept[IllegalArgumentException](byName("vector_avg")(Seq(lit, lit)))
+    // and the class itself applies cleanly to a fresh extensions object
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
