@@ -192,10 +192,15 @@ object DedupOps {
       .localCheckpoint() // rejoined every round — materialize once
     var labels = sigIndex(spark, sfDir)
       .select(col("doc_id"), col("doc_id").as("label"))
-    // Iterate to fixpoint (convergence = no label changed this round), with
-    // a hard bound as a pathological-graph stop. The per-round changed-count
-    // is one action over the checkpointed frames — the same driver-side
-    // convergence check Pregel runs.
+    // Iterate to fixpoint with a hard bound as a pathological-graph stop.
+    // Convergence check: labels only ever move DOWNWARD (least of self and
+    // neighbors), so sum(label) strictly decreases iff any label changed —
+    // one agg over the just-checkpointed frame per round, instead of a
+    // join+count against the previous round. decimal(38,0) so the sum
+    // cannot overflow at any corpus size.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -213,8 +218,9 @@ object DedupOps {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).count()
+      val newSum = labelSum(next)
+      changed = if (newSum.compareTo(prevSum) == 0) 0L else 1L
+      prevSum = newSum
       labels = next
       rounds += 1
     }

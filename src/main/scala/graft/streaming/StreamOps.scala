@@ -26,6 +26,22 @@ object StreamOps {
   private def uniq(prefix: String): String =
     prefix + "_" + java.lang.Long.toHexString(System.nanoTime())
 
+  /** Run a STATEFUL stream with a shuffle-partition count sized to the
+    * stream, then restore. The partition count of a stateful query is a
+    * real deployment decision made once per checkpoint (it is baked into
+    * the state store layout and cannot change afterwards): size it to
+    * volume/keyspace — 4 for the ~10k-row test streams here, executor
+    * count × cores for a production stream. 32 state-store instances per
+    * stateful operator on a 10k-row stream is pure commit overhead.
+    * Synchronized for the same session-global-conf reason as Tables. */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    this.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+
   /** File-drop → incremental upsert (README.md:74-76,156-158): each
     * discovered file batch is merged into the current state via the §2.4
     * anti-join∪staging plan, flip-flopping between two state dirs (the
@@ -82,15 +98,17 @@ object StreamOps {
     val base = Scratch.dir("stream_hourly_window")
     ev.write.mode("overwrite").parquet(s"$base/src")
     val name = uniq("stream_hourly_window")
-    val q = spark.readStream.schema(ev.schema).parquet(s"$base/src")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .count()
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark, 4) {
+      val q = spark.readStream.schema(ev.schema).parquet(s"$base/src")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
         col("event_type"), col("count").as("cnt"))
@@ -106,16 +124,18 @@ object StreamOps {
     ev.write.mode("append").parquet(s"$base/src")
     ev.write.mode("append").parquet(s"$base/src") // duplicate drop
     val name = uniq("stream_watermark_late")
-    val q = spark.readStream.schema(ev.schema).parquet(s"$base/src")
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
-      .groupBy("event_type").count()
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark, 4) {
+      val q = spark.readStream.schema(ev.schema).parquet(s"$base/src")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .groupBy("event_type").count()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(col("event_type"), col("count").as("cnt"))
       .orderBy("event_type")
