@@ -11,10 +11,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Warmup {
   def indexes(spark: SparkSession, sfDir: String): Unit = {
-    DedupOps.sigIndex(spark, sfDir).count()
-    DedupOps.minhashCandidates(spark, sfDir).count()
-    DedupOps.simIndex(spark, sfDir).count()
-    DedupOps.embIndex(spark, sfDir).count()
-    SimilarityOps.ivfIndex(spark, sfDir)._1.count()
+    def timed(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(f"[warmup] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    timed("sigIndex") { DedupOps.sigIndex(spark, sfDir).count() }
+    timed("minhashCandidates") { DedupOps.minhashCandidates(spark, sfDir).count() }
+    timed("simIndex") { DedupOps.simIndex(spark, sfDir).count() }
+    timed("embIndex") { DedupOps.embIndex(spark, sfDir).count() }
+    timed("ivfIndex") { SimilarityOps.ivfIndex(spark, sfDir)._1.count() }
   }
 }
