@@ -15,7 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated subset for local iteration (driver sets
+    // nothing → full dump, same as Bench's SPARK_GRAFT_ONLY)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(q => s(q._1)))
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

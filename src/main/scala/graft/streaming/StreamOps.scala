@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.QFn
 import graft.etl.Upsert
 import graft.tables.Tables
@@ -141,10 +141,109 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Per-user event for the custom-state sessionizer (micros keep exact
+    * gap arithmetic; see windowSessionize's unix_micros note). */
+  case class SEv(user_id: Long, ts_us: Long, event_id: Long, value: Double)
+
+  /** Open-session state carried across micro-batches. sum_fp is the running
+    * value sum as a scale-4 fixed-point long (exact, order-independent —
+    * the typed mirror of sum(CAST(value AS DECIMAL(18,4)))). */
+  case class OpenSess(start_us: Long, last_us: Long, n: Long, sum_fp: Long)
+
+  case class ClosedSess(user_id: Long, start_us: Long, end_us: Long,
+                        n_events: Long, sum_value: Double)
+
+  private val gapUs = 30L * 60 * 1000000
+
+  private def fp4(v: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(4, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+
+  private def fpOut(sumFp: Long): Double =
+    java.math.BigDecimal.valueOf(sumFp, 4)
+      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The flatMapGroupsWithState session closer: merge this batch's events
+    * (sorted by event time) into the open session, EMIT every session closed
+    * by a >30 min gap, keep the still-open one in state. Files arrive in
+    * event-time order (the file source's happy path), so state never sees a
+    * late event; the production shape adds a watermark + EventTimeTimeout to
+    * also flush sessions closed by the passage of time. */
+  private def closeSessions(uid: Long, it: Iterator[SEv],
+                            state: GroupState[OpenSess]): Iterator[ClosedSess] = {
+    val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var open = state.getOption
+    val out = Array.newBuilder[ClosedSess]
+    evs.foreach { e =>
+      open match {
+        case Some(s) if e.ts_us - s.last_us > gapUs =>
+          out += ClosedSess(uid, s.start_us, s.last_us, s.n, fpOut(s.sum_fp))
+          open = Some(OpenSess(e.ts_us, e.ts_us, 1, fp4(e.value)))
+        case Some(s) =>
+          open = Some(s.copy(last_us = e.ts_us, n = s.n + 1,
+            sum_fp = s.sum_fp + fp4(e.value)))
+        case None =>
+          open = Some(OpenSess(e.ts_us, e.ts_us, 1, fp4(e.value)))
+      }
+    }
+    open.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Custom-state streaming sessionization (flatMapGroupsWithState): the
+    * stateful-operator shape Spark's built-in windowed aggs can't express —
+    * arbitrary per-key state (the open session) mutated across micro-batches
+    * with early emission of completed sessions. The event stream arrives as
+    * two time-split file drops (maxFilesPerTrigger=1 → two micro-batches),
+    * so sessions straddling the batch boundary genuinely exercise the state
+    * carry-over. Emits CLOSED sessions only — each user's final session is
+    * still open when the stream drains, exactly the rows the batch oracle
+    * excludes (sid < max sid per user).
+    *
+    * Scale: state is one tiny struct per ACTIVE user (not per event), hash
+    * partitioned across state stores; at 100 TB the same plan runs with a
+    * watermark + EventTimeTimeout so idle users' sessions flush and state
+    * stays bounded by the active-user set. */
+  val streamSessionState: QFn = (spark, sfDir) => {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+    val base = Scratch.dir("stream_session_state")
+    val split = "2024-01-16"
+    // two event-time-ordered "drops"; one file each so maxFilesPerTrigger=1
+    // yields exactly two micro-batches with state carried between them
+    ev.filter(col("ts_us") < unix_micros(to_timestamp(lit(split))))
+      .repartition(1).write.mode("overwrite").parquet(s"$base/src")
+    ev.filter(col("ts_us") >= unix_micros(to_timestamp(lit(split))))
+      .repartition(1).write.mode("append").parquet(s"$base/src")
+    val name = uniq("stream_session_state")
+    withStreamPartitions(spark, 4) {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        .as[SEv]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(closeSessions)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, QFn] = Map(
     "stream_file_source_upsert" -> streamFileSourceUpsert,
     "stream_hourly_window" -> streamHourlyWindow,
     "stream_watermark_late" -> streamWatermarkLate,
+    "stream_session_state" -> streamSessionState,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -157,5 +256,20 @@ object StreamOps {
         "event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "stream_watermark_late" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    // batch sessionization minus each user's LAST session (still open when
+    // the stream drains) — the exact closed-session set the stream emits
+    "stream_session_state" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g), " +
+        "a AS (SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events, " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value FROM s GROUP BY 1, 2) " +
+        "SELECT user_id, session_start, session_end, n_events, sum_value FROM a " +
+        "WHERE sid < (SELECT max(sid) FROM a a2 WHERE a2.user_id = a.user_id) " +
+        "ORDER BY user_id, session_start"),
   )
 }

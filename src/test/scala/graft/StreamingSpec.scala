@@ -31,6 +31,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState sessionizer == batch sessionize minus open sessions") {
+    val streamed = graft.streaming.StreamOps.streamSessionState(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // batch ground truth: full sessionization, drop each user's last
+    // (still-open) session — recomputed independently of the oracle SQL
+    val sess = graft.analytics.Temporal.windowSessionize(spark, sfDir)
+    val lastIdx = sess.groupBy("user_id")
+      .agg(max(col("session_idx")).as("last_idx"))
+    val expected = sess.join(lastIdx, "user_id")
+      .filter(col("session_idx") < col("last_idx"))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed.nonEmpty && streamed == expected)
+  }
+
   test("watermark dedup restores exactly-once counts after duplicate drop") {
     val res = graft.streaming.StreamOps.streamWatermarkLate(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
