@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers tail-capture stdout and json-parse the LAST
+// line. Two sbt behaviors broke that in rounds 1-2: forked-run output is
+// routed through sbt's logger (every line prefixed "[info] "), and sbt
+// appends "[success] Total time: ..." after the run. Send forked output
+// straight to stdout and suppress the success banner so graft.Bench's
+// final JSON line is literally the last line of process output.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
