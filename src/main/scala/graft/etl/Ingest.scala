@@ -99,13 +99,16 @@ object Ingest {
   private[graft] def derbyUrl(spark: SparkSession, sfDir: String): Option[String] =
     derbyCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + sfDir, {
       try {
-        // keep derby.log inside the repo's scratch space
-        System.setProperty("derby.system.home",
-          "/root/repo/target/scratch/derby-home")
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get("/root/repo/target/scratch/derby-home"))
+        // keep derby.log inside the repo's scratch space (never wiped —
+        // Derby holds it open for the life of the JVM)
+        System.setProperty("derby.system.home", Scratch.keep("derby-home"))
+        // one database directory PER (session, sfDir): the cache is keyed
+        // by both, so the path must be too — an appId-only path would be
+        // re-seeded (mode overwrite) by a second scale factor and the first
+        // sfDir's cached URL would silently serve the other tier's rows
         val db = Scratch.dir(
-          "derby_" + spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_-]", "_")) + "/oltp"
+          "derby_" + spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_-]", "_") +
+            "_" + java.lang.Integer.toHexString(sfDir.hashCode)) + "/oltp"
         val url = s"jdbc:derby:$db;create=true"
         Tables(spark, sfDir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -163,15 +163,20 @@ object SimilarityOps {
     * (graft.functions.VectorAvg): one (dim+1)-wide buffer per (group,
     * partition) crosses the shuffle — map-side combine over vectors, the
     * shape that stays linear at 100 TB (the explode-and-regroup spelling
-    * shuffles dim× more rows). Elements rounded so the order-dependent
-    * last-bits of float summation can't flip the oracle hash. */
+    * shuffles dim× more rows). The result is exploded to one
+    * (label, dim, value) row per centroid element — array-typed result
+    * columns are unhashable for the driver's pandas-based comparator, and
+    * the explode happens AFTER the aggregate, on nlabels×dim rows, so the
+    * map-side-combine shape is unchanged. Values rounded so the
+    * order-dependent last-bits of float summation can't flip the hash. */
   val llmEmbeddingCentroid: QFn = (spark, sfDir) => {
     val e = DedupOps.embIndex(spark, sfDir)
     e.groupBy("label")
       .agg(count(lit(1)).as("n_vectors"), expr("vector_avg(emb)").as("c"))
-      .select(col("label"), col("n_vectors"),
-        expr("transform(c, x -> round(x, 6))").as("centroid"))
-      .orderBy("label")
+      .select(col("label"), col("n_vectors"), posexplode(col("c")))
+      .select(col("label"), col("n_vectors"), col("pos").cast("int").as("dim"),
+        round(col("col"), 6).as("value"))
+      .orderBy("label", "dim")
   }
 
   val queries: Map[String, QFn] = Map(
@@ -189,15 +194,15 @@ object SimilarityOps {
 
   val oracleSql: Map[String, String] = Map(
     // independent spelling: per-dimension avg via an unnested index range
-    // (this DuckDB lacks WITH ORDINALITY), reassembled ordered by index
+    // (this DuckDB lacks WITH ORDINALITY); one row per (label, dim) to
+    // keep every result column scalar/hashable for the driver comparator
     "llm_embedding_centroid" ->
-      ("WITH u AS (SELECT label, CAST(idx AS INT) AS idx, emb[idx] AS e FROM " +
+      ("WITH u AS (SELECT label, CAST(idx AS INT) - 1 AS dim, emb[idx] AS e FROM " +
         "(SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        "unnest(range(1, len(emb) + 1)) AS t(idx)), " +
-        "a AS (SELECT label, idx, ROUND(avg(e), 6) AS m, count(*) AS cnt " +
-        "FROM u GROUP BY 1, 2) " +
-        "SELECT label, CAST(max(cnt) AS BIGINT) AS n_vectors, " +
-        "list(m ORDER BY idx) AS centroid FROM a GROUP BY label ORDER BY label"),
+        "unnest(range(1, len(emb) + 1)) AS t(idx)) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vectors, dim, " +
+        "ROUND(avg(e), 6) AS value FROM u GROUP BY label, dim " +
+        "ORDER BY label, dim"),
     "llm_similarity_topk" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
         s"SELECT vec_id, label, $cosineSql AS sim FROM embeddings, q " +

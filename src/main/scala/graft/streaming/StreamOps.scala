@@ -26,21 +26,42 @@ object StreamOps {
   private def uniq(prefix: String): String =
     prefix + "_" + java.lang.Long.toHexString(System.nanoTime())
 
-  /** Run a STATEFUL stream with a shuffle-partition count sized to the
-    * stream, then restore. The partition count of a stateful query is a
+  /** Dedicated child session for a stateful stream, with a shuffle-partition
+    * count sized to the stream. The partition count of a stateful query is a
     * real deployment decision made once per checkpoint (it is baked into
     * the state store layout and cannot change afterwards): size it to
     * volume/keyspace — 4 for the ~10k-row test streams here, executor
     * count × cores for a production stream. 32 state-store instances per
     * stateful operator on a 10k-row stream is pure commit overhead.
-    * Synchronized for the same session-global-conf reason as Tables. */
-  private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T =
-    this.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, n.toString)
-      try body finally spark.conf.set(key, prev)
-    }
+    * A child session has its OWN SQLConf over the shared SparkContext, so
+    * the shared session's conf is never mutated — a toggle-and-restore on
+    * the shared conf could leak n=4 into any query planned concurrently
+    * (e.g. parallel test suites). */
+  private def streamSession(spark: SparkSession, n: Int): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    ss
+  }
+
+  /** Pin the file-source delivery order of a staged "drop": the source
+    * orders by modification time and breaks ties on the part-file path (a
+    * random UUID), so two drops written back-to-back can be delivered in
+    * either order. Stamp every data file of the drop with an explicit,
+    * strictly increasing mtime instead. */
+  private def stampDrop(dir: String, epochMs: Long, skip: Set[String] = Set.empty): Set[String] = {
+    val d = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.list(d)
+    val stamped = Set.newBuilder[String]
+    try s.forEach { p =>
+      val n = p.getFileName.toString
+      if (!n.startsWith("_") && !n.startsWith(".") && !skip(n)) {
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(epochMs))
+        stamped += n
+      }
+    } finally s.close()
+    stamped.result()
+  }
 
   /** File-drop → incremental upsert (README.md:74-76,156-158): each
     * discovered file batch is merged into the current state via the §2.4
@@ -98,18 +119,17 @@ object StreamOps {
     val base = Scratch.dir("stream_hourly_window")
     ev.write.mode("overwrite").parquet(s"$base/src")
     val name = uniq("stream_hourly_window")
-    withStreamPartitions(spark, 4) {
-      val q = spark.readStream.schema(ev.schema).parquet(s"$base/src")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .count()
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name)
+    val ss = streamSession(spark, 4)
+    val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
         col("event_type"), col("count").as("cnt"))
       .orderBy("hour", "event_type")
@@ -124,19 +144,18 @@ object StreamOps {
     ev.write.mode("append").parquet(s"$base/src")
     ev.write.mode("append").parquet(s"$base/src") // duplicate drop
     val name = uniq("stream_watermark_late")
-    withStreamPartitions(spark, 4) {
-      val q = spark.readStream.schema(ev.schema).parquet(s"$base/src")
-        .withWatermark("ts", "1 hour")
-        .dropDuplicates("event_id")
-        .groupBy("event_type").count()
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name)
+    val ss = streamSession(spark, 4)
+    val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
       .select(col("event_type"), col("count").as("cnt"))
       .orderBy("event_type")
   }
@@ -212,26 +231,30 @@ object StreamOps {
     val base = Scratch.dir("stream_session_state")
     val split = "2024-01-16"
     // two event-time-ordered "drops"; one file each so maxFilesPerTrigger=1
-    // yields exactly two micro-batches with state carried between them
+    // yields exactly two micro-batches with state carried between them, and
+    // an explicit mtime per drop so delivery order can't tie-break to a
+    // random part-file path
+    val now = System.currentTimeMillis()
     ev.filter(col("ts_us") < unix_micros(to_timestamp(lit(split))))
       .repartition(1).write.mode("overwrite").parquet(s"$base/src")
+    val firstDrop = stampDrop(s"$base/src", now - 120000)
     ev.filter(col("ts_us") >= unix_micros(to_timestamp(lit(split))))
       .repartition(1).write.mode("append").parquet(s"$base/src")
+    stampDrop(s"$base/src", now - 60000, skip = firstDrop)
     val name = uniq("stream_session_state")
-    withStreamPartitions(spark, 4) {
-      val q = spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-        .as[SEv]
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(closeSessions)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name)
+    val ss = streamSession(spark, 4)
+    val q = ss.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .as[SEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(closeSessions)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
       .select(col("user_id"),
         timestamp_micros(col("start_us")).as("session_start"),
         timestamp_micros(col("end_us")).as("session_end"),

@@ -16,6 +16,15 @@ object Scratch {
     p.toString
   }
 
+  /** Scratch directory that is created if missing but never wiped — for
+    * session-long homes (e.g. derby.system.home) that must survive repeated
+    * calls within a JVM. */
+  def keep(name: String): String = {
+    val p = Paths.get(root, name)
+    Files.createDirectories(p)
+    p.toString
+  }
+
   def delete(p: Path): Unit = if (Files.exists(p)) {
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))

@@ -34,6 +34,21 @@ class IngestSpec extends AnyFunSuite {
     assertThrows[org.apache.spark.SparkException](failfast.collect())
   }
 
+  test("each (session, sfDir) pair gets its own Derby database") {
+    // Seeding a second scale factor must not re-seed (and thereby clobber)
+    // the first one's database: the cache key includes sfDir, so the
+    // database path must too.
+    val u1 = graft.etl.Ingest.derbyUrl(spark, "/root/testdata/sf0.001")
+    val u2 = graft.etl.Ingest.derbyUrl(spark, "/root/testdata/sf0.01")
+    assume(u1.isDefined && u2.isDefined, "embedded Derby unavailable")
+    assert(u1.get != u2.get, "distinct sfDirs must map to distinct databases")
+    def ordersCount(url: String): Long = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "ORDERS").load().count()
+    // read the FIRST database after the second was seeded
+    assert(ordersCount(u1.get) == 1500L, "sf0.001 rows served from sf0.001 db")
+    assert(ordersCount(u2.get) == 15000L)
+  }
+
   test("invalid-char sanitizer replaces exactly the non-printable-ASCII chars") {
     import spark.implicits._
     val df = Seq("plain ascii 123!", "café 中文", "tab\there").toDF("s")
