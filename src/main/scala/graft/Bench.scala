@@ -42,6 +42,18 @@ object Bench {
       if (unknown.nonEmpty)
         System.err.println(s"[bench] WARNING: unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(", ")}")
     }
+    // Fixed-workload host calibration: a deterministic CPU-bound job whose
+    // cost is independent of the query set and scale factor. Cross-round
+    // totals can only be compared after normalizing by this — round 3
+    // measured the identical warmup workload 4-5× slower than round 2 with
+    // ~0% hypervisor steal (slower per-core host), which would otherwise
+    // read as a regression.
+    val calibSec: Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 200000000L, 1, cpus.toInt)
+        .selectExpr("xxhash64(id) AS h").agg(org.apache.spark.sql.functions.sum("h")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     // A failed query reports -1 (excluded from the total) instead of a
     // plausible-looking elapsed time — a regression that makes queries fail
     // fast must not read as a speedup.
@@ -65,7 +77,7 @@ object Bench {
     val total = if (good.nonEmpty) good.sum else 0.0
     val nFailed = results.values.count(_ < 0)
     println(s"""{"metric":"queries","sf":"$sfDir","detail":$qs}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"warmup_sec":${f3(warmupSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -66,6 +66,7 @@ object DedupOps {
     candidatesCache.clear()
     simIndexCache.clear()
     embIndexCache.clear()
+    gramIndexCache.clear()
   }
 
   private[graft] def sigIndex(spark: SparkSession, sfDir: String): DataFrame =
@@ -375,15 +376,32 @@ object DedupOps {
     * any 13-gram with the train side. The collision test is a semi-join on
     * the gram hash — shuffle scales with distinct grams, never pairs.
     * Brute-force-verified in NearDupSpec. */
+  private val gramIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Exploded 13-gram-hash frame (doc_id, is_train, g), persisted: the
+    * decontamination plan consumes it TWICE (distinct train grams + the
+    * eval-side semi-join), and without materialization Spark recomputes the
+    * whole explode for each side — the gram pass is the expensive linear
+    * scan, everything after it shuffles only distinct grams. At 100 TB this
+    * is the once-per-corpus gram index every decontamination run starts
+    * from (materialized to storage instead of executor memory).
+    * Normalized text hoisted for the same no-CSE-in-lambdas reason as
+    * sigIndex — without it every 13-gram re-lowercases the whole doc. */
+  private[graft] def gramIndex(spark: SparkSession, sfDir: String): DataFrame =
+    gramIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      tracked(Tables(spark, sfDir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+        .select(col("doc_id"), (pmod(col("doc_id"), lit(2)) === 0).as("is_train"),
+          explode(expr(
+            "array_distinct(transform(sequence(1, greatest(length(t) - 12, 1)), " +
+              "i -> xxhash64(substring(t, i, 13))))")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
   val llmDecontaminate: QFn = (spark, sfDir) => {
-    // normalized text hoisted for the same no-CSE-in-lambdas reason as
-    // sigIndex — without it every 13-gram re-lowercases the whole doc
-    val grams = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-      .select(col("doc_id"), (pmod(col("doc_id"), lit(2)) === 0).as("is_train"),
-        explode(expr(
-          "array_distinct(transform(sequence(1, greatest(length(t) - 12, 1)), " +
-            "i -> xxhash64(substring(t, i, 13))))")).as("g"))
+    val grams = gramIndex(spark, sfDir)
     val trainGrams = grams.filter(col("is_train")).select("g").distinct()
     grams.filter(!col("is_train"))
       .join(trainGrams, Seq("g"), "left_semi")

@@ -20,6 +20,7 @@ object Warmup {
     timed("minhashCandidates") { DedupOps.minhashCandidates(spark, sfDir).count() }
     timed("simIndex") { DedupOps.simIndex(spark, sfDir).count() }
     timed("embIndex") { DedupOps.embIndex(spark, sfDir).count() }
+    timed("gramIndex") { DedupOps.gramIndex(spark, sfDir).count() }
     timed("ivfIndex") { SimilarityOps.ivfIndex(spark, sfDir)._1.count() }
   }
 }
