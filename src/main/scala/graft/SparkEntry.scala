@@ -41,7 +41,9 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] =
     Ingest.queries ++ Transforms.queries ++ Upsert.queries ++
+      graft.etl.Bucketing.queries ++
       Queries.queries ++ graft.analytics.Temporal.queries ++
+      graft.analytics.Advanced.queries ++
       StreamOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ graft.llm.SampleOps.queries
@@ -51,7 +53,9 @@ object SparkEntry {
     * (LSH/xxhash64-based and approximate ones) → rows-only check. */
   def oracleSql: Map[String, String] =
     Ingest.oracleSql ++ Transforms.oracleSql ++ Upsert.oracleSql ++
+      graft.etl.Bucketing.oracleSql ++
       Queries.oracleSql ++ graft.analytics.Temporal.oracleSql ++
+      graft.analytics.Advanced.oracleSql ++
       StreamOps.oracleSql ++
       TextOps.oracleSql ++ DedupOps.oracleSql ++ SimilarityOps.oracleSql ++
       MultimodalOps.oracleSql ++ graft.llm.SampleOps.oracleSql

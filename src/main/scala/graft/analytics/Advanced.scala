@@ -1,0 +1,118 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QFn
+import graft.tables.Tables
+
+/** SURVEY.md §2.5/§2.6 round-3 extensions — the BI-dashboard shapes one
+  * step past the reference's plain group-bys (README.md:99-102 is the
+  * extent of its aggregation surface): pivoted cross-tabs, explicit
+  * grouping sets, and frame-based window analytics (rolling averages,
+  * lag/lead deltas). All single-shuffle plans: pivot and grouping sets are
+  * one hash aggregate each; the window queries shuffle once on the
+  * partition key.
+  */
+object Advanced {
+
+  /** Cross-tab: order counts per priority × status, statuses pivoted to
+    * columns (the dashboard matrix view of README.md:99-100's sales
+    * rollup). Explicit pivot values keep the plan a single two-phase hash
+    * aggregate — with values unspecified Spark runs an extra distinct scan
+    * to discover them, a full pass to save six keystrokes. */
+  val aggPivotStatus: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Explicit GROUPING SETS — the general form behind rollup/cube
+    * (agg_rollup_sales/agg_cube_funnel): only the margins the dashboard
+    * needs, still ONE multi-grouping hash aggregate, no union of scans.
+    * Null group labels folded to 'ALL' (the rollup convention) so both
+    * engines order identically. */
+  val aggGroupingSets: QFn = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT coalesce(status, 'ALL') AS status,
+        |       coalesce(cast(o_year AS string), 'ALL') AS o_year,
+        |       count(*) AS cnt
+        |FROM (SELECT o_orderstatus AS status, year(o_orderdate) AS o_year
+        |      FROM orders)
+        |GROUP BY GROUPING SETS ((status, o_year), (status), (o_year), ())
+        |ORDER BY status, o_year""".stripMargin)
+  }
+
+  /** Rolling 3-order average spend plus exact cumulative revenue per
+    * customer — the trend line behind a "customer spend over time" widget.
+    * ROWS frames over one (o_custkey) shuffle; the cumulative sum runs in
+    * exact decimal so summation order can't smear the double. */
+  val windowRollingAvg: QFn = (spark, sfDir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 4)
+          .as("avg_3"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"), 2)
+          .as("cum_revenue"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Per-customer order cadence: days since the previous order (lag) and
+    * the next order's key (lead) — the inter-purchase-interval analysis
+    * behind README.md:160's "how frequently user is buying". */
+  val windowLagLeadDelta: QFn = (spark, sfDir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("days_since_prev"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "agg_pivot_status" -> aggPivotStatus,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "window_rolling_avg" -> windowRollingAvg,
+    "window_lag_lead_delta" -> windowLagLeadDelta,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_pivot_status" ->
+      ("SELECT o_orderpriority, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "agg_grouping_sets" ->
+      ("SELECT coalesce(status, 'ALL') AS status, " +
+        "coalesce(CAST(o_year AS VARCHAR), 'ALL') AS o_year, count(*) AS cnt " +
+        "FROM (SELECT o_orderstatus AS status, year(o_orderdate) AS o_year FROM orders) " +
+        "GROUP BY GROUPING SETS ((status, o_year), (status), (o_year), ()) " +
+        "ORDER BY status, o_year"),
+    "window_rolling_avg" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "ROUND(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_3, " +
+        "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS DOUBLE), 2) AS cum_revenue " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "window_lag_lead_delta" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "CAST(date_diff('day', CAST(lag(o_orderdate, 1) OVER w AS DATE), " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev, " +
+        "lead(o_orderkey, 1) OVER w AS next_orderkey " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+  )
+}

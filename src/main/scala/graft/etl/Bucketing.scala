@@ -1,0 +1,63 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.QFn
+import graft.tables.Tables
+import graft.util.Scratch
+
+/** SURVEY.md §2.1/§2.3 round-3 extension — bucketed storage + co-located
+  * join. The reference avoids warehouse-time joins by denormalizing at ETL
+  * time (README.md:29,113-114 "to avoid joining ... reduce the load on
+  * CPU"); bucketing is the engine-native way to buy the same win WITHOUT
+  * materializing the wide table: write both tables hash-bucketed on the
+  * join key once, and every subsequent join on that key reads bucket i
+  * against bucket i with NO shuffle on either side. At 100 TB this turns
+  * the fact⋈fact join from the dominant network cost into a local merge —
+  * the single highest-leverage layout decision a Spark warehouse makes.
+  */
+object Bucketing {
+
+  /** Write orders + lineitem bucketed by order key (8 buckets; at scale:
+    * pick buckets so each is a few hundred MB), then join them WITHOUT any
+    * exchange: both sides report the same HashPartitioning(orderkey, 8) from
+    * the bucketed scan, so only per-bucket sorts (the files are sortBy'd,
+    * but multi-file buckets still re-sort) feed the merge join. The merge
+    * hint keeps AQE from "helpfully" broadcasting the small test-scale side
+    * — at production scale both sides are facts and SMJ is the real plan.
+    * PlanSpec asserts the no-Exchange property. */
+  val sinkBucketedColocated: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("bucketed_" + java.lang.Integer.toHexString(sfDir.hashCode))
+    val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+    val oT = s"orders_bkt_$suffix"
+    val lT = s"lineitem_bkt_$suffix"
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/$oT").saveAsTable(oT)
+    Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/$lT").saveAsTable(lT)
+    spark.table(oT).hint("merge")
+      .join(spark.table(lT), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "sink_bucketed_colocated" -> sinkBucketedColocated,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sink_bucketed_colocated" ->
+      ("SELECT o_orderkey, o_orderstatus, count(*) AS n_lines, " +
+        "ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey"),
+  )
+}

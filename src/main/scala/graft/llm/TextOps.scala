@@ -102,6 +102,25 @@ object TextOps {
         expr("size(array_distinct(shingles))").as("n_shingles"))
       .orderBy("doc_id")
 
+  /** Repetition filter (Gopher-style repetitious-text signal): fraction of
+    * duplicated whitespace tokens per document — 1 - distinct/total — plus
+    * the keep/drop flag a quality pipeline would gate on. Stateless per-row
+    * arithmetic over the token array: no shuffle, fully codegen'd, linear
+    * at any corpus size. */
+  val llmRepetitionFilter: QFn = (spark, sfDir) => {
+    val nTok = size(tokens)
+    val nDistinct = size(array_distinct(tokens))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        nDistinct.as("n_distinct"),
+        when(nTok === 0, 0.0)
+          .otherwise(round(lit(1.0) - nDistinct.cast("double") / nTok.cast("double"), 4))
+          .as("dup_frac"))
+      .withColumn("keep", col("dup_frac") <= 0.2)
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary: top-50 tokens by document frequency — the
     * distributed wordcount shape (explode → two-level agg). Partial
     * aggregation happens map-side, so the shuffle carries one row per
@@ -140,6 +159,7 @@ object TextOps {
 
   val queries: Map[String, QFn] = Map(
     "llm_pii_scrub" -> llmPiiScrub,
+    "llm_repetition_filter" -> llmRepetitionFilter,
     "llm_vocab_topk" -> llmVocabTopk,
     "llm_text_stats" -> llmTextStats,
     "llm_token_count" -> llmTokenCount,
@@ -161,6 +181,16 @@ object TextOps {
           "CAST(len(regexp_extract_all(clean, '<PHONE>')) AS INT) AS n_phones, " +
           "CAST(length(dirty) - length(clean) AS INT) AS chars_removed, " +
           "substr(clean, -40, 40) AS tail FROM c ORDER BY doc_id"),
+      "llm_repetition_filter" ->
+        ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+          "FROM documents), m AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, " +
+          "CAST(len(list_distinct(toks)) AS INT) AS n_distinct FROM t) " +
+          "SELECT doc_id, n_tokens, n_distinct, " +
+          "CASE WHEN n_tokens = 0 THEN 0.0 ELSE " +
+          "ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) END AS dup_frac, " +
+          "(CASE WHEN n_tokens = 0 THEN 0.0 ELSE " +
+          "ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) END) <= 0.2 AS keep " +
+          "FROM m ORDER BY doc_id"),
       "llm_vocab_topk" ->
         ("SELECT token, count(*) AS doc_freq FROM (" +
           "SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS token " +

@@ -262,11 +262,48 @@ object StreamOps {
       .orderBy("user_id", "session_start")
   }
 
+  /** Stream-stream interval join: views joined to the same user's purchases
+    * within the following hour — the attribution query (README.md:102
+    * "viewing but not buying" run as a live stream instead of a batch
+    * report). Both sides carry watermarks and the join predicate bounds
+    * purchase_ts to [view_ts, view_ts + 1h]; together these let the engine
+    * expire view state once the purchase watermark passes view_ts + 1h and
+    * purchase state once the view watermark passes purchase_ts, so state is
+    * bounded by the interval — the required shape for an unbounded
+    * stream-stream join at scale. */
+  val streamStreamJoin: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val base = Scratch.dir("stream_stream_join")
+    ev.write.mode("overwrite").parquet(s"$base/src")
+    val name = uniq("stream_stream_join")
+    val ss = streamSession(spark, 4)
+    def side(tpe: String, uid: String, eid: String, ts: String) =
+      ss.readStream.schema(ev.schema).parquet(s"$base/src")
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(uid), col("event_id").as(eid),
+          col("ts").as(ts))
+        .withWatermark(ts, "1 hour")
+    val views = side("view", "v_user", "view_id", "view_ts")
+    val purchases = side("purchase", "p_user", "purchase_id", "purchase_ts")
+    val q = views.join(purchases,
+      expr("v_user = p_user AND purchase_ts >= view_ts " +
+        "AND purchase_ts <= view_ts + interval 1 hour"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy("user_id", "view_id", "purchase_id")
+  }
+
   val queries: Map[String, QFn] = Map(
     "stream_file_source_upsert" -> streamFileSourceUpsert,
     "stream_hourly_window" -> streamHourlyWindow,
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_session_state" -> streamSessionState,
+    "stream_stream_join" -> streamStreamJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -279,6 +316,12 @@ object StreamOps {
         "event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "stream_watermark_late" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    "stream_stream_join" ->
+      ("SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id " +
+        "FROM events v JOIN events p ON v.user_id = p.user_id " +
+        "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR " +
+        "ORDER BY v.user_id, view_id, purchase_id"),
     // batch sessionization minus each user's LAST session (still open when
     // the stream drains) — the exact closed-session set the stream emits
     "stream_session_state" ->

@@ -15,8 +15,9 @@ class ContractSpec extends AnyFunSuite {
   test("query names are unique across modules") {
     val all = Seq(
       graft.etl.Ingest.queries, graft.etl.Transforms.queries,
-      graft.etl.Upsert.queries, graft.analytics.Queries.queries,
-      graft.analytics.Temporal.queries,
+      graft.etl.Upsert.queries, graft.etl.Bucketing.queries,
+      graft.analytics.Queries.queries,
+      graft.analytics.Temporal.queries, graft.analytics.Advanced.queries,
       graft.streaming.StreamOps.queries, graft.llm.TextOps.queries,
       graft.llm.DedupOps.queries, graft.llm.SimilarityOps.queries,
       graft.llm.MultimodalOps.queries, graft.llm.SampleOps.queries)

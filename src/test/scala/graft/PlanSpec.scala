@@ -83,6 +83,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"CUSTOMER dim must broadcast:\n$p")
   }
 
+  test("bucketed fact⋈fact join runs with zero hash exchanges") {
+    val df = graft.etl.Bucketing.sinkBucketedColocated(spark, sfDir)
+    df.collect() // AQE: final plan only exists after execution
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+    // bucket co-location must eliminate every shuffle below the join AND
+    // under the aggregation (partitioning on o_orderkey satisfies the
+    // (o_orderkey, o_orderstatus) grouping); only the final presentation
+    // orderBy may range-exchange
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan must report bucketed reads:\n$p")
+  }
+
   test("as-of join plans as union+window — no join node, one hash shuffle") {
     val df = graft.analytics.Temporal.joinAsofPurchase(spark, sfDir)
     val p = plan(df)
