@@ -79,11 +79,56 @@ object Advanced {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Skew-safe JOIN via salting — the join-side companion to
+    * agg_skew_salted: the big (skewed) side gets a salt from a high-card
+    * column, the small side is replicated once per salt value, and the join
+    * key becomes (key, salt) so one hot user spreads over nSalt reducers.
+    * The merge hint disables broadcast, which would hide the pattern at
+    * test scale — at 100 TB this is the shape for a dimension too big to
+    * broadcast joined against a fact with hot keys AQE can't split (e.g.
+    * one user with 10% of all events). Result provably equals the plain
+    * join (the oracle checks exactly that). */
+  val joinSkewSalted: QFn = (spark, sfDir) => {
+    val nSalt = 8
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("value"),
+        pmod(col("event_id"), lit(nSalt)).as("salt"))
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(array((0 until nSalt).map(i => lit(i)): _*)).as("salt"))
+    ev.hint("merge")
+      .join(cust, ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Mergeable distinct-count sketches — the re-aggregation property exact
+    * distinct counts lack: per-(day, event_type) HLL sketches roll up to
+    * per-type estimates by sketch UNION, never re-touching the raw events.
+    * At 100 TB this is the only way a dashboard serves "distinct users by
+    * arbitrary dimension slice" without a full re-scan per slice.
+    * Estimates aren't oracle-replayable (DuckDB's approx algorithm
+    * differs) → ApproxSpec pins the estimate within 5% of exact instead. */
+  val aggHllMergeable: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+        count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QFn] = Map(
     "agg_pivot_status" -> aggPivotStatus,
     "agg_grouping_sets" -> aggGroupingSets,
+    "agg_hll_mergeable" -> aggHllMergeable,
     "window_rolling_avg" -> windowRollingAvg,
     "window_lag_lead_delta" -> windowLagLeadDelta,
+    "join_skew_salted" -> joinSkewSalted,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -114,5 +159,13 @@ object Advanced {
         "lead(o_orderkey, 1) OVER w AS next_orderkey " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    // join_skew_salted: salting must be invisible in the result — the
+    // oracle is the UNSALTED join
+    "join_skew_salted" ->
+      ("SELECT c_mktsegment, count(*) AS n_events, " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // agg_hll_mergeable: estimate not oracle-replayable → ApproxSpec
   )
 }

@@ -253,7 +253,30 @@ object Ingest {
   def insertPositional(source: DataFrame, targetCols: Seq[String]): DataFrame =
     source.toDF(targetCols: _*)
 
+  /** Schema evolution on the lake (the crawler-re-run scenario,
+    * README.md:83,168: the catalog picks up NEW columns as files evolve):
+    * an early drop without o_orderstatus and a later drop with it live in
+    * the same directory; `mergeSchema` reconciles the footers and the old
+    * rows surface the new column as null. At scale mergeSchema costs a
+    * footer read per file — enable it on the first read after an evolution,
+    * then pin the merged schema explicitly (as a catalog would). */
+  val scanParquetSchemaEvolution: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("scan_parquet_schema_evolution")
+    val orders = Tables(spark, sfDir, "orders")
+    orders.filter(col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("append").parquet(dir)
+    orders.filter(col("o_orderdate") >= lit("1998-01-01"))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("append").parquet(dir)
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("o_orderstatus"), lit("?")).as("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "scan_parquet_schema_evolution" -> scanParquetSchemaEvolution,
     "scan_csv_header_quoted" -> scanCsvHeaderQuoted,
     "scan_csv_invalid_chars" -> scanCsvInvalidChars,
     "scan_csv_infer_schema" -> scanCsvInferSchema,
@@ -268,6 +291,11 @@ object Ingest {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "scan_parquet_schema_evolution" ->
+      ("SELECT o_orderkey, o_totalprice, " +
+        "CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN '?' " +
+        "ELSE o_orderstatus END AS o_orderstatus " +
+        "FROM orders ORDER BY o_orderkey"),
     "scan_csv_header_quoted" ->
       "SELECT * FROM customer ORDER BY c_custkey",
     // Same sanitizing regexp on the oracle side (not a hardcoded '??'

@@ -33,8 +33,37 @@ object SampleOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-rebalanced source mixing (the data-mix pass of a training
+    * pipeline): per-source share p_s is flattened to p_s^(1/T) (T=2 →
+    * sqrt), renormalized, and converted to a keep-rate against a corpus
+    * budget of half the docs — over-represented sources are downsampled
+    * hardest, tiny sources kept whole. The per-row decision stays a
+    * stateless hash threshold (reproducible, shuffle-free); the per-source
+    * rates come from ONE tiny aggregate (n_sources rows) broadcast back —
+    * at 100 TB that is a metadata-sized join, the corpus is still scanned
+    * once. Integer thresholds (floor(r·10000 + 0.5)) keep the borderline
+    * comparison integral on both engines. */
+  val llmSampleTemperature: QFn = (spark, sfDir) => {
+    val d = Tables(spark, sfDir, "documents")
+    val bySource = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val withW = bySource.withColumn("w", sqrt(col("n_docs").cast("double")))
+    val tot = withW.agg(sum(col("n_docs")).as("n_total"), sum(col("w")).as("w_total"))
+    val rates = withW.crossJoin(broadcast(tot))
+      .withColumn("keep_rate",
+        least(lit(1.0), (col("w") / col("w_total")) * (col("n_total") * 0.5) / col("n_docs")))
+      .withColumn("thr", floor(col("keep_rate") * 10000 + 0.5).cast("int"))
+      .select("source", "n_docs", "thr")
+    d.join(broadcast(rates), Seq("source"))
+      .filter(pmod(col("doc_id") * 1103515245L + 12345L, lit(10000)) < col("thr"))
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"), count(lit(1)).as("n_kept"),
+        max(col("thr")).as("thr"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, QFn] = Map(
     "llm_sample_stratified" -> llmSampleStratified,
+    "llm_sample_temperature" -> llmSampleTemperature,
   )
 
   private def quotaCaseSql: String =
@@ -45,5 +74,16 @@ object SampleOps {
     "llm_sample_stratified" ->
       (s"SELECT doc_id, lang, CAST($quotaCaseSql AS INT) AS quota_pct, n_chars " +
         s"FROM documents WHERE doc_id % 100 < $quotaCaseSql ORDER BY doc_id"),
+    "llm_sample_temperature" ->
+      ("WITH s AS (SELECT source, count(*) AS n_docs, sqrt(count(*)) AS w " +
+        "FROM documents GROUP BY source), " +
+        "t AS (SELECT sum(n_docs) AS n_total, sum(w) AS w_total FROM s), " +
+        "r AS (SELECT source, n_docs, CAST(floor(least(1.0, " +
+        "(w / w_total) * (n_total * 0.5) / n_docs) * 10000 + 0.5) AS INT) AS thr " +
+        "FROM s, t) " +
+        "SELECT d.source, max(r.n_docs) AS n_docs, count(*) AS n_kept, " +
+        "max(r.thr) AS thr FROM documents d JOIN r ON d.source = r.source " +
+        "WHERE (d.doc_id * 1103515245 + 12345) % 10000 < r.thr " +
+        "GROUP BY d.source ORDER BY d.source"),
   )
 }

@@ -179,8 +179,27 @@ object SimilarityOps {
       .orderBy("label", "dim")
   }
 
+  /** kNN classification on top of the batch kNN join: each query vector is
+    * labeled by the majority label of its top-5 exact-cosine neighbors
+    * (ties → higher best similarity, then lower label). The expensive part
+    * is the kNN join (one corpus scan); the vote is an nqueries×nlabels
+    * aggregate — free at any scale. */
+  val llmKnnClassify: QFn = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val votes = llmSimilarityKnnJoin(spark, sfDir)
+      .groupBy("qid", "label")
+      .agg(count(lit(1)).as("votes"), max(col("sim")).as("best_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("best_sim").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, QFn] = Map(
     "llm_embedding_centroid" -> llmEmbeddingCentroid,
+    "llm_knn_classify" -> llmKnnClassify,
     "llm_similarity_topk" -> llmSimilarityTopk,
     "llm_similarity_ann" -> llmSimilarityAnn,
     "llm_similarity_ivf" -> llmSimilarityIvf,
@@ -224,5 +243,15 @@ object SimilarityOps {
         "CAST(row_number() OVER (PARTITION BY qid ORDER BY " + cosineSql + " DESC, vec_id) AS INT) AS rank " +
         "FROM embeddings, q WHERE vec_id <> qid " +
         "QUALIFY rank <= 5 ORDER BY qid, rank"),
+    // same top-5 CTE as llm_similarity_knn_join, then the majority vote
+    "llm_knn_classify" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE label = 0 AND vec_id < 200), " +
+        s"k AS (SELECT qid, vec_id, label, $cosineSql AS sim, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY " + cosineSql + " DESC, vec_id) AS INT) AS rank " +
+        "FROM embeddings, q WHERE vec_id <> qid QUALIFY rank <= 5), " +
+        "v AS (SELECT qid, label, count(*) AS votes, max(sim) AS best_sim FROM k GROUP BY 1, 2) " +
+        "SELECT qid, label AS pred_label, votes FROM v " +
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, best_sim DESC, label) = 1 " +
+        "ORDER BY qid"),
   )
 }
