@@ -433,5 +433,17 @@ object DedupOps {
         "ROUND(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) / (a.norm * b.norm), 6) AS cosine " +
         "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
         "ORDER BY cosine DESC, vec_a, vec_b LIMIT 100"),
+    // Replayable without xxhash64: gram IDENTITY doesn't matter, only
+    // equality — DuckDB intersects the raw 13-char substrings the Spark
+    // side hashes (64-bit collisions over ~1M grams: P ≈ 1e-8, ignorable).
+    "llm_decontaminate" ->
+      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, doc_id % 2 = 0 AS is_train, " +
+        "substr(t, CAST(i AS BIGINT), 13) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)), " +
+        "tr AS (SELECT DISTINCT gram FROM g WHERE is_train) " +
+        "SELECT doc_id, count(*) AS n_shared_grams " +
+        "FROM g JOIN tr USING (gram) WHERE NOT is_train " +
+        "GROUP BY doc_id ORDER BY doc_id"),
   )
 }

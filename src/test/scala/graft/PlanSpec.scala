@@ -97,6 +97,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Bucketed: true"), s"scan must report bucketed reads:\n$p")
   }
 
+  test("salted skew join sort-merges on (key, salt) — broadcast must not hide the spread") {
+    val df = graft.analytics.Advanced.joinSkewSalted(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), s"merge hint must hold:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"broadcast would collapse the salt spread:\n$p")
+    assert("hashpartitioning\\((user_id|c_custkey)#\\d+L?, salt#".r.findFirstIn(p).isDefined,
+      s"join must shuffle on (key, salt), not key alone:\n$p")
+  }
+
+  test("grouping sets plan one Expand + hash aggregate, not a union of scans") {
+    val df = graft.analytics.Advanced.aggGroupingSets(spark, sfDir)
+    val p = plan(df)
+    assert("(?s)Expand".r.findAllIn(p).size == 1, s"expected one Expand:\n$p")
+    assert(!p.contains("Union"), s"grouping sets must not union scans:\n$p")
+  }
+
   test("as-of join plans as union+window — no join node, one hash shuffle") {
     val df = graft.analytics.Temporal.joinAsofPurchase(spark, sfDir)
     val p = plan(df)
