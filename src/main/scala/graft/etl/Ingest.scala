@@ -275,7 +275,38 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
+  private[graft] def dataFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  /** Small-file compaction — the lake-maintenance pass every streaming/
+    * hourly ingest eventually needs (the reference's hourly drops,
+    * README.md:58-60, produce exactly this fragmentation): an
+    * over-parallel write leaves 64 tiny files; compaction rewrites to
+    * ceil(bytes / 128 MB) files. At 100 TB file count is a real query-time
+    * cost (task scheduling + footer reads + row-group fragmentation), and
+    * the byte-targeted repartition keeps output files at the size the
+    * scanner wants. CompactionSpec pins the file-count reduction; the
+    * oracle pins content preservation. */
+  val sinkCompactSmallFiles: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("sink_compact_small_files")
+    Tables(spark, sfDir, "events")
+      .repartition(64).write.mode("overwrite").parquet(s"$dir/small")
+    val small = spark.read.parquet(s"$dir/small")
+    val totalBytes = dataFiles(s"$dir/small").map(_.length).sum
+    val target = math.max(1, math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
+    small.repartition(target).write.mode("overwrite").parquet(s"$dir/compacted")
+    spark.read.parquet(s"$dir/compacted")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("event_id")).as("n_ids"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "sink_compact_small_files" -> sinkCompactSmallFiles,
     "scan_parquet_schema_evolution" -> scanParquetSchemaEvolution,
     "scan_csv_header_quoted" -> scanCsvHeaderQuoted,
     "scan_csv_invalid_chars" -> scanCsvInvalidChars,
@@ -291,6 +322,10 @@ object Ingest {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sink_compact_small_files" ->
+      ("SELECT event_type, count(*) AS cnt, count(DISTINCT event_id) AS n_ids, " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "scan_parquet_schema_evolution" ->
       ("SELECT o_orderkey, o_totalprice, " +
         "CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN '?' " +

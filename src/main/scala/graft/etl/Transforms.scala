@@ -125,7 +125,26 @@ object Transforms {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** ANSI-safe ingestion of dirty numerics: Spark 4 runs ANSI mode, where a
+    * plain CAST on a malformed value fails the JOB — try_cast is the
+    * row-level absorb that keeps a 100 TB load from dying on one bad cell
+    * (the engine-level form of the reference's acceptinvchars tolerance,
+    * README.md:35,146). Every 7th row is made unparseable; the query
+    * surfaces parsed values and a rejected flag per row. */
+  val fnTryCastRobust: QFn = (spark, sfDir) => {
+    val raw = get_json_object(col("props"), "$.k")
+    val dirty = when(pmod(col("event_id"), lit(7)) === 0, concat(raw, lit("x")))
+      .otherwise(raw)
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), dirty.as("raw"))
+      .select(col("event_id"), col("raw"),
+        expr("try_cast(raw AS int)").as("parsed"))
+      .withColumn("rejected", col("parsed").isNull)
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "fn_try_cast_robust" -> fnTryCastRobust,
     "project_derive_year_month" -> projectDeriveYearMonth,
     "filter_last_3_months" -> filterLast3Months,
     "filter_event_type" -> filterEventType,
@@ -180,5 +199,11 @@ object Transforms {
     "fn_json_get" ->
       ("SELECT event_id, CAST(regexp_extract(props, '-?[0-9]+') AS INT) AS k " +
         "FROM events ORDER BY event_id"),
+    "fn_try_cast_robust" ->
+      ("WITH d AS (SELECT event_id, CASE WHEN event_id % 7 = 0 " +
+        "THEN regexp_extract(props, '-?[0-9]+') || 'x' " +
+        "ELSE regexp_extract(props, '-?[0-9]+') END AS raw FROM events) " +
+        "SELECT event_id, raw, TRY_CAST(raw AS INT) AS parsed, " +
+        "TRY_CAST(raw AS INT) IS NULL AS rejected FROM d ORDER BY event_id"),
   )
 }
