@@ -17,7 +17,10 @@ object PlanDump {
     val picks = Seq(
       "agg_sales_by_category_year", "incremental_upsert", "scan_parquet",
       "filter_last_3_months", "llm_dedup_minhash", "llm_similarity_topk",
-      "agg_skew_salted")
+      "agg_skew_salted",
+      // round 3
+      "sink_bucketed_colocated", "join_skew_salted", "agg_grouping_sets",
+      "llm_decontaminate", "agg_hll_mergeable")
     picks.foreach { name =>
       println(s"\n======== $name ========")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
