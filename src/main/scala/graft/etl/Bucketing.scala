@@ -30,13 +30,19 @@ object Bucketing {
     val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
     val oT = s"orders_bkt_$suffix"
     val lT = s"lineitem_bkt_$suffix"
+    // repartition(8, key) uses the same pmod(hash(key), 8) as the bucket
+    // assignment, so each task holds exactly one bucket → ONE file per
+    // bucket (instead of up to 32×8 fragments) and the sortBy order is a
+    // whole-bucket property the scan can reuse
     Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$dir/$oT").saveAsTable(oT)
     Tables(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$dir/$lT").saveAsTable(lT)

@@ -274,7 +274,9 @@ object StreamOps {
   val streamStreamJoin: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
     val base = Scratch.dir("stream_stream_join")
-    ev.write.mode("overwrite").parquet(s"$base/src")
+    // 4 source files for 4 stream partitions: both join sides list and
+    // read this directory, so file-count overhead is paid twice
+    ev.repartition(4).write.mode("overwrite").parquet(s"$base/src")
     val name = uniq("stream_stream_join")
     val ss = streamSession(spark, 4)
     def side(tpe: String, uid: String, eid: String, ts: String) =
