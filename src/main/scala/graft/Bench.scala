@@ -54,6 +54,18 @@ object Bench {
         .selectExpr("xxhash64(id) AS h").agg(org.apache.spark.sql.functions.sum("h")).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Second calibration with a real shuffle: the round-3 host showed
+    // episodes where pure-CPU throughput (calib above) stayed flat while
+    // shuffle-heavy fixed workloads ran 4-5× slower — the two numbers
+    // together tell a reader WHICH regime a given bench total ran under.
+    val calibShuffleSec: Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 5000000L, 1, cpus.toInt)
+        .selectExpr("pmod(xxhash64(id), 100000) AS k")
+        .groupBy("k").count()
+        .agg(org.apache.spark.sql.functions.sum("count")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     // A failed query reports -1 (excluded from the total) instead of a
     // plausible-looking elapsed time — a regression that makes queries fail
     // fast must not read as a speedup.
@@ -77,7 +89,7 @@ object Bench {
     val total = if (good.nonEmpty) good.sum else 0.0
     val nFailed = results.values.count(_ < 0)
     println(s"""{"metric":"queries","sf":"$sfDir","detail":$qs}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

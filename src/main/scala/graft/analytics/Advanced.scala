@@ -122,7 +122,47 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** Week-over-week user retention — the canonical funnel-health metric one
+    * step past the reference's per-stage counts (README.md:102,160): of the
+    * users active in week w, how many are also active in week w+1. One
+    * distinct pass builds the (week, user) activity set; the self-join back
+    * onto the following week is keyed on (week, user) — shuffle bounded by
+    * active users per week, never raw events. */
+  val aggRetentionWeekly: QFn = (spark, sfDir) => {
+    val uw = Tables(spark, sfDir, "events")
+      .select(date_trunc("week", col("ts")).as("wk"), col("user_id"))
+      .distinct()
+    val nxt = uw.select((col("wk") - expr("interval 7 days")).as("wk"),
+      col("user_id").as("u2"))
+    uw.join(nxt, uw("wk") === nxt("wk") && col("user_id") === col("u2"), "left")
+      .groupBy(uw("wk"))
+      .agg(count(lit(1)).as("active_users"), count(col("u2")).as("retained_users"))
+      .select(date_format(uw("wk"), "yyyy-MM-dd").as("week"),
+        col("active_users"), col("retained_users"),
+        round(col("retained_users").cast("double") / col("active_users"), 4)
+          .as("retention"))
+      .orderBy("week")
+  }
+
+  /** Customer spend deciles: lifetime total per customer, then ntile(10)
+    * with a deterministic tie-break — the segmentation cut behind "top 10%
+    * of customers" dashboards. Two shuffles: the per-customer aggregate,
+    * then the single global sort the rank requires (at 100 TB: compute
+    * decile BOUNDARIES with approx percentiles and join them back instead
+    * of one global window). */
+  val windowNtileDecile: QFn = (spark, sfDir) => {
+    val w = Window.orderBy(col("total_spend").desc, col("o_custkey"))
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+        .as("total_spend"))
+      .withColumn("decile", ntile(10).over(w))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "agg_retention_weekly" -> aggRetentionWeekly,
+    "window_ntile_decile" -> windowNtileDecile,
     "agg_pivot_status" -> aggPivotStatus,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_hll_mergeable" -> aggHllMergeable,
@@ -159,6 +199,20 @@ object Advanced {
         "lead(o_orderkey, 1) OVER w AS next_orderkey " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "agg_retention_weekly" ->
+      ("WITH uw AS (SELECT DISTINCT date_trunc('week', ts) AS wk, user_id FROM events) " +
+        "SELECT strftime(a.wk, '%Y-%m-%d') AS week, count(*) AS active_users, " +
+        "count(b.user_id) AS retained_users, " +
+        "ROUND(CAST(count(b.user_id) AS DOUBLE) / count(*), 4) AS retention " +
+        "FROM uw a LEFT JOIN uw b ON b.wk = a.wk + INTERVAL 7 DAY AND b.user_id = a.user_id " +
+        "GROUP BY a.wk ORDER BY week"),
+    "window_ntile_decile" ->
+      ("WITH s AS (SELECT o_custkey, " +
+        "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_spend " +
+        "FROM orders GROUP BY o_custkey) " +
+        "SELECT o_custkey, total_spend, " +
+        "CAST(ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS INT) AS decile " +
+        "FROM s ORDER BY o_custkey"),
     // join_skew_salted: salting must be invisible in the result — the
     // oracle is the UNSALTED join
     "join_skew_salted" ->

@@ -109,7 +109,35 @@ object Upsert {
       .orderBy("o_orderkey")
   }
 
+  /** SCD Type-2 dimension merge — the history-keeping upsert the plain
+    * last-write-wins merge (above) can't express: a changed customer
+    * segment CLOSES the current version (valid_to = effective date) and
+    * APPENDS a new open version, untouched customers pass through. Two
+    * semi/anti joins against the (small) staging key set — both broadcast
+    * at warehouse scale, the accumulated dimension never shuffles. Every
+    * 10th customer changes segment so all three branches are exercised. */
+  val upsertScd2: QFn = (spark, sfDir) => {
+    val eff = "2001-06-01"
+    val dim = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        lit("1995-01-01").as("valid_from"), lit("9999-12-31").as("valid_to"))
+    val stg = Tables(spark, sfDir, "customer")
+      .filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .select(col("c_custkey"),
+        concat(lit("NEW-"), col("c_mktsegment")).as("c_mktsegment"))
+    val stgKeys = stg.select("c_custkey")
+    val untouched = dim.join(stgKeys, Seq("c_custkey"), "left_anti")
+    val closed = dim.join(stgKeys, Seq("c_custkey"), "left_semi")
+      .withColumn("valid_to", lit(eff))
+    val opened = stg
+      .withColumn("valid_from", lit(eff))
+      .withColumn("valid_to", lit("9999-12-31"))
+    untouched.unionByName(closed).unionByName(opened)
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "upsert_scd2" -> upsertScd2,
     "incremental_upsert" -> incrementalUpsert,
     "dedup_by_key" -> dedupByKey,
     "historical_plus_current_union" -> historicalPlusCurrentUnion,
@@ -117,6 +145,14 @@ object Upsert {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "upsert_scd2" ->
+      ("SELECT c_custkey, c_mktsegment, '1995-01-01' AS valid_from, " +
+        "CASE WHEN c_custkey % 10 = 0 THEN '2001-06-01' ELSE '9999-12-31' END AS valid_to " +
+        "FROM customer " +
+        "UNION ALL " +
+        "SELECT c_custkey, 'NEW-' || c_mktsegment, '2001-06-01', '9999-12-31' " +
+        "FROM customer WHERE c_custkey % 10 = 0 " +
+        "ORDER BY c_custkey, valid_from"),
     "incremental_upsert" ->
       ("WITH stg AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus " +
         "FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') " +
