@@ -48,10 +48,15 @@ object Bench {
     // measured the identical warmup workload 4-5× slower than round 2 with
     // ~0% hypervisor steal (slower per-core host), which would otherwise
     // read as a regression.
+    // collect() (not count()) forces the aggregate — count() on an agg
+    // result prunes the whole computation to an empty Range loop. The fold
+    // is bit_xor, not sum: summing 200M xxhash64 longs overflows and ANSI
+    // mode turns that into an error.
     val calibSec: Double = {
       val t0 = System.nanoTime()
       spark.range(0, 200000000L, 1, cpus.toInt)
-        .selectExpr("xxhash64(id) AS h").agg(org.apache.spark.sql.functions.sum("h")).count()
+        .selectExpr("xxhash64(id) AS h")
+        .selectExpr("bit_xor(h) AS x").collect()
       (System.nanoTime() - t0) / 1e9
     }
     // Second calibration with a real shuffle: the round-3 host showed
@@ -63,7 +68,7 @@ object Bench {
       spark.range(0, 5000000L, 1, cpus.toInt)
         .selectExpr("pmod(xxhash64(id), 100000) AS k")
         .groupBy("k").count()
-        .agg(org.apache.spark.sql.functions.sum("count")).count()
+        .agg(org.apache.spark.sql.functions.sum("count")).collect()
       (System.nanoTime() - t0) / 1e9
     }
     // A failed query reports -1 (excluded from the total) instead of a

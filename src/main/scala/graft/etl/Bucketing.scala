@@ -26,8 +26,8 @@ object Bucketing {
     * — at production scale both sides are facts and SMJ is the real plan.
     * PlanSpec asserts the no-Exchange property. */
   val sinkBucketedColocated: QFn = (spark, sfDir) => {
-    val dir = Scratch.dir("bucketed_" + java.lang.Integer.toHexString(sfDir.hashCode))
     val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = Scratch.dir(s"bucketed_$suffix")
     val oT = s"orders_bkt_$suffix"
     val lT = s"lineitem_bkt_$suffix"
     // repartition(8, key) uses the same pmod(hash(key), 8) as the bucket

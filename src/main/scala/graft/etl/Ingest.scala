@@ -275,10 +275,6 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
-  private[graft] def dataFiles(dir: String): Array[java.io.File] =
-    new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-
   /** Small-file compaction — the lake-maintenance pass every streaming/
     * hourly ingest eventually needs (the reference's hourly drops,
     * README.md:58-60, produce exactly this fragmentation): an
@@ -293,7 +289,7 @@ object Ingest {
     Tables(spark, sfDir, "events")
       .repartition(64).write.mode("overwrite").parquet(s"$dir/small")
     val small = spark.read.parquet(s"$dir/small")
-    val totalBytes = dataFiles(s"$dir/small").map(_.length).sum
+    val totalBytes = Scratch.dataFiles(s"$dir/small").map(_.length).sum
     val target = math.max(1, math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
     small.repartition(target).write.mode("overwrite").parquet(s"$dir/compacted")
     spark.read.parquet(s"$dir/compacted")

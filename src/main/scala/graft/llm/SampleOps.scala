@@ -53,8 +53,13 @@ object SampleOps {
         least(lit(1.0), (col("w") / col("w_total")) * (col("n_total") * 0.5) / col("n_docs")))
       .withColumn("thr", floor(col("keep_rate") * 10000 + 0.5).cast("int"))
       .select("source", "n_docs", "thr")
+    // doc_id is folded mod 1000003 BEFORE the LCG multiply: an unguarded
+    // doc_id * 1103515245 overflows Long for 64-bit ids >= ~8.4e9 (a 100 TB
+    // corpus scale), and Spark 4's ANSI mode turns that into a job-killing
+    // error. 1e6 * 1.1e9 stays far inside Long range on both engines.
     d.join(broadcast(rates), Seq("source"))
-      .filter(pmod(col("doc_id") * 1103515245L + 12345L, lit(10000)) < col("thr"))
+      .filter(pmod(pmod(col("doc_id"), lit(1000003L)) * 1103515245L + 12345L,
+        lit(10000)) < col("thr"))
       .groupBy("source")
       .agg(max(col("n_docs")).as("n_docs"), count(lit(1)).as("n_kept"),
         max(col("thr")).as("thr"))
@@ -83,7 +88,7 @@ object SampleOps {
         "FROM s, t) " +
         "SELECT d.source, max(r.n_docs) AS n_docs, count(*) AS n_kept, " +
         "max(r.thr) AS thr FROM documents d JOIN r ON d.source = r.source " +
-        "WHERE (d.doc_id * 1103515245 + 12345) % 10000 < r.thr " +
+        "WHERE ((d.doc_id % 1000003) * 1103515245 + 12345) % 10000 < r.thr " +
         "GROUP BY d.source ORDER BY d.source"),
   )
 }

@@ -49,18 +49,12 @@ object StreamOps {
     * either order. Stamp every data file of the drop with an explicit,
     * strictly increasing mtime instead. */
   private def stampDrop(dir: String, epochMs: Long, skip: Set[String] = Set.empty): Set[String] = {
-    val d = java.nio.file.Paths.get(dir)
-    val s = java.nio.file.Files.list(d)
-    val stamped = Set.newBuilder[String]
-    try s.forEach { p =>
-      val n = p.getFileName.toString
-      if (!n.startsWith("_") && !n.startsWith(".") && !skip(n)) {
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(epochMs))
-        stamped += n
-      }
-    } finally s.close()
-    stamped.result()
+    val stamped = Scratch.dataFiles(dir).filterNot(f => skip(f.getName))
+    stamped.foreach { f =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(epochMs))
+    }
+    stamped.map(_.getName).toSet
   }
 
   /** File-drop → incremental upsert (README.md:74-76,156-158): each

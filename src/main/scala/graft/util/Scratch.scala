@@ -30,4 +30,12 @@ object Scratch {
     try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
     finally walk.close()
   }
+
+  /** The DATA files of a Spark output directory — part files, excluding
+    * `_SUCCESS`/metadata/hidden entries. Empty for a missing directory
+    * (File.listFiles returns null there, which callers shouldn't inherit
+    * as an NPE). */
+  def dataFiles(dir: String): Array[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
 }

@@ -34,7 +34,15 @@ class ApproxSpec extends AnyFunSuite {
     val single = ev.groupBy("event_type")
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("e"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(merged == single,
-      s"sketch union must be lossless for identical lgK: $merged vs $single")
+    // near-equality, not ==: direct updates use the HIP estimator but a
+    // union falls back to the composite estimator once sketches leave
+    // sparse/coupon mode, so dense-mode estimates can differ by a few
+    // counts at higher cardinalities
+    assert(merged.keySet == single.keySet && merged.nonEmpty)
+    merged.foreach { case (t, m) =>
+      val s = single(t)
+      assert(math.abs(m - s).toDouble / math.max(1L, s) <= 0.01,
+        s"$t: union estimate $m vs single-pass $s")
+    }
   }
 }
