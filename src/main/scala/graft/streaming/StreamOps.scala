@@ -74,10 +74,12 @@ object StreamOps {
     val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
       .withColumn("o_totalprice", col("o_totalprice") * 2)
       .select(sel.map(col): _*)
+    // drops written as 4 files each, matching the 4 stream partitions —
+    // a 32-task write makes the source list/read 32 tiny files per drop
     stg.filter(col("o_orderdate") < lit("2001-05-01"))
-      .write.mode("append").parquet(incoming)
+      .repartition(4).write.mode("append").parquet(incoming)
     stg.filter(col("o_orderdate") >= lit("2001-05-01"))
-      .write.mode("append").parquet(incoming)
+      .repartition(4).write.mode("append").parquet(incoming)
 
     var cur = histDir
     var i = 0
@@ -111,7 +113,7 @@ object StreamOps {
   val streamHourlyWindow: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
     val base = Scratch.dir("stream_hourly_window")
-    ev.write.mode("overwrite").parquet(s"$base/src")
+    ev.repartition(4).write.mode("overwrite").parquet(s"$base/src")
     val name = uniq("stream_hourly_window")
     val ss = streamSession(spark, 4)
     val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
@@ -135,8 +137,8 @@ object StreamOps {
   val streamWatermarkLate: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
     val base = Scratch.dir("stream_watermark_late")
-    ev.write.mode("append").parquet(s"$base/src")
-    ev.write.mode("append").parquet(s"$base/src") // duplicate drop
+    ev.repartition(4).write.mode("append").parquet(s"$base/src")
+    ev.repartition(4).write.mode("append").parquet(s"$base/src") // duplicate drop
     val name = uniq("stream_watermark_late")
     val ss = streamSession(spark, 4)
     val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
