@@ -144,19 +144,33 @@ object Advanced {
       .orderBy("week")
   }
 
-  /** Customer spend deciles: lifetime total per customer, then ntile(10)
-    * with a deterministic tie-break — the segmentation cut behind "top 10%
-    * of customers" dashboards. Two shuffles: the per-customer aggregate,
-    * then the single global sort the rank requires (at 100 TB: compute
-    * decile BOUNDARIES with approx percentiles and join them back instead
-    * of one global window). */
+  /** Customer spend deciles — the segmentation cut behind "top 10% of
+    * customers" dashboards, in the shape that survives 100 TB: decile
+    * BOUNDARIES from one percentile aggregate, broadcast back, assignment
+    * by range. A `ntile(10) OVER (ORDER BY ...)` spelling forces every row
+    * through ONE task for the global rank; here no row-bearing exchange is
+    * single-partition — the only SinglePartition hop carries the 9-element
+    * boundary array (percentile's combined partial buffers), and the fact
+    * rows flow map-side-only from aggregate to assignment. Ties share a
+    * decile by construction (equal spend ⇒ equal decile — arguably sounder
+    * segmentation than ntile's arbitrary tie split). Exact `percentile`
+    * keeps the DuckDB oracle replayable (quantile_cont, same type-7
+    * interpolation); at 100 TB swap in approx_percentile — the plan shape
+    * is unchanged. PlanSpec asserts no single-partition Sort/Window. */
   val windowNtileDecile: QFn = (spark, sfDir) => {
-    val w = Window.orderBy(col("total_spend").desc, col("o_custkey"))
-    Tables(spark, sfDir, "orders")
+    val s = Tables(spark, sfDir, "orders")
       .groupBy("o_custkey")
       .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
         .as("total_spend"))
-      .withColumn("decile", ntile(10).over(w))
+    val bounds = s.agg(expr(
+      "percentile(total_spend, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+      .as("bs"))
+    // decile 1 = top spenders: 10 minus the count of boundaries strictly
+    // below the value (v > p90 ⇒ 9 below ⇒ decile 1; v <= p10 ⇒ decile 10)
+    s.crossJoin(broadcast(bounds))
+      .select(col("o_custkey"), col("total_spend"),
+        (lit(10) - size(expr("filter(bs, b -> b < total_spend)"))).cast("int")
+          .as("decile"))
       .orderBy("o_custkey")
   }
 
@@ -206,13 +220,18 @@ object Advanced {
         "ROUND(CAST(count(b.user_id) AS DOUBLE) / count(*), 4) AS retention " +
         "FROM uw a LEFT JOIN uw b ON b.wk = a.wk + INTERVAL 7 DAY AND b.user_id = a.user_id " +
         "GROUP BY a.wk ORDER BY week"),
+    // same boundary-range semantics as the Spark side: type-7 interpolated
+    // deciles (quantile_cont == Spark's exact percentile), count of
+    // boundaries strictly below the value
     "window_ntile_decile" ->
       ("WITH s AS (SELECT o_custkey, " +
         "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_spend " +
-        "FROM orders GROUP BY o_custkey) " +
+        "FROM orders GROUP BY o_custkey), " +
+        "b AS (SELECT quantile_cont(total_spend, " +
+        "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM s) " +
         "SELECT o_custkey, total_spend, " +
-        "CAST(ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS INT) AS decile " +
-        "FROM s ORDER BY o_custkey"),
+        "CAST(10 - len(list_filter(bs, x -> x < total_spend)) AS INT) AS decile " +
+        "FROM s, b ORDER BY o_custkey"),
     // join_skew_salted: salting must be invisible in the result — the
     // oracle is the UNSALTED join
     "join_skew_salted" ->

@@ -139,6 +139,33 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected exactly one user_id shuffle, got $shuffles:\n$p")
   }
 
+  test("decile assignment has no single-partition sort/window — boundaries broadcast back") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    // AQE off so the executed plan is a plain traversable tree (the shape
+    // assertion is about the static plan, not runtime re-optimization)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.analytics.Advanced.windowNtileDecile(spark, sfDir)
+      val root = df.queryExecution.executedPlan
+      assert(root.collect { case w: WindowExec => w }.isEmpty,
+        s"global-rank window must be gone:\n$root")
+      // the ONLY SinglePartition exchange allowed is the percentile
+      // boundary aggregate (partial buffers, 9 doubles) — never fact rows
+      val rowFunnels = root.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition &&
+            !e.child.isInstanceOf[BaseAggregateExec] => e
+      }
+      assert(rowFunnels.isEmpty,
+        s"row data must not funnel through one partition:\n$root")
+      assert(root.toString.contains("BroadcastNestedLoopJoin"),
+        s"boundary array must broadcast back:\n$root")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("upsert plan: anti-join broadcasts the staging side when small") {
     val orders = graft.tables.Tables(spark, sfDir, "orders")
     val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
