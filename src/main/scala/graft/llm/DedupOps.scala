@@ -204,6 +204,19 @@ object DedupOps {
     var prevSum = labelSum(labels)
     var changed = 1L
     var rounds = 0
+    // localCheckpoint blocks of superseded rounds are released as soon as
+    // the next round materializes (eager checkpoint) — otherwise the loop
+    // accumulates up to 20 label tables of executor storage in a long-lived
+    // session. Only the latest round's blocks (the result's backing data —
+    // lineage is truncated, so they must outlive consumption) and the
+    // pinned `edges` frame remain.
+    def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    var prevCkpt: org.apache.spark.sql.DataFrame = null
     while (changed > 0 && rounds < 20) {
       val nbrMin = edges
         .join(labels.withColumnsRenamed(Map("doc_id" -> "doc_b", "label" -> "nbl")), Seq("doc_b"))
@@ -220,6 +233,8 @@ object DedupOps {
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
       val newSum = labelSum(next)
+      if (prevCkpt != null) releaseCheckpoint(prevCkpt)
+      prevCkpt = next
       changed = if (newSum.compareTo(prevSum) == 0) 0L else 1L
       prevSum = newSum
       labels = next

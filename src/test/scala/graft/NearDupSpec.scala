@@ -68,6 +68,19 @@ class NearDupSpec extends AnyFunSuite {
     assert(clusters.size == docs.count())
   }
 
+  test("cluster loop releases superseded round checkpoints (no storage growth with rounds)") {
+    // localCheckpoint persists at the RDD level, so leaked rounds show up in
+    // sc.getPersistentRDDs (the SQL cache does not). Per run only the edges
+    // checkpoint and the final round's labels (the result's backing blocks)
+    // may remain — every intermediate round must have been released.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    graft.llm.DedupOps.llmDedupCluster(spark, sfDir).count()
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"checkpoint leak: persistent RDDs grew $before -> $after (max +2 allowed)")
+  }
+
   test("decontamination equals brute-force 13-gram overlap") {
     val got = graft.llm.DedupOps.llmDecontaminate(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

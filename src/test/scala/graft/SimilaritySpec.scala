@@ -25,11 +25,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.length == 20)
     assert(ivf.forall { case (_, s) => s >= -1.000001 && s <= 1.000001 })
     val recall = ivf.map(_._1).toSet.intersect(exact).size / 20.0
-    info(s"IVF recall@20 (nprobe=4/16) = $recall")
-    // Random 64-dim embeddings are a worst case for a Euclidean coarse
-    // quantizer under cosine similarity; require better-than-chance probing
-    // (chance = nprobe/nlist = 0.25 of the corpus).
-    assert(recall >= 0.25, s"IVF recall $recall below probed fraction")
+    info(s"IVF recall@20 (nprobe=28/64) = $recall")
+    // nlist=64/nprobe=28 measured mean recall@20 = 0.84 at ~43% of the
+    // corpus scanned (IvfTune, 50 queries, sf0.001 AND sf0.01); the seeded
+    // pipeline is deterministic, so the single registered query must hold
+    // the floor.
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 floor")
+  }
+
+  test("IVF mean recall@20 >= 0.8 over 25 queries at <= 1/2 corpus scanned") {
+    import org.apache.spark.sql.functions._
+    val (assigned, centers) = graft.llm.SimilarityOps.ivfIndex(spark, sfDir)
+    val n = assigned.count().toDouble
+    // sf0.001 is small: evaluate on the driver against the same persisted
+    // index the operator reads (exact ground truth = brute-force cosine)
+    val rows = assigned.select("vec_id", "emb", "norm", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2), r.getInt(3)))
+    val ctr = centers.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val cellSize = rows.groupBy(_._4).map { case (c, v) => c -> v.length }
+    var recallSum = 0.0
+    var scannedSum = 0.0
+    val qs = rows.filter(_._1 < 25)
+    for ((qid, qv, qn, _) <- qs) {
+      def cos(v: Array[Double], vn: Double) =
+        v.zip(qv).map { case (a, b) => a * b }.sum / (vn * qn)
+      val exact = rows.filter(_._1 != qid)
+        .sortBy { case (id, v, vn, _) => (-cos(v, vn), id) }.take(20).map(_._1).toSet
+      val probed = ctr.toSeq.map { case (c, cv) =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        (c, cv.zip(qv).map { case (a, b) => a * b }.sum / (cn * qn))
+      }.sortBy { case (c, s) => (-s, c) }.take(28).map(_._1).toSet
+      val got = rows.filter(r => r._1 != qid && probed(r._4))
+        .sortBy { case (id, v, vn, _) => (-cos(v, vn), id) }.take(20).map(_._1).toSet
+      recallSum += got.intersect(exact).size / 20.0
+      scannedSum += probed.toSeq.map(c => cellSize.getOrElse(c, 0)).sum / n
+    }
+    val (recall, scanned) = (recallSum / qs.length, scannedSum / qs.length)
+    info(f"IVF mean recall@20 = $recall%.3f at $scanned%.3f corpus scanned")
+    assert(recall >= 0.8, s"mean recall $recall below 0.8")
+    assert(scanned <= 0.5, s"scanned fraction $scanned above 1/2")
   }
 
   test("cosine is bounded and self-similarity is 1") {
