@@ -78,6 +78,49 @@ object ScaleCheck {
       // release this scale's persisted indexes before the next one
       graft.llm.DedupOps.clearCaches()
     }
+
+    // ---- similarity path: the same no-n² evidence for the embedding ops.
+    // Replica r gets vec_id + r·10⁷ and its vector rotated by r dimensions
+    // — norm-preserving but direction-new, so replicas add new points (as a
+    // growing corpus does), not duplicate ones. The knn-join query set
+    // (label=0, vec_id<200) lives only in the base replica, so its cost
+    // curve isolates per-query corpus-scan growth.
+    graft.llm.SimilarityOps.llmSimilarityAnn(spark, base).count()
+    graft.llm.SimilarityOps.llmSimilarityKnnJoin(spark, base).count()
+    graft.llm.DedupOps.llmDedupEmbedding(spark, base).count()
+    graft.llm.DedupOps.clearCaches()
+    graft.llm.SimilarityOps.clearCaches()
+
+    Seq(1, 2, 4, 8).foreach { scale =>
+      val dir =
+        if (scale == 1) base
+        else {
+          val d = graft.util.Scratch.dir(s"scale_emb_x$scale")
+          val emb = spark.read.parquet(s"$base/embeddings.parquet")
+          (0 until scale).map { r =>
+            val rot = r % 64
+            emb.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+              .withColumn("embedding",
+                expr(s"concat(slice(embedding, $rot + 1, 64 - $rot), " +
+                  s"slice(embedding, 1, $rot))"))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+          d
+        }
+      val tIndex = time { graft.llm.DedupOps.embIndex(spark, dir).count() }
+      val timed = Seq(
+        "dedup_embedding" ->
+          time(graft.llm.DedupOps.llmDedupEmbedding(spark, dir).count()),
+        "similarity_ann" ->
+          time(graft.llm.SimilarityOps.llmSimilarityAnn(spark, dir).count()),
+        "knn_join" ->
+          time(graft.llm.SimilarityOps.llmSimilarityKnnJoin(spark, dir).count()))
+      def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      println(s"""{"metric":"scale_check_sim","scale":$scale,"index_sec":${f2(tIndex)},""" +
+        timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+      graft.llm.DedupOps.clearCaches()
+      graft.llm.SimilarityOps.clearCaches()
+    }
     spark.stop()
   }
 }

@@ -439,9 +439,31 @@ object DedupOps {
     "llm_dedup_exact" ->
       ("SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY lower(trim(text)) ORDER BY 1"),
-    // minhash / ngram_jaccard: xxhash64-based — not DuckDB-expressible;
-    // covered by NearDupSpec property tests. simhash: ditto, covered by
-    // FingerprintSpec (index fold + pair ranking vs driver recompute).
+    // minhash: the est_jaccard/n_shared_bands columns are xxhash64-based —
+    // not DuckDB-expressible; covered by NearDupSpec property tests.
+    // simhash: ditto, covered by FingerprintSpec (index fold + pair ranking
+    // vs driver recompute).
+    // ngram_jaccard IS replayable: exact Jaccard is hash-independent (only
+    // gram EQUALITY matters — same argument as llm_decontaminate), and the
+    // oracle's gram-join prefilter finds ALL true j>=0.5 pairs, which
+    // equals the Spark output iff LSH banding missed none. Verified
+    // pairwise-identical at sf0.001/0.01/0.1 (28/25/256 pairs) — the
+    // deterministic seeded banding keeps it stable. This also makes the
+    // oracle an LSH-recall check: a banding regression that drops a true
+    // pair now fails correctness, not just the property spec.
+    "llm_dedup_ngram_jaccard" ->
+      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 5) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)), " +
+        "n AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, " +
+        "ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) AS jaccard " +
+        "FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
+        "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5 " +
+        "ORDER BY doc_a, doc_b"),
     "llm_dedup_embedding" ->
       (s"WITH e AS ($embIndexSqlDuck) " +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +

@@ -166,6 +166,42 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("AQE splits a planted skew-join partition — the engine-native complement to manual salting") {
+    // join_skew_salted shows the MANUAL spread; at 100× a cluster leans on
+    // AQE's OptimizeSkewedJoin first. Plant one hot key holding half the
+    // fact rows, lower the skew thresholds to test scale, and assert the
+    // finalized adaptive plan actually split the skewed partition.
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // sha2 payload resists shuffle compression, so the planted partition
+      // sizes survive into the map-output stats AQE reads
+      val big = spark.range(0, 400000)
+        .select(when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
+          sha2(col("id").cast("string"), 256).as("payload"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
+      // aggregate over payload so column pruning can't strip it from the
+      // join shuffle (pruned, the hot partition is a few MB of bare longs
+      // and never crosses the skew threshold)
+      val df = big.join(dim, "k").groupBy("v")
+        .agg(count(lit(1)).as("n"), max(col("payload")).as("mx"))
+      df.collect()
+      val p = plan(df)
+      assert(p.contains("skew=true"),
+        s"AQE must mark the skewed join split:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("upsert plan: anti-join broadcasts the staging side when small") {
     val orders = graft.tables.Tables(spark, sfDir, "orders")
     val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
