@@ -297,7 +297,10 @@ object DedupOps {
 
   // ---- Embedding near-dup: 6 random-hyperplane sign bits -> 64 buckets;
   // exact cosine only within buckets. Projections are seeded (42) so the
-  // plan is deterministic across runs and engines.
+  // plan is deterministic across runs and engines. Within-bucket pair work
+  // is O(n²/2^ProjBits): grow ProjBits ~ log2(n) as the corpus grows to
+  // hold bucket occupancy (and thus per-bucket cost) constant — 6 bits fit
+  // the 10k-100k testdata tiers; a 100 TB corpus wants ~20+.
   private val ProjBits = 6
   private val projections: Seq[Array[Double]] = {
     val rnd = new scala.util.Random(42)
