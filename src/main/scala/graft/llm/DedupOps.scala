@@ -151,13 +151,13 @@ object DedupOps {
       .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard")
       .orderBy("doc_a", "doc_b")
 
-  /** Exact n-gram Jaccard verification over the LSH candidate set — the
-    * scalable exact-similarity join: candidates come from banding, exact
-    * set overlap is computed only for them. */
-  val llmDedupNgramJaccard: QFn = (spark, sfDir) => {
-    // Exact Jaccard over HASHED shingles: intersect long arrays (cheap) and
-    // derive |union| = |A| + |B| - |A∩B| arithmetically — no string-array
-    // concat/distinct per pair. The distinct-shingle sets make |A|,|B| exact.
+  /** LSH candidates verified by exact hashed-shingle Jaccard >= 0.5 — the
+    * verification stage shared by ngram_jaccard (which reports it) and
+    * cluster (which builds its edge set from it). Exact Jaccard over HASHED
+    * shingles: intersect long arrays (cheap) and derive
+    * |union| = |A| + |B| - |A∩B| arithmetically — no string-array
+    * concat/distinct per pair. The distinct-shingle sets make |A|,|B| exact. */
+  private[graft] def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = sigIndex(spark, sfDir)
       .select(col("doc_id"), col("hsh"), size(col("hsh")).as("n_sh"))
     minhashCandidates(spark, sfDir)
@@ -169,11 +169,18 @@ object DedupOps {
         col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
-  /** Near-dup cluster resolution — connected components over the LSH pair
-    * graph via min-label propagation with pointer doubling: each round every
+  /** Exact n-gram Jaccard verification over the LSH candidate set — the
+    * scalable exact-similarity join: candidates come from banding, exact
+    * set overlap is computed only for them. */
+  val llmDedupNgramJaccard: QFn = (spark, sfDir) =>
+    verifiedPairs(spark, sfDir).orderBy("doc_a", "doc_b")
+
+  /** Near-dup cluster resolution — connected components over the
+    * exact-verified near-dup pair graph (LSH candidates → exact Jaccard
+    * >= 0.5, [[verifiedPairs]]) via min-label propagation with pointer
+    * doubling: each round every
     * doc adopts the minimum label among itself and its neighbors, then
     * shortcuts through its current representative (label := label-of-label).
     * The shortcut gives O(log diameter) convergence, so the 20-round bound
@@ -181,12 +188,15 @@ object DedupOps {
     * instead of failing silently on chains longer than the round count.
     * Each round is three keyed shuffles; localCheckpoint caps lineage growth
     * — the same loop GraphX/Pregel would run, without the RDD detour.
-    * NearDupSpec checks the result against a union-find ground truth.
-    * Output: one row per doc with its cluster id; `is_canonical` marks the
-    * cluster representative (min doc_id) a dedup pass would keep. */
+    * Edges from EXACT (not estimated) Jaccard keep the operator
+    * engine-independent: the DuckDB oracle replays the full pipeline
+    * (gram join → Jaccard filter → recursive-CTE reachability), verified
+    * identical at sf0.001/0.01/0.1; NearDupSpec additionally checks a
+    * union-find ground truth. Output: one row per doc with its cluster id;
+    * `is_canonical` marks the cluster representative (min doc_id) a dedup
+    * pass would keep. */
   val llmDedupCluster: QFn = (spark, sfDir) => {
-    val pairs = minhashCandidates(spark, sfDir)
-      .filter(col("est_jaccard") >= 0.5)
+    val pairs = verifiedPairs(spark, sfDir)
       .select("doc_a", "doc_b")
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -467,6 +477,28 @@ object DedupOps {
         "FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
         "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5 " +
         "ORDER BY doc_a, doc_b"),
+    // cluster: same exact-pair CTE, then connected components as recursive
+    // reachability (min reachable doc_id = cluster id). The reach set is
+    // sum of component sizes squared — near-dup components are tiny by
+    // nature, so the closure stays small at any corpus size. Verified
+    // identical to the Spark pointer-doubling loop at sf0.001/0.01/0.1.
+    "llm_dedup_cluster" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 5) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)), " +
+        "n AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        "p AS (SELECT doc_a, doc_b FROM c JOIN n na ON na.doc_id = doc_a " +
+        "JOIN n nb ON nb.doc_id = doc_b " +
+        "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5), " +
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM p " +
+        "UNION SELECT doc_b, doc_a FROM p), " +
+        "reach(s, t) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a) " +
+        "SELECT s AS doc_id, min(t) AS cluster_id, (min(t) = s) AS is_canonical " +
+        "FROM reach GROUP BY s ORDER BY doc_id"),
     "llm_dedup_embedding" ->
       (s"WITH e AS ($embIndexSqlDuck) " +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +

@@ -48,8 +48,9 @@ class NearDupSpec extends AnyFunSuite {
   test("cluster resolution equals union-find over the pair graph") {
     val clusters = graft.llm.DedupOps.llmDedupCluster(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // ground truth: union-find over the same est>=0.5 pair set
-    val pairs = graft.llm.DedupOps.llmDedupMinhash(spark, sfDir)
+    // ground truth: union-find over the same exact-verified pair set the
+    // cluster operator builds its edges from
+    val pairs = graft.llm.DedupOps.llmDedupNgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
