@@ -157,7 +157,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing — the pretraining batch-prep step: documents are
+    * concatenated in deterministic order and split into fixed token-budget
+    * sequences (the GPT-style "concat then chunk at context length").
+    * Output per doc: the bin it starts in and its token offset inside that
+    * bin. Packing runs independently per shard (doc_id mod 32), so the
+    * cumulative-sum window shuffles ONCE on the shard key and no row
+    * crosses a single-partition exchange — the same discipline as the
+    * decile rewrite (a global `ORDER BY doc_id` window would serialize the
+    * corpus through one task). At 100 TB: shards = O(cluster cores); a bin
+    * never spans shards, which is exactly how production packers
+    * parallelize (per-worker token streams). */
+  val llmPackSequences: QFn = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(32)).cast("int").as("shard"),
+        size(tokens).as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens").cast("long")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("end_tok") - col("n_tokens")) / lit(budget)).cast("int").as("bin"),
+        ((col("end_tok") - col("n_tokens")) % budget).cast("int").as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_pack_sequences" -> llmPackSequences,
     "llm_pii_scrub" -> llmPiiScrub,
     "llm_repetition_filter" -> llmRepetitionFilter,
     "llm_vocab_topk" -> llmVocabTopk,
@@ -222,6 +249,16 @@ object TextOps {
           s"WHEN ${hitsSql("es")} >= ${hitsSql("fr")} THEN 'es' ELSE 'fr' END AS pred_lang, " +
           s"${hitsSql("en")} AS s_en, ${hitsSql("de")} AS s_de, ${hitsSql("es")} AS s_es, ${hitsSql("fr")} AS s_fr " +
           "FROM documents ORDER BY doc_id"),
+      "llm_pack_sequences" ->
+        ("WITH d AS (SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard, " +
+          "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens " +
+          "FROM documents), " +
+          "s AS (SELECT *, sum(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY shard " +
+          "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok FROM d) " +
+          "SELECT doc_id, shard, n_tokens, " +
+          "CAST(floor((end_tok - n_tokens) / 2048) AS INT) AS bin, " +
+          "CAST((end_tok - n_tokens) % 2048 AS INT) AS bin_offset " +
+          "FROM s ORDER BY doc_id"),
       // llm_fingerprint: xxhash64 not expressible in DuckDB — rows-only check.
     )
   }

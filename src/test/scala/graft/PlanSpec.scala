@@ -166,6 +166,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("sequence packing windows per shard — one shard shuffle, never a global rank") {
+    val p = plan(graft.llm.TextOps.llmPackSequences(spark, sfDir))
+    val shardShuffles = "hashpartitioning\\(shard".r.findAllIn(p).size
+    assert(shardShuffles == 1,
+      s"expected exactly one shard-keyed shuffle, got $shardShuffles:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must never funnel rows through one partition:\n$p")
+  }
+
   test("AQE splits a planted skew-join partition — the engine-native complement to manual salting") {
     // join_skew_salted shows the MANUAL spread; at 100× a cluster leans on
     // AQE's OptimizeSkewedJoin first. Plant one hot key holding half the
