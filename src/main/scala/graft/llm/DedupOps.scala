@@ -64,6 +64,7 @@ object DedupOps {
     persistedFrames.clear()
     sigIndexCache.clear()
     candidatesCache.clear()
+    verifiedPairsCache.clear()
     simIndexCache.clear()
     embIndexCache.clear()
     gramIndexCache.clear()
@@ -153,23 +154,30 @@ object DedupOps {
 
   /** LSH candidates verified by exact hashed-shingle Jaccard >= 0.5 — the
     * verification stage shared by ngram_jaccard (which reports it) and
-    * cluster (which builds its edge set from it). Exact Jaccard over HASHED
-    * shingles: intersect long arrays (cheap) and derive
+    * cluster (which builds its edge set from it); cached and persisted like
+    * the candidate frame so the second consumer reads the (tiny) verified
+    * pair set instead of re-running the intersect joins. Exact Jaccard over
+    * HASHED shingles: intersect long arrays (cheap) and derive
     * |union| = |A| + |B| - |A∩B| arithmetically — no string-array
     * concat/distinct per pair. The distinct-shingle sets make |A|,|B| exact. */
-  private[graft] def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = sigIndex(spark, sfDir)
-      .select(col("doc_id"), col("hsh"), size(col("hsh")).as("n_sh"))
-    minhashCandidates(spark, sfDir)
-      .select("doc_a", "doc_b")
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "hsh" -> "h_a", "n_sh" -> "n_a")), Seq("doc_a"))
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "hsh" -> "h_b", "n_sh" -> "n_b")), Seq("doc_b"))
-      .withColumn("i", size(array_intersect(col("h_a"), col("h_b"))))
-      .withColumn("jaccard", round(
-        col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
-  }
+  private val verifiedPairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    verifiedPairsCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      val sh = sigIndex(spark, sfDir)
+        .select(col("doc_id"), col("hsh"), size(col("hsh")).as("n_sh"))
+      tracked(minhashCandidates(spark, sfDir)
+        .select("doc_a", "doc_b")
+        .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "hsh" -> "h_a", "n_sh" -> "n_a")), Seq("doc_a"))
+        .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "hsh" -> "h_b", "n_sh" -> "n_b")), Seq("doc_b"))
+        .withColumn("i", size(array_intersect(col("h_a"), col("h_b"))))
+        .withColumn("jaccard", round(
+          col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
 
   /** Exact n-gram Jaccard verification over the LSH candidate set — the
     * scalable exact-similarity join: candidates come from banding, exact
