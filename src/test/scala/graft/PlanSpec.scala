@@ -211,6 +211,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffled dim join") {
+    // When the dimension is too big to broadcast but carries a selective
+    // predicate, InjectRuntimeFilter builds a bloom filter from the
+    // dimension keys and applies it to the fact scan — rows that cannot
+    // join never enter the shuffle. Thresholds lowered to test scale;
+    // broadcast disabled because that path would filter via the hash
+    // relation instead.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = graft.tables.Tables(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val dim = graft.tables.Tables(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "P").select("o_orderkey")
+      val df = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      val p = plan(df)
+      // fact side: might_contain(bloom) applied BELOW its shuffle; the
+      // bloom is built by bloom_filter_agg over the filtered dim keys
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"fact side must carry the runtime bloom filter:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("upsert plan: anti-join broadcasts the staging side when small") {
     val orders = graft.tables.Tables(spark, sfDir, "orders")
     val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
