@@ -296,7 +296,57 @@ object StreamOps {
     ss.table(name).orderBy("user_id", "view_id", "purchase_id")
   }
 
+  /** Incremental corpus dedup — dedup AS ingestion, the production shape
+    * for a growing 100 TB corpus: each new file drop is hashed and
+    * anti-joined against the accumulated first-seen index, so only
+    * never-seen documents enter the corpus. State is the (hash, keeper)
+    * index — it scales with DISTINCT documents, never with drops — and the
+    * per-batch work is one broadcast-able anti-join, not a re-dedup of the
+    * whole corpus (the full-rescan spelling is quadratic in drop count).
+    * Drops arrive in doc_id order (stamped mtimes, one file per drop), so
+    * the final keeper set provably equals the batch exact-dedup (min
+    * doc_id per normalized text) — which is the DuckDB oracle, sha256 over
+    * the same normalization. */
+  val streamDedupIncremental: QFn = (spark, sfDir) => {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("h"))
+    val base = Scratch.dir("stream_dedup_incremental")
+    val incoming = s"$base/incoming"
+    val dirs = Array(s"$base/stateA", s"$base/stateB")
+    val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val now = System.currentTimeMillis()
+    docs.filter(col("doc_id") <= mid).repartition(1)
+      .write.mode("overwrite").parquet(incoming)
+    val firstDrop = stampDrop(incoming, now - 120000)
+    docs.filter(col("doc_id") > mid).repartition(1)
+      .write.mode("append").parquet(incoming)
+    stampDrop(incoming, now - 60000, skip = firstDrop)
+    docs.filter(lit(false)).write.mode("overwrite").parquet(dirs(0))
+    var cur = dirs(0)
+    var i = 1
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val state = spark.read.parquet(cur)
+        // one keeper per hash within the batch, then only never-seen hashes
+        val fresh = batch.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+          .join(state, Seq("h"), "left_anti")
+          .select("doc_id", "h")
+        val next = dirs(i % 2); i += 1
+        state.unionByName(fresh).write.mode("overwrite").parquet(next)
+        cur = next
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(cur).select("doc_id", "h").orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "stream_dedup_incremental" -> streamDedupIncremental,
     "stream_file_source_upsert" -> streamFileSourceUpsert,
     "stream_hourly_window" -> streamHourlyWindow,
     "stream_watermark_late" -> streamWatermarkLate,
@@ -305,6 +355,10 @@ object StreamOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // id-ordered drops make the streamed keeper set equal batch exact-dedup
+    "stream_dedup_incremental" ->
+      ("SELECT min(doc_id) AS doc_id, sha256(lower(trim(text))) AS h " +
+        "FROM documents GROUP BY 2 ORDER BY 1"),
     "stream_file_source_upsert" ->
       ("SELECT o_orderkey, CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01' " +
         "THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice, o_orderstatus " +
