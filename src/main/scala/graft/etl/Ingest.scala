@@ -229,6 +229,30 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
+  /** ORC sink + scan roundtrip — the other columnar format a warehouse
+    * offload targets (Spark bundles the ORC reader/writer; predicate
+    * pushdown and column pruning work the same as parquet). Writes orders
+    * as zlib ORC partitioned by status, reads it back with partition
+    * discovery, and aggregates — the result must equal the same aggregate
+    * over the parquet source, proving write/read fidelity. */
+  val sinkOrcRoundtrip: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("sink_orc_roundtrip")
+    Tables(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_orderstatus"))
+      .write.mode("overwrite")
+      .partitionBy("o_orderstatus")
+      .option("compression", "zlib")
+      .orc(dir)
+    spark.read.orc(dir)
+      .groupBy("o_orderstatus", "o_year")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("o_orderstatus", "o_year")
+  }
+
   /** Positional column binding on load (README.md:29,142 "Order of the
     * columns in SQL query and order of columns in table should be same").
     * Emulates `insertInto` semantics: the source's columns are bound to the
@@ -342,11 +366,16 @@ object Ingest {
     "scan_glob_dynamic" -> scanGlobDynamic,
     "scan_jsonl" -> scanJsonl,
     "sink_csv" -> sinkCsv,
+    "sink_orc_roundtrip" -> sinkOrcRoundtrip,
     "sink_parquet_partitioned_compressed" -> sinkParquetPartitionedCompressed,
     "sink_table_positional" -> sinkTablePositional,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sink_orc_roundtrip" ->
+      ("SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_orders, " +
+        "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue " +
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
     "sink_jdbc_load" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue " +

@@ -183,7 +183,70 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Overlapping token-window chunking — the context-window prep step
+    * between cleaning and packing: each document becomes ceil(n/stride)
+    * chunks of up to `ChunkLen` tokens starting every `Stride` tokens
+    * (overlap = ChunkLen - Stride), the shape RAG indexes and
+    * fixed-context pretraining both consume. Pure per-row explode —
+    * no shuffle, no state; output volume is bounded by
+    * n_tokens/Stride per doc, so the pass stays linear at 100 TB. */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  val llmChunkDocuments: QFn = (spark, sfDir) => {
+    val starts = sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(ChunkStride))
+    val chunk = slice(col("toks"), col("start_tok") + 1, lit(ChunkLen))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), col("toks"), explode(starts).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / ChunkStride).cast("int").as("chunk_idx"),
+        col("start_tok").cast("int"),
+        size(chunk).as("n_chunk_tokens"),
+        element_at(chunk, 1).as("first_tok"),
+        element_at(chunk, -1).as("last_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Per-document top-3 TF-IDF terms. tf = in-doc term count, df =
+    * document frequency from one corpus-wide agg (the wordcount shape:
+    * map-side partial agg, shuffle carries one row per distinct
+    * (doc, token)); N arrives via a broadcast single-row cross join.
+    * Ranking uses the rational score tf*(N+1)/(df+1): rare-in-corpus,
+    * frequent-in-doc terms first — like log tf-idf it is monotone in both
+    * tf and idf (though not the identical order), and unlike the log it
+    * is bit-reproducible across engines (+,*,/ are IEEE-exact on these
+    * small integers; libm's ln is not correctly-rounded, so two engines
+    * could rank differently on near-ties). The reported tfidf column is
+    * the classic smoothed-log value rounded to 4dp. */
+  val llmTfidfTopterms: QFn = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val rscore = col("tf") * (col("n_docs") + 1.0) / (col("df") + 1.0)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(rscore.desc, col("token").asc)
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"),
+        col("tf").cast("int").as("tf"), col("df").cast("int").as("df"),
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 4)
+          .as("tfidf"),
+        col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_chunk_documents" -> llmChunkDocuments,
+    "llm_tfidf_topterms" -> llmTfidfTopterms,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_pii_scrub" -> llmPiiScrub,
     "llm_repetition_filter" -> llmRepetitionFilter,
@@ -249,6 +312,28 @@ object TextOps {
           s"WHEN ${hitsSql("es")} >= ${hitsSql("fr")} THEN 'es' ELSE 'fr' END AS pred_lang, " +
           s"${hitsSql("en")} AS s_en, ${hitsSql("de")} AS s_de, ${hitsSql("es")} AS s_es, ${hitsSql("fr")} AS s_fr " +
           "FROM documents ORDER BY doc_id"),
+      "llm_chunk_documents" ->
+        ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+          s"FROM documents), " +
+          s"s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 1, 0) + 1, $ChunkStride)) AS start_tok FROM t), " +
+          s"c AS (SELECT doc_id, CAST(start_tok / $ChunkStride AS INT) AS chunk_idx, " +
+          s"CAST(start_tok AS INT) AS start_tok, toks[start_tok + 1 : start_tok + $ChunkLen] AS chunk FROM s) " +
+          "SELECT doc_id, chunk_idx, start_tok, CAST(len(chunk) AS INT) AS n_chunk_tokens, " +
+          "chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok " +
+          "FROM c ORDER BY doc_id, chunk_idx"),
+      "llm_tfidf_topterms" ->
+        ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+          "FROM documents), " +
+          "f AS (SELECT doc_id, token, count(*) AS tf FROM t WHERE length(token) >= 2 GROUP BY 1, 2), " +
+          "d AS (SELECT token, count(*) AS df FROM f GROUP BY 1), " +
+          "n AS (SELECT count(*) AS n_docs FROM documents), " +
+          "r AS (SELECT f.doc_id, f.token, f.tf, d.df, n.n_docs, " +
+          "row_number() OVER (PARTITION BY f.doc_id " +
+          "ORDER BY f.tf * (n.n_docs + 1.0) / (d.df + 1.0) DESC, f.token) AS rnk " +
+          "FROM f JOIN d USING (token) CROSS JOIN n) " +
+          "SELECT doc_id, token, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df, " +
+          "ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf, CAST(rnk AS INT) AS rnk " +
+          "FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"),
       "llm_pack_sequences" ->
         ("WITH d AS (SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard, " +
           "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens " +
