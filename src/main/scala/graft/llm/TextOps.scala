@@ -208,10 +208,14 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  /** Per-document top-3 TF-IDF terms. tf = in-doc term count, df =
-    * document frequency from one corpus-wide agg (the wordcount shape:
-    * map-side partial agg, shuffle carries one row per distinct
-    * (doc, token)); N arrives via a broadcast single-row cross join.
+  /** Per-document top-3 TF-IDF terms. tf = in-doc term count (wordcount
+    * shape: map-side partial agg, shuffle carries one row per distinct
+    * (doc, token)); df = a count window over the SAME tf frame partitioned
+    * by token — one extra shuffle of the small tf frame instead of the
+    * second corpus scan + explode that a groupBy+join spelling costs
+    * (Catalyst does not dedupe the shared subplan across a self-join);
+    * N arrives via a broadcast single-row cross join (a count-only parquet
+    * scan — row-group metadata, no column IO).
     * Ranking uses the rational score tf*(N+1)/(df+1): rare-in-corpus,
     * frequent-in-doc terms first — like log tf-idf it is monotone in both
     * tf and idf (though not the identical order), and unlike the log it
@@ -227,12 +231,11 @@ object TextOps {
       .filter(length(col("token")) >= 2)
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val rscore = col("tf") * (col("n_docs") + 1.0) / (col("df") + 1.0)
     val w = Window.partitionBy("doc_id")
       .orderBy(rscore.desc, col("token").asc)
-    tf.join(df, "token")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .crossJoin(broadcast(n))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)

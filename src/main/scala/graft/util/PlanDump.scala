@@ -20,7 +20,9 @@ object PlanDump {
       "agg_skew_salted",
       // round 3
       "sink_bucketed_colocated", "join_skew_salted", "agg_grouping_sets",
-      "llm_decontaminate", "agg_hll_mergeable")
+      "llm_decontaminate", "agg_hll_mergeable",
+      // round 5
+      "llm_chunk_documents", "llm_tfidf_topterms")
     picks.foreach { name =>
       println(s"\n======== $name ========")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
