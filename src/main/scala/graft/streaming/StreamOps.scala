@@ -345,8 +345,43 @@ object StreamOps {
     spark.read.parquet(cur).select("doc_id", "h").orderBy("doc_id")
   }
 
+  /** Stream-static dimension enrichment — the lookup-join half of every
+    * streaming ETL (the reference's funnel events gaining customer
+    * attributes on the way in, README.md:85-87,99-102): the event stream
+    * joins the static customer dimension, then aggregates per (segment,
+    * event_type). A stream-static equi-join is STATELESS — each micro-batch
+    * plans a fresh broadcast hash join against the dimension (so a
+    * slowly-changing dim is re-read at every trigger, picking up updates),
+    * and no join state accumulates. The only state is the aggregation's
+    * group rows, bounded by |segments| × |event types|. Complete-mode +
+    * memory sink is the test-harness shape; production runs update mode
+    * into a real sink. */
+  val streamEnrichDim: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val base = Scratch.dir("stream_enrich_dim")
+    ev.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+    val name = uniq("stream_enrich_dim")
+    val ss = streamSession(spark, 4)
+    val dim = Tables(ss, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy("c_mktsegment", "event_type")
+  }
+
   val queries: Map[String, QFn] = Map(
     "stream_dedup_incremental" -> streamDedupIncremental,
+    "stream_enrich_dim" -> streamEnrichDim,
     "stream_file_source_upsert" -> streamFileSourceUpsert,
     "stream_hourly_window" -> streamHourlyWindow,
     "stream_watermark_late" -> streamWatermarkLate,
@@ -359,6 +394,11 @@ object StreamOps {
     "stream_dedup_incremental" ->
       ("SELECT min(doc_id) AS doc_id, sha256(lower(trim(text))) AS h " +
         "FROM documents GROUP BY 2 ORDER BY 1"),
+    "stream_enrich_dim" ->
+      ("SELECT c_mktsegment, event_type, count(*) AS cnt, " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "stream_file_source_upsert" ->
       ("SELECT o_orderkey, CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01' " +
         "THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice, o_orderstatus " +
