@@ -213,7 +213,34 @@ object SimilarityOps {
       .orderBy("qid")
   }
 
+  /** Int8 scalar quantization of the embedding corpus — the storage/IO
+    * step a 100 TB vector store runs before anything else (float32→int8
+    * quarters the bytes every downstream scan pays). Symmetric per-vector
+    * scaling: scale = 127/max|x|, q_i = round(x_i·scale), so the
+    * reconstruction error is bounded by 0.5/scale per dimension — emitted
+    * as max_err so a pipeline can gate on quantization loss. Stateless
+    * per-row HOF arithmetic: no shuffle, no UDFs, linear at any corpus
+    * size. Scalar outputs only (checksum + saturation count stand in for
+    * the int8 array, which the verify comparator can't hash). */
+  val llmEmbeddingQuantize: QFn = (spark, sfDir) => {
+    Tables(spark, sfDir, "embeddings")
+      .withColumn("max_abs",
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .select(col("vec_id"), col("label"),
+        round(col("scale"), 6).as("scale_q"),
+        expr("aggregate(embedding, 0L, (s, x) -> s + CAST(round(CAST(x AS DOUBLE) * scale, 0) AS BIGINT))")
+          .as("sum_q"),
+        expr("size(filter(embedding, x -> abs(CAST(round(CAST(x AS DOUBLE) * scale, 0) AS BIGINT)) = 127))")
+          .as("n_sat"),
+        round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * scale, 0) / scale)))"), 6)
+          .as("max_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_embedding_quantize" -> llmEmbeddingQuantize,
     "llm_embedding_centroid" -> llmEmbeddingCentroid,
     "llm_knn_classify" -> llmKnnClassify,
     "llm_similarity_topk" -> llmSimilarityTopk,
@@ -228,6 +255,15 @@ object SimilarityOps {
       "sqrt(list_sum(list_transform(CAST(qv AS DOUBLE[]), x -> x * x)))), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    "llm_embedding_quantize" ->
+      ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "s AS (SELECT vec_id, label, emb, " +
+        "127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale FROM e) " +
+        "SELECT vec_id, label, ROUND(scale, 6) AS scale_q, " +
+        "CAST(list_sum(list_transform(emb, x -> CAST(round(x * scale, 0) AS BIGINT))) AS BIGINT) AS sum_q, " +
+        "CAST(len(list_filter(emb, x -> abs(CAST(round(x * scale, 0) AS BIGINT)) = 127)) AS INT) AS n_sat, " +
+        "ROUND(list_max(list_transform(emb, x -> abs(x - round(x * scale, 0) / scale))), 6) AS max_err " +
+        "FROM s ORDER BY vec_id"),
     // independent spelling: per-dimension avg via an unnested index range
     // (this DuckDB lacks WITH ORDINALITY); one row per (label, dim) to
     // keep every result column scalar/hashable for the driver comparator
