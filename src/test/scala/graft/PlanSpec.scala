@@ -242,6 +242,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the fact's partitions at runtime") {
+    // Static pruning (test above) handles literal predicates; a star-schema
+    // query filters the DIMENSION and the partition keys only emerge at
+    // runtime. DPP inserts a dynamicpruning subquery into the fact scan's
+    // PartitionFilters — on a 1000-executor cluster this is the difference
+    // between reading 2 of 8 year-partitions and reading all of them.
+    val dir = graft.util.Scratch.dir("plan_dpp")
+    graft.tables.Tables(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dimension: (year, label), filtered to 2 of the 8 years — the filter
+    // is on an attribute, not the join key, so static pruning can't fire
+    val dim = spark.range(1992, 2000)
+      .select(col("id").cast("int").as("d_year"),
+        when(col("id") >= 1998, "current").otherwise("past").as("era"))
+      .filter(col("era") === "current")
+    val df = fact.join(dim, fact("o_year") === dim("d_year"))
+      .groupBy("d_year").agg(count(lit(1)).as("n"))
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("o_year")).get
+    assert(scan.contains("dynamicpruning"),
+      s"fact scan must carry the runtime partition subquery:\n$scan")
+    // and it actually pruned: only the 2 surviving years are aggregated
+    assert(df.collect().map(_.getInt(0)).sorted.sameElements(Array(1998, 1999)))
+  }
+
   test("upsert plan: anti-join broadcasts the staging side when small") {
     val orders = graft.tables.Tables(spark, sfDir, "orders")
     val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
