@@ -247,7 +247,29 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Corpus bigram counts, top-40 by occurrence — the n-gram LM counting
+    * workload (its 100 TB form is "count every n-gram in the crawl", the
+    * canonical wordcount-at-scale job). Same two-level agg discipline as
+    * vocab_topk: the explode multiplies rows ~token-count×, but map-side
+    * partial aggregation collapses them before the shuffle, which carries
+    * one row per (partition, distinct bigram). Single-token docs are
+    * filtered BEFORE the transform — Spark's sequence(1, 0) yields a
+    * DESCENDING [1, 0], not an empty array, so the guard is load-bearing. */
+  val llmBigramCounts: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "documents")
+      .select(tokens.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(40)
+
   val queries: Map[String, QFn] = Map(
+    "llm_bigram_counts" -> llmBigramCounts,
     "llm_chunk_documents" -> llmChunkDocuments,
     "llm_tfidf_topterms" -> llmTfidfTopterms,
     "llm_pack_sequences" -> llmPackSequences,
@@ -315,6 +337,11 @@ object TextOps {
           s"WHEN ${hitsSql("es")} >= ${hitsSql("fr")} THEN 'es' ELSE 'fr' END AS pred_lang, " +
           s"${hitsSql("en")} AS s_en, ${hitsSql("de")} AS s_de, ${hitsSql("es")} AS s_es, ${hitsSql("fr")} AS s_fr " +
           "FROM documents ORDER BY doc_id"),
+      "llm_bigram_counts" ->
+        ("WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+          "b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram " +
+          "FROM t WHERE len(toks) >= 2) " +
+          "SELECT bigram, count(*) AS n FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 40"),
       "llm_chunk_documents" ->
         ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
           s"FROM documents), " +
