@@ -242,6 +242,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking plan: scan → explode → project, no shuffle before the output sort") {
+    val df = graft.llm.TextOps.llmChunkDocuments(spark, sfDir)
+    val p = plan(df)
+    // exactly one Exchange — the range partition for deterministic output
+    // order; the chunking itself must stay a narrow pipeline
+    val exchanges = "(?m)^\\s*[+:]?-?\\s*\\*?\\(?\\d*\\)?\\s*Exchange".r
+      .findAllIn(p).size
+    assert(p.contains("rangepartitioning") && exchanges == 1,
+      s"chunking must not shuffle except the output sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+      s"no join/agg belongs in the chunk pipeline:\n$p")
+  }
+
+  test("tfidf plan: one text scan — df comes from the tf frame, not a rescan") {
+    val df = graft.llm.TextOps.llmTfidfTopterms(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+    // documents is scanned once for tf (+ once column-less for N);
+    // a second text-column scan means the shared subplan was duplicated
+    assert(scans.count(_.contains("text")) == 1,
+      s"df must derive from the tf frame, not a second corpus scan:\n${scans.mkString("\n")}")
+    // the rank filter is group-limited map-side before the doc_id exchange
+    assert(plan(df).contains("WindowGroupLimit"),
+      "top-3 filter must push down as a window group limit")
+  }
+
   test("dynamic partition pruning: a filtered dim prunes the fact's partitions at runtime") {
     // Static pruning (test above) handles literal predicates; a star-schema
     // query filters the DIMENSION and the partition keys only emerge at
