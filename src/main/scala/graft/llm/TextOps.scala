@@ -268,8 +268,31 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(40)
 
+  /** Deterministic corpus shuffle — the "randomize training order" step
+    * every pretraining run needs, spelled the way it distributes: a Lehmer
+    * mix h = doc_id·48271 mod (2^31−1) gives each doc a pseudo-random sort
+    * key, docs hash into 64 shards, and order is (shard, h) — i.e.
+    * repartition + sortWithinPartitions, never a global ORDER BY h (a
+    * 100 TB permutation must not funnel through one range sort; readers
+    * consume shards in any order, each internally shuffled). pos is the
+    * within-shard position, the same shard-keyed window as pack_sequences.
+    * Reproducible across runs/retries by construction (no rand()). The
+    * multiply stays exact below doc_id ≈ 2^32; beyond that swap in
+    * xxhash64 (same plan, hash-only oracle). */
+  val llmShuffleShards: QFn = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        pmod(col("doc_id") * 48271L, lit(2147483647L)).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(64)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
     "llm_bigram_counts" -> llmBigramCounts,
+    "llm_shuffle_shards" -> llmShuffleShards,
     "llm_chunk_documents" -> llmChunkDocuments,
     "llm_tfidf_topterms" -> llmTfidfTopterms,
     "llm_pack_sequences" -> llmPackSequences,
@@ -337,6 +360,12 @@ object TextOps {
           s"WHEN ${hitsSql("es")} >= ${hitsSql("fr")} THEN 'es' ELSE 'fr' END AS pred_lang, " +
           s"${hitsSql("en")} AS s_en, ${hitsSql("de")} AS s_de, ${hitsSql("es")} AS s_es, ${hitsSql("fr")} AS s_fr " +
           "FROM documents ORDER BY doc_id"),
+      "llm_shuffle_shards" ->
+        ("WITH h AS (SELECT doc_id, (doc_id * 48271) % 2147483647 AS h FROM documents), " +
+          "s AS (SELECT doc_id, h, CAST(h % 64 AS INT) AS shard FROM h) " +
+          "SELECT doc_id, h, shard, CAST(row_number() OVER " +
+          "(PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos " +
+          "FROM s ORDER BY doc_id"),
       "llm_bigram_counts" ->
         ("WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
           "b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram " +
