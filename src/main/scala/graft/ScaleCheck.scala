@@ -121,6 +121,42 @@ object ScaleCheck {
       graft.llm.DedupOps.clearCaches()
       graft.llm.SimilarityOps.clearCaches()
     }
+
+    // ---- text path (round 5): chunking, TF-IDF, bigram counts, packing,
+    // shard shuffle. All are scan→explode→agg/window shapes with no
+    // candidate generation, so the exposure is different: the explode
+    // multiplies rows and a missing map-side combine or a global sort
+    // would show up here as super-linear growth.
+    val textOps: Seq[(String, QFn)] = Seq(
+      "chunk" -> graft.llm.TextOps.llmChunkDocuments,
+      "tfidf" -> graft.llm.TextOps.llmTfidfTopterms,
+      "bigram" -> graft.llm.TextOps.llmBigramCounts,
+      "pack" -> graft.llm.TextOps.llmPackSequences,
+      "shuffle" -> graft.llm.TextOps.llmShuffleShards,
+    )
+    textOps.foreach { case (_, fn) => fn(spark, base).count() } // warmup
+
+    Seq(1, 2, 4, 8).foreach { scale =>
+      val dir =
+        if (scale == 1) base
+        else {
+          val d = graft.util.Scratch.dir(s"scale_text_x$scale")
+          val docs = spark.read.parquet(s"$base/documents.parquet")
+          (0 until scale).map { r =>
+            val rot = Alpha.drop(r % 26) + Alpha.take(r % 26)
+            docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+              .withColumn("text", translate(col("text"), Alpha, rot))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$d/documents.parquet")
+          d
+        }
+      val timed = textOps.map { case (name, fn) =>
+        name -> time(fn(spark, dir).count())
+      }
+      def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      println(s"""{"metric":"scale_check_text","scale":$scale,""" +
+        timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+    }
     spark.stop()
   }
 }
