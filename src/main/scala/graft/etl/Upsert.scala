@@ -136,7 +136,43 @@ object Upsert {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Three-way MERGE — the full `MERGE INTO` a lakehouse runs (WHEN MATCHED
+    * UPDATE / WHEN MATCHED AND cond DELETE / WHEN NOT MATCHED INSERT),
+    * expressed as ONE join plan: target LEFT JOIN the U/D staging rows
+    * (drop D matches, take the update value on U matches, pass everything
+    * else through) ∪ the inserts. One shuffle on the key — or zero when
+    * staging broadcasts, the hourly-batch case — same cost as the plain
+    * anti-join upsert; this is what Delta/Iceberg compile MERGE to before
+    * their write-side file replacement, which here pairs with the
+    * partition-overwrite operator. Staging ops are derived deterministically
+    * (orderkey mod 7: <2 update, =2 delete, =3 insert under shifted keys)
+    * so the oracle can replay them. */
+  val upsertMergeThreeWay: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val target = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val recent = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
+    val updates = recent.filter(pmod(col("o_orderkey"), lit(7)) < 2)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("n_price"),
+        lit("U").as("op"))
+    val deletes = recent.filter(pmod(col("o_orderkey"), lit(7)) === 2)
+      .select(col("o_orderkey"), lit(null).cast("double").as("n_price"),
+        lit("D").as("op"))
+    val inserts = recent.filter(pmod(col("o_orderkey"), lit(7)) === 3)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_totalprice").as("n_price"), lit("I").as("op"))
+    target
+      .join(updates.unionByName(deletes), Seq("o_orderkey"), "left")
+      .filter(col("op").isNull || col("op") === "U")
+      .select(col("o_orderkey"),
+        coalesce(col("n_price"), col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+      .unionByName(inserts.select(col("o_orderkey"),
+        col("n_price").as("o_totalprice"), lit("NEW").as("o_orderstatus")))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "upsert_merge_three_way" -> upsertMergeThreeWay,
     "upsert_scd2" -> upsertScd2,
     "incremental_upsert" -> incrementalUpsert,
     "dedup_by_key" -> dedupByKey,
@@ -145,6 +181,16 @@ object Upsert {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "upsert_merge_three_way" ->
+      ("WITH recent AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'), " +
+        "u AS (SELECT o_orderkey, o_totalprice * 2 AS n_price FROM recent WHERE o_orderkey % 7 < 2), " +
+        "d AS (SELECT o_orderkey FROM recent WHERE o_orderkey % 7 = 2), " +
+        "i AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice FROM recent WHERE o_orderkey % 7 = 3) " +
+        "SELECT t.o_orderkey, COALESCE(u.n_price, t.o_totalprice) AS o_totalprice, t.o_orderstatus " +
+        "FROM orders t LEFT JOIN u USING (o_orderkey) " +
+        "WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM d) " +
+        "UNION ALL SELECT o_orderkey, o_totalprice, 'NEW' FROM i " +
+        "ORDER BY o_orderkey"),
     "upsert_scd2" ->
       ("SELECT c_custkey, c_mktsegment, '1995-01-01' AS valid_from, " +
         "CASE WHEN c_custkey % 10 = 0 THEN '2001-06-01' ELSE '9999-12-31' END AS valid_to " +
