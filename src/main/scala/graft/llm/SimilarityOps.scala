@@ -221,20 +221,25 @@ object SimilarityOps {
     * as max_err so a pipeline can gate on quantization loss. Stateless
     * per-row HOF arithmetic: no shuffle, no UDFs, linear at any corpus
     * size. Scalar outputs only (checksum + saturation count stand in for
-    * the int8 array, which the verify comparator can't hash). */
+    * the int8 array, which the verify comparator can't hash). An all-zero
+    * vector (a real corpus has them: failed encodes) gets scale 0 and
+    * zeros everywhere — unguarded, 127/0 = Inf and the ANSI BIGINT cast of
+    * round(0·Inf) = NaN kills the whole job. */
   val llmEmbeddingQuantize: QFn = (spark, sfDir) => {
     Tables(spark, sfDir, "embeddings")
       .withColumn("max_abs",
         expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
-      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("scale",
+        when(col("max_abs") === 0.0, 0.0).otherwise(lit(127.0) / col("max_abs")))
       .select(col("vec_id"), col("label"),
         round(col("scale"), 6).as("scale_q"),
         expr("aggregate(embedding, 0L, (s, x) -> s + CAST(round(CAST(x AS DOUBLE) * scale, 0) AS BIGINT))")
           .as("sum_q"),
         expr("size(filter(embedding, x -> abs(CAST(round(CAST(x AS DOUBLE) * scale, 0) AS BIGINT)) = 127))")
           .as("n_sat"),
-        round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
-          "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * scale, 0) / scale)))"), 6)
+        when(col("scale") === 0.0, 0.0)
+          .otherwise(round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * scale, 0) / scale)))"), 6))
           .as("max_err"))
       .orderBy("vec_id")
   }
@@ -257,12 +262,14 @@ object SimilarityOps {
   val oracleSql: Map[String, String] = Map(
     "llm_embedding_quantize" ->
       ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "m AS (SELECT vec_id, label, emb, list_max(list_transform(emb, x -> abs(x))) AS max_abs FROM e), " +
         "s AS (SELECT vec_id, label, emb, " +
-        "127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale FROM e) " +
+        "CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS scale FROM m) " +
         "SELECT vec_id, label, ROUND(scale, 6) AS scale_q, " +
         "CAST(list_sum(list_transform(emb, x -> CAST(round(x * scale, 0) AS BIGINT))) AS BIGINT) AS sum_q, " +
         "CAST(len(list_filter(emb, x -> abs(CAST(round(x * scale, 0) AS BIGINT)) = 127)) AS INT) AS n_sat, " +
-        "ROUND(list_max(list_transform(emb, x -> abs(x - round(x * scale, 0) / scale))), 6) AS max_err " +
+        "CASE WHEN scale = 0 THEN 0.0 ELSE " +
+        "ROUND(list_max(list_transform(emb, x -> abs(x - round(x * scale, 0) / scale))), 6) END AS max_err " +
         "FROM s ORDER BY vec_id"),
     // independent spelling: per-dimension avg via an unnested index range
     // (this DuckDB lacks WITH ORDINALITY); one row per (label, dim) to

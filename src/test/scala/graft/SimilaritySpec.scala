@@ -74,4 +74,30 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getDouble(0))
     assert(sims.forall(s => math.abs(s - 1.0) < 1e-6))
   }
+
+  test("quantize survives an all-zero vector (failed-encode row): zeros, no ANSI cast error") {
+    import org.apache.spark.sql.functions._
+    // the testdata has no zero vectors, so the oracle can't exercise this
+    // guard; unguarded, 127/0 = Inf and CAST(round(0*Inf) AS BIGINT) kills
+    // the whole job under ANSI
+    val dir = graft.util.Scratch.dir("quantize_zero_vec")
+    graft.tables.Tables(spark, sfDir, "embeddings").limit(5)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(spark.range(1).select(
+        lit(999999L).as("vec_id"),
+        expr("transform(sequence(1, 64), i -> CAST(0.0 AS FLOAT))").as("embedding"),
+        lit(7).as("label")))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.llm.SimilarityOps.llmEmbeddingQuantize(spark, dir).collect()
+    assert(rows.length == 6)
+    val z = rows.find(_.getLong(0) == 999999L).get
+    assert(z.getDouble(2) == 0.0 && z.getLong(3) == 0L &&
+      z.getInt(4) == 0 && z.getDouble(5) == 0.0,
+      s"zero vector must quantize to zeros: $z")
+    // the non-zero rows still quantize with bounded reconstruction error
+    rows.filter(_.getLong(0) != 999999L).foreach { r =>
+      assert(r.getDouble(5) <= 0.5 / r.getDouble(2) + 1e-9,
+        s"max_err must be bounded by 0.5/scale: $r")
+    }
+  }
 }
