@@ -284,7 +284,22 @@ object Queries {
     all.exceptAll(gone).orderBy("o_orderkey")
   }
 
+  /** INTERSECT (distinct set semantics): customers present in BOTH halves
+    * of a date-split order log — completes the set-op family (UNION ALL =
+    * hist∪current, EXCEPT ALL = delete semantics). Spark plans INTERSECT
+    * as a left-semi aggregate join: one shuffle per side on the full row
+    * key, distinct folded into the join — no separate dedup pass. */
+  val intersectSemantics: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val early = orders.filter(col("o_orderdate") < lit("2000-01-01"))
+      .select("o_custkey", "o_orderstatus")
+    val late = orders.filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select("o_custkey", "o_orderstatus")
+    early.intersect(late).orderBy("o_custkey", "o_orderstatus")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "intersect_semantics" -> intersectSemantics,
     "join_inner_customer_orders" -> joinInnerCustomerOrders,
     "join_inner_orders_product" -> joinInnerOrdersProduct,
     "join_funnel_customer" -> joinFunnelCustomer,
@@ -402,5 +417,10 @@ object Queries {
         "SELECT o_orderkey, o_orderstatus FROM orders " +
         "EXCEPT ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F') " +
         "ORDER BY o_orderkey"),
+    "intersect_semantics" ->
+      ("SELECT * FROM (" +
+        "SELECT o_custkey, o_orderstatus FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01' " +
+        "INTERSECT SELECT o_custkey, o_orderstatus FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "ORDER BY o_custkey, o_orderstatus"),
   )
 }
