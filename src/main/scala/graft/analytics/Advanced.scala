@@ -174,8 +174,92 @@ object Advanced {
       .orderBy("o_custkey")
   }
 
+  /** Second-moment statistics per return flag — the profiling pass behind
+    * price-dispersion and quantity/price-relationship dashboards: sample
+    * stddev, sample covariance, and Pearson correlation in ONE hash
+    * aggregate. All three are algebraic (sum / sum-of-squares / sum-of-
+    * products buffers), so Spark computes them map-side-partial like any
+    * sum: the shuffle carries 5 buffer rows per partition regardless of
+    * fact size — the shape that holds at 100 TB. Rounded because the two
+    * engines accumulate in different orders (4dp on ~1e4-magnitude
+    * moments, 6dp on the unit-scale correlation). */
+  val aggStatsMoments: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov_qty_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** Relative rank of each order within its customer's history —
+    * percent_rank (share of peer orders strictly cheaper) and cume_dist
+    * (share at-or-below), the "is this purchase unusually large for THIS
+    * customer" primitive. Partitioned by o_custkey — high-cardinality, so
+    * unlike a global rank the sort parallelizes across customers and no
+    * partition outgrows one task at 100 TB (cf. the decile-boundary
+    * rewrite for the coarse/global case). o_orderkey tie-break makes both
+    * rank functions deterministic under equal prices. */
+  val windowPercentRank: QFn = (spark, sfDir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Per-user z-score anomaly flags — each event's value standardized
+    * against its OWN user's mean/stddev, |z| > 2 flagged. The whole-
+    * partition (unordered) window computes both moments in one pass over a
+    * single user_id shuffle — no self-join of events against a per-user
+    * stats aggregate, which would scan the fact twice. Single-event users
+    * have sample stddev NULL ⇒ z NULL, flagged false (coalesce) — same
+    * convention both engines share. Scale: user_id is high-cardinality and
+    * the state per partition is two running sums. */
+  val windowZscoreAnomaly: QFn = (spark, sfDir) => {
+    val w = Window.partitionBy("user_id")
+    val z = (col("value") - avg(col("value")).over(w)) /
+      stddev_samp(col("value")).over(w)
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(z, 4).as("z"),
+        coalesce(abs(z) > 2, lit(false)).as("is_anomaly"))
+      .orderBy("event_id")
+  }
+
+  /** Null-safe dimension join (`<=>` / IS NOT DISTINCT FROM) — the lookup
+    * shape for dimensions that carry an explicit "unknown" member: orders
+    * whose priority is folded to NULL (the 3-MEDIUM default) still match
+    * the dim's NULL row instead of silently dropping out of an inner join.
+    * The dim is a literal handful of rows ⇒ broadcast hash join with the
+    * null-safe predicate, zero shuffle on the fact side. */
+  val joinNullSafe: QFn = (spark, sfDir) => {
+    val dim = spark.createDataFrame(Seq(
+      (Option("1-URGENT"), "urgent"),
+      (Option("2-HIGH"), "high"),
+      (Option.empty[String], "unspecified"))).toDF("pri", "label")
+    val o = Tables(spark, sfDir, "orders")
+      .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pri_n"),
+        col("o_totalprice"))
+    o.join(broadcast(dim), o("pri_n") <=> dim("pri"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_price"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, QFn] = Map(
     "agg_retention_weekly" -> aggRetentionWeekly,
+    "agg_stats_moments" -> aggStatsMoments,
+    "window_percent_rank" -> windowPercentRank,
+    "window_zscore_anomaly" -> windowZscoreAnomaly,
+    "join_null_safe" -> joinNullSafe,
     "window_ntile_decile" -> windowNtileDecile,
     "agg_pivot_status" -> aggPivotStatus,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -186,6 +270,34 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_stats_moments" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "ROUND(avg(l_extendedprice), 4) AS avg_price, " +
+        "ROUND(stddev_samp(l_extendedprice), 4) AS sd_price, " +
+        "ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price, " +
+        "ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "window_percent_rank" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "ROUND(percent_rank() OVER w, 6) AS pct_rank, " +
+        "ROUND(cume_dist() OVER w, 6) AS cume " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
+    "window_zscore_anomaly" ->
+      ("SELECT event_id, user_id, value, " +
+        "ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z, " +
+        "coalesce(abs((value - avg(value) OVER w) / stddev_samp(value) OVER w) > 2, " +
+        "false) AS is_anomaly " +
+        "FROM events WINDOW w AS (PARTITION BY user_id) ORDER BY event_id"),
+    "join_null_safe" ->
+      ("SELECT label, count(*) AS n_orders, " +
+        "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price " +
+        "FROM (SELECT nullif(o_orderpriority, '3-MEDIUM') AS pri_n, o_totalprice " +
+        "FROM orders) o " +
+        "JOIN (VALUES ('1-URGENT', 'urgent'), ('2-HIGH', 'high'), " +
+        "(NULL, 'unspecified')) d(pri, label) " +
+        "ON o.pri_n IS NOT DISTINCT FROM d.pri " +
+        "GROUP BY label ORDER BY label"),
     "agg_pivot_status" ->
       ("SELECT o_orderpriority, " +
         "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +

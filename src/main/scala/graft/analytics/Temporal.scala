@@ -109,7 +109,35 @@ object Temporal {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Time-series densification (gap fill): each customer's Q1-1995 order
+    * activity becomes a CONTINUOUS daily series — `sequence(min_day,
+    * max_day)` + explode generates the calendar between that customer's
+    * first and last order, a left join back fills quiet days with 0. The
+    * standard prep for per-entity trend charts and forecasting inputs,
+    * which can't tolerate missing days. Scale: the explode factor is
+    * bounded by the window span (≤ 90 rows/customer here — a fixed
+    * analysis window is what makes gap fill safe at 100 TB; an unbounded
+    * span would let one ancient customer explode into decades), and both
+    * the daily counts and the spans aggregate from one filtered scan with
+    * the date predicate pushed to parquet. */
+  val fnDateGapfill: QFn = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01")
+        && col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+    val daily = o.groupBy("o_custkey", "day").agg(count(lit(1)).as("n_orders"))
+    val span = o.groupBy("o_custkey").agg(min("day").as("d0"), max("day").as("d1"))
+    span
+      .select(col("o_custkey"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .join(daily, Seq("o_custkey", "day"), "left")
+      .select(col("o_custkey"), col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("o_custkey", "day")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "fn_date_gapfill" -> fnDateGapfill,
     "join_asof_purchase" -> joinAsofPurchase,
     "join_range_bands" -> joinRangeBands,
     "window_sessionize" -> windowSessionize,
@@ -119,6 +147,16 @@ object Temporal {
     bands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "fn_date_gapfill" ->
+      ("WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'), " +
+        "daily AS (SELECT o_custkey, day, count(*) AS n_orders FROM o GROUP BY 1, 2), " +
+        "span AS (SELECT o_custkey, min(day) AS d0, max(day) AS d1 FROM o GROUP BY 1), " +
+        "days AS (SELECT o_custkey, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day " +
+        "FROM span) " +
+        "SELECT days.o_custkey, days.day, coalesce(daily.n_orders, 0) AS n_orders " +
+        "FROM days LEFT JOIN daily ON days.o_custkey = daily.o_custkey AND days.day = daily.day " +
+        "ORDER BY 1, 2"),
     // DuckDB's native ASOF JOIN is the independent oracle for the
     // union+window implementation; purchases deduped identically first
     "join_asof_purchase" ->

@@ -290,7 +290,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Document-length histogram per language — the corpus-profiling pass
+    * run before setting chunking/packing budgets: fixed 500-char buckets,
+    * top bucket open-ended (least(…, 19)). One map-side-combinable hash
+    * aggregate whose shuffle carries ≤ lang × 20 rows regardless of corpus
+    * size — the cheapest possible 100 TB profile. Bucket arithmetic is
+    * integer-exact so both engines bin identically (no float-edge
+    * ambiguity like a quantile-based histogram would have). */
+  val llmLengthHistogram: QFn = (spark, sfDir) => {
+    val width = 500
+    Tables(spark, sfDir, "documents")
+      .select(col("lang"),
+        least(floor(col("n_chars") / width), lit(19)).cast("int").as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("bucket"), (col("bucket") * width).as("lo_chars"),
+        col("n_docs"))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_length_histogram" -> llmLengthHistogram,
     "llm_bigram_counts" -> llmBigramCounts,
     "llm_shuffle_shards" -> llmShuffleShards,
     "llm_chunk_documents" -> llmChunkDocuments,
@@ -366,6 +386,10 @@ object TextOps {
           "SELECT doc_id, h, shard, CAST(row_number() OVER " +
           "(PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos " +
           "FROM s ORDER BY doc_id"),
+      "llm_length_histogram" ->
+        ("SELECT lang, bucket, bucket * 500 AS lo_chars, count(*) AS n_docs " +
+          "FROM (SELECT lang, CAST(least(floor(n_chars / 500.0), 19) AS INT) AS bucket " +
+          "FROM documents) GROUP BY lang, bucket ORDER BY lang, bucket"),
       "llm_bigram_counts" ->
         ("WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
           "b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram " +

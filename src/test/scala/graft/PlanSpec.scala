@@ -303,4 +303,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"expected broadcast anti join:\n$p")
   }
+
+  test("stats moments aggregate partially before the exchange — buffers, not rows, cross the wire") {
+    val p = plan(graft.analytics.Advanced.aggStatsMoments(spark, sfDir))
+    // partial-mode HashAggregate must sit BELOW the flag exchange: the
+    // shuffle then carries one moment-buffer row per (flag, partition)
+    // instead of the raw fact
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(l_returnflag")
+    assert(exchangeIdx >= 0, s"expected a returnflag exchange:\n$p")
+    assert(p.indexOf("partial_corr", exchangeIdx) >= 0
+      || p.indexOf("partial_covar_samp", exchangeIdx) >= 0,
+      s"moments must partial-aggregate below the exchange:\n$p")
+    // and the scan reads only the 3 needed of 11 lineitem columns
+    assert(p.contains("l_quantity") && !p.contains("l_shipdate"),
+      s"scan must prune to the moment inputs:\n$p")
+  }
+
+  test("zscore window computes both moments over ONE user_id exchange — no stats self-join") {
+    val p = plan(graft.analytics.Advanced.windowZscoreAnomaly(spark, sfDir))
+    assert(!p.contains("Join"), s"zscore must not self-join stats back:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected exactly one row-bearing hash exchange, got $hashExchanges:\n$p")
+  }
+
+  test("null-safe dim join broadcasts — the <=> predicate must not force a shuffle") {
+    val p = plan(graft.analytics.Advanced.joinNullSafe(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"null-safe equality supports broadcast hashing — must not sort-merge:\n$p")
+  }
+
+  test("gap fill pushes the analysis-window predicate into both parquet scans") {
+    val df = graft.analytics.Temporal.fnDateGapfill(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .filter(_.contains("o_orderdate"))
+    assert(scans.nonEmpty && scans.forall(_.contains("GreaterThanOrEqual(o_orderdate")),
+      s"date window must reach the readers:\n${scans.mkString("\n")}")
+  }
 }
