@@ -254,9 +254,31 @@ object Advanced {
       .orderBy("label")
   }
 
+  /** First/last order per customer carried onto every row — the
+    * "first-touch / latest-state" enrichment pattern (first order date for
+    * cohort assignment, latest order key for current-state lookups)
+    * without a separate min/max aggregate joined back. last_value needs
+    * the explicit full frame: the default frame stops at CURRENT ROW,
+    * which silently yields the running last — a classic window bug, pinned
+    * here with the correct unbounded spelling. One high-cardinality
+    * customer shuffle, same scale behavior as the other customer windows. */
+  val windowFirstLastValue: QFn = (spark, sfDir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        first(col("o_orderkey")).over(full).as("first_orderkey"),
+        last(col("o_orderkey")).over(full).as("last_orderkey"),
+        datediff(max(col("o_orderdate")).over(full),
+          min(col("o_orderdate")).over(full)).as("history_days"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, QFn] = Map(
     "agg_retention_weekly" -> aggRetentionWeekly,
     "agg_stats_moments" -> aggStatsMoments,
+    "window_first_last_value" -> windowFirstLastValue,
     "window_percent_rank" -> windowPercentRank,
     "window_zscore_anomaly" -> windowZscoreAnomaly,
     "join_null_safe" -> joinNullSafe,
@@ -283,6 +305,16 @@ object Advanced {
         "ROUND(cume_dist() OVER w, 6) AS cume " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
         "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
+    "window_first_last_value" ->
+      ("SELECT o_orderkey, o_custkey, o_orderdate, " +
+        "first_value(o_orderkey) OVER w AS first_orderkey, " +
+        "last_value(o_orderkey) OVER w AS last_orderkey, " +
+        "CAST(date_diff('day', CAST(min(o_orderdate) OVER w AS DATE), " +
+        "CAST(max(o_orderdate) OVER w AS DATE)) AS INT) AS history_days " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_orderkey"),
     "window_zscore_anomaly" ->
       ("SELECT event_id, user_id, value, " +
         "ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z, " +

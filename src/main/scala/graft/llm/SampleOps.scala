@@ -66,9 +66,30 @@ object SampleOps {
       .orderBy("source")
   }
 
+  /** Deterministic train/val/test split (90/5/5) — the assignment every
+    * training pipeline makes exactly once and must never change: a Lehmer
+    * mix of doc_id (multiplier 16807, deliberately DIFFERENT from
+    * llm_shuffle_shards' 48271 so split membership is uncorrelated with
+    * shuffle order) buckets each doc into [0,100); bucket ranges become
+    * split labels. Stateless per-row arithmetic — no shuffle, no sampling
+    * state, identical on every retry and every engine; eval membership is
+    * a pure function of doc_id, which is what makes downstream
+    * decontamination auditable. The doc_id mod-fold before the multiply is
+    * the same ANSI-overflow guard as sample_temperature. */
+  val llmTrainTestSplit: QFn = (spark, sfDir) => {
+    val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * 16807L,
+      lit(2147483647L)) % 100
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), bucket.cast("int").as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
     "llm_sample_stratified" -> llmSampleStratified,
     "llm_sample_temperature" -> llmSampleTemperature,
+    "llm_train_test_split" -> llmTrainTestSplit,
   )
 
   private def quotaCaseSql: String =
@@ -90,5 +111,10 @@ object SampleOps {
         "max(r.thr) AS thr FROM documents d JOIN r ON d.source = r.source " +
         "WHERE ((d.doc_id % 1000003) * 1103515245 + 12345) % 10000 < r.thr " +
         "GROUP BY d.source ORDER BY d.source"),
+    "llm_train_test_split" ->
+      ("SELECT doc_id, CAST(((doc_id % 1000003) * 16807) % 2147483647 % 100 AS INT) AS bucket, " +
+        "CASE WHEN ((doc_id % 1000003) * 16807) % 2147483647 % 100 < 90 THEN 'train' " +
+        "WHEN ((doc_id % 1000003) * 16807) % 2147483647 % 100 < 95 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
   )
 }

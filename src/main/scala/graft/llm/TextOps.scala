@@ -290,6 +290,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fused quality-filter pipeline — the C4-style cleaning decision as ONE
+    * codegen'd scan: the quality score (length + stopword signals), the
+    * Gopher repetition fraction, and the keep gate computed together, so
+    * the corpus is read once instead of once per signal. Running the
+    * signal ops separately and joining their verdicts costs three scans
+    * and two shuffles for the same decision — at 100 TB the fusion IS the
+    * operator. Gates compare the 4dp-ROUNDED signals (the same values the
+    * standalone ops emit), so the three engines' verdicts are identical by
+    * construction. */
+  val llmQualityFilter: QFn = (spark, sfDir) => {
+    val nTok = size(tokens)
+    val nDistinct = size(array_distinct(tokens))
+    val quality = round(lit(0.5) * least(lit(1.0), nTok.cast("double") / 100.0) +
+      lit(0.5) * (markerHits(markerWords.head._2).cast("double") / 6.0), 4)
+    val dupFrac = when(nTok === 0, 0.0)
+      .otherwise(round(lit(1.0) - nDistinct.cast("double") / nTok.cast("double"), 4))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), quality.as("quality"), dupFrac.as("dup_frac"))
+      .withColumn("keep", col("quality") >= 0.3 && col("dup_frac") <= 0.2)
+      .orderBy("doc_id")
+  }
+
   /** Document-length histogram per language — the corpus-profiling pass
     * run before setting chunking/packing budgets: fixed 500-char buckets,
     * top bucket open-ended (least(…, 19)). One map-side-combinable hash
@@ -310,6 +332,7 @@ object TextOps {
   }
 
   val queries: Map[String, QFn] = Map(
+    "llm_quality_filter" -> llmQualityFilter,
     "llm_length_histogram" -> llmLengthHistogram,
     "llm_bigram_counts" -> llmBigramCounts,
     "llm_shuffle_shards" -> llmShuffleShards,
@@ -364,6 +387,17 @@ object TextOps {
         ("SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS ws_tokens, " +
           "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_tokens " +
           "FROM documents ORDER BY doc_id"),
+      "llm_quality_filter" ->
+        ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks, text " +
+          "FROM documents), " +
+          "s AS (SELECT doc_id, " +
+          "ROUND(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) + " +
+          s"0.5 * (CAST(${hitsSql("en")} AS DOUBLE) / 6.0), 4) AS quality, " +
+          "CASE WHEN len(toks) = 0 THEN 0.0 ELSE " +
+          "ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) END AS dup_frac " +
+          "FROM t) " +
+          "SELECT doc_id, quality, dup_frac, " +
+          "quality >= 0.3 AND dup_frac <= 0.2 AS keep FROM s ORDER BY doc_id"),
       "llm_quality_score" ->
         ("SELECT doc_id, n_chars, " +
           "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens, " +
