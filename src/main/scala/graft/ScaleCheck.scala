@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.tables.Tables
 
 /** Empirical no-n² evidence for the dedup pipeline: replicate the sf0.1
   * documents corpus ×1/×2/×4 and time index build + each dedup operator at
@@ -155,6 +156,54 @@ object ScaleCheck {
       }
       def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       println(s"""{"metric":"scale_check_text","scale":$scale,""" +
+        timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+    }
+
+    // ---- analytics/window path (round 5): sessionize, z-score, as-of,
+    // percent_rank, decile assignment. Replica r shifts event/order AND
+    // user/customer ids, so partition COUNT grows with scale while
+    // per-partition size stays constant — how a real warehouse grows (more
+    // users, same history depth). The exposure here is a window that
+    // accidentally single-partitions (xN growth serializing through one
+    // task) or a join that degrades to pairwise; healthy shapes grow
+    // ~linearly in rows.
+    val winOpsEvents: Seq[(String, QFn)] = Seq(
+      "sessionize" -> graft.analytics.Temporal.windowSessionize,
+      "zscore" -> graft.analytics.Advanced.windowZscoreAnomaly,
+      "asof" -> graft.analytics.Temporal.joinAsofPurchase,
+    )
+    val winOpsOrders: Seq[(String, QFn)] = Seq(
+      "percent_rank" -> graft.analytics.Advanced.windowPercentRank,
+      "decile" -> graft.analytics.Advanced.windowNtileDecile,
+    )
+    (winOpsEvents ++ winOpsOrders).foreach { case (_, fn) => fn(spark, base).count() }
+
+    Seq(1, 2, 4, 8).foreach { scale =>
+      val dir =
+        if (scale == 1) base
+        else {
+          val d = graft.util.Scratch.dir(s"scale_win_x$scale")
+          val ev = Tables(spark, base, "events")
+          (0 until scale).map { r =>
+            ev.withColumn("event_id", col("event_id") + lit(r * 10000000L))
+              .withColumn("user_id", col("user_id") + lit(r * 1000000L))
+          }.reduce(_ unionByName _)
+            // back to long nanos so Tables' ns-rewrite applies on re-read
+            .withColumn("ts", expr("unix_micros(ts) * 1000"))
+            .write.mode("overwrite").parquet(s"$d/events.parquet")
+          val o = spark.read.parquet(s"$base/orders.parquet")
+          (0 until scale).map { r =>
+            o.withColumn("o_orderkey", col("o_orderkey") + lit(r * 10000000L))
+              .withColumn("o_custkey", col("o_custkey") + lit(r * 1000000L))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$d/orders.parquet")
+          d
+        }
+      val timed = (winOpsEvents ++ winOpsOrders).map { case (name, fn) =>
+        name -> time(fn(spark, dir).count())
+      }
+      def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      println(s"""{"metric":"scale_check_window","scale":$scale,""" +
         timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
     }
     spark.stop()
