@@ -219,15 +219,17 @@ object Advanced {
     * single user_id shuffle — no self-join of events against a per-user
     * stats aggregate, which would scan the fact twice. Single-event users
     * have sample stddev NULL ⇒ z NULL, flagged false (coalesce) — same
-    * convention both engines share. Scale: user_id is high-cardinality and
-    * the state per partition is two running sums. */
+    * convention both engines share. The + 0.0 normalizes IEEE -0.0 (a
+    * tiny-negative z rounds to -0.0 in one engine and +0.0 in the other;
+    * adding positive zero maps both to +0.0). Scale: user_id is
+    * high-cardinality and the state per partition is two running sums. */
   val windowZscoreAnomaly: QFn = (spark, sfDir) => {
     val w = Window.partitionBy("user_id")
     val z = (col("value") - avg(col("value")).over(w)) /
       stddev_samp(col("value")).over(w)
     Tables(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("value"),
-        round(z, 4).as("z"),
+        (round(z, 4) + lit(0.0)).as("z"),
         coalesce(abs(z) > 2, lit(false)).as("is_anomaly"))
       .orderBy("event_id")
   }
@@ -317,7 +319,7 @@ object Advanced {
         "ORDER BY o_orderkey"),
     "window_zscore_anomaly" ->
       ("SELECT event_id, user_id, value, " +
-        "ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z, " +
+        "ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) + 0.0 AS z, " +
         "coalesce(abs((value - avg(value) OVER w) / stddev_samp(value) OVER w) > 2, " +
         "false) AS is_anomaly " +
         "FROM events WINDOW w AS (PARTITION BY user_id) ORDER BY event_id"),
