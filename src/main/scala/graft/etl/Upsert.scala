@@ -171,7 +171,53 @@ object Upsert {
       .orderBy("o_orderkey")
   }
 
+  /** CDC changelog apply — the replication-consumer shape `MERGE` can't
+    * express directly: a stream of (key, op ∈ I/U/D, seq) change records,
+    * possibly SEVERAL per key, folded onto a snapshot. Step 1 is the CDC
+    * compaction: row_number over (key ORDER BY seq DESC) keeps each key's
+    * latest change — the shuffle is on the changelog (the small side),
+    * never the snapshot. Step 2 is one left join applying the compacted
+    * verdicts (U rewrites, D drops, untouched keys pass with op 'K') plus
+    * a union of the I rows — the merge_three_way plan downstream of the
+    * compaction window. The changelog here is derived deterministically
+    * from orders (D for key%10=0, U@seq1 for %10∈{1,2}, a second U@seq2
+    * for %10=1 proving last-seq-wins, I with shifted keys for %10=3) so
+    * the DuckDB oracle replays the identical fold. */
+  val upsertCdcApply: QFn = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val k = col("o_orderkey")
+    val del = o.filter(pmod(k, lit(10)) === 0)
+      .select(k.as("o_orderkey"), lit("D").as("op"), lit(1L).as("seq"),
+        lit(null).cast("double").as("new_price"))
+    val u1 = o.filter(pmod(k, lit(10)).isin(1, 2))
+      .select(k.as("o_orderkey"), lit("U").as("op"), lit(1L).as("seq"),
+        (col("o_totalprice") * 1.1).as("new_price"))
+    val u2 = o.filter(pmod(k, lit(10)) === 1)
+      .select(k.as("o_orderkey"), lit("U").as("op"), lit(2L).as("seq"),
+        (col("o_totalprice") * 1.25).as("new_price"))
+    val ins = o.filter(pmod(k, lit(10)) === 3)
+      .select((k + 10000000L).as("o_orderkey"), lit("I").as("op"),
+        lit(1L).as("seq"), (col("o_totalprice") + 5).as("new_price"))
+    val last = del.unionByName(u1).unionByName(u2).unionByName(ins)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_orderkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1).drop("rn", "seq")
+    val kept = o.join(last, Seq("o_orderkey"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("o_orderkey"),
+        when(col("op") === "U", col("new_price")).otherwise(col("o_totalprice"))
+          .as("o_totalprice"),
+        col("o_orderstatus"), coalesce(col("op"), lit("K")).as("last_op"))
+    kept.unionByName(
+      last.filter(col("op") === "I")
+        .select(col("o_orderkey"), col("new_price").as("o_totalprice"),
+          lit("O").as("o_orderstatus"), lit("I").as("last_op")))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "upsert_cdc_apply" -> upsertCdcApply,
     "upsert_merge_three_way" -> upsertMergeThreeWay,
     "upsert_scd2" -> upsertScd2,
     "incremental_upsert" -> incrementalUpsert,
@@ -181,6 +227,24 @@ object Upsert {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "upsert_cdc_apply" ->
+      ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders), " +
+        "c AS (" +
+        "SELECT o_orderkey, 'D' AS op, 1 AS seq, CAST(NULL AS DOUBLE) AS new_price " +
+        "FROM o WHERE o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT o_orderkey, 'U', 1, o_totalprice * 1.1 FROM o WHERE o_orderkey % 10 IN (1, 2) " +
+        "UNION ALL SELECT o_orderkey, 'U', 2, o_totalprice * 1.25 FROM o WHERE o_orderkey % 10 = 1 " +
+        "UNION ALL SELECT o_orderkey + 10000000, 'I', 1, o_totalprice + 5 FROM o WHERE o_orderkey % 10 = 3), " +
+        "last AS (SELECT o_orderkey, op, new_price FROM " +
+        "(SELECT c.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM c) " +
+        "WHERE rn = 1) " +
+        "SELECT o.o_orderkey, " +
+        "CASE WHEN l.op = 'U' THEN l.new_price ELSE o.o_totalprice END AS o_totalprice, " +
+        "o.o_orderstatus, coalesce(l.op, 'K') AS last_op " +
+        "FROM o LEFT JOIN last l ON o.o_orderkey = l.o_orderkey " +
+        "WHERE l.op IS NULL OR l.op <> 'D' " +
+        "UNION ALL SELECT o_orderkey, new_price, 'O', 'I' FROM last WHERE op = 'I' " +
+        "ORDER BY o_orderkey"),
     "upsert_merge_three_way" ->
       ("WITH recent AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'), " +
         "u AS (SELECT o_orderkey, o_totalprice * 2 AS n_price FROM recent WHERE o_orderkey % 7 < 2), " +
