@@ -298,7 +298,22 @@ object Queries {
     early.intersect(late).orderBy("o_custkey", "o_orderstatus")
   }
 
+  /** Globally ORDERED export — the "hand the warehouse a sorted extract"
+    * op (sorted-by-date file feeds, ordered pagination snapshots). The
+    * point is HOW Spark sorts globally: a sampled range exchange gives
+    * every task a key interval to sort independently — parallel across
+    * the cluster, unlike a rank/ntile window whose global ORDER BY
+    * funnels all rows through one task (the decile trap). The only
+    * single-partition step is the driver-side boundary sampling, which
+    * moves O(partitions) sampled keys, not data. PlanSpec asserts the
+    * rangepartitioning exchange and the absence of SinglePartition. */
+  val sortGlobalExport: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+
   val queries: Map[String, QFn] = Map(
+    "sort_global_export" -> sortGlobalExport,
     "intersect_semantics" -> intersectSemantics,
     "join_inner_customer_orders" -> joinInnerCustomerOrders,
     "join_inner_orders_product" -> joinInnerOrdersProduct,
@@ -422,5 +437,8 @@ object Queries {
         "SELECT o_custkey, o_orderstatus FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01' " +
         "INTERSECT SELECT o_custkey, o_orderstatus FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01') " +
         "ORDER BY o_custkey, o_orderstatus"),
+    "sort_global_export" ->
+      ("SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice " +
+        "FROM orders ORDER BY o_orderdate, o_orderkey"),
   )
 }

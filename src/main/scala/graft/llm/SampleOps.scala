@@ -86,10 +86,30 @@ object SampleOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-k uniform sample — "give me exactly 200 docs, uniformly,
+    * reproducibly": rank by a Lehmer hash of doc_id and keep the k
+    * smallest. Rate-based sampling (stratified/temperature) yields a
+    * BINOMIAL size; pipelines that need a fixed eval-set or
+    * annotation-batch size need top-k-by-hash instead. Spark plans the
+    * limit as TakeOrderedAndProject: each partition keeps its local top-k
+    * and only k rows per partition reach the driver-side merge — a
+    * reservoir sample in disguise, never a global sort of the corpus. */
+  val SampleK = 200
+
+  val llmSampleExactK: QFn = (spark, sfDir) => {
+    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * 69621L,
+      lit(2147483647L))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(SampleK)
+  }
+
   val queries: Map[String, QFn] = Map(
     "llm_sample_stratified" -> llmSampleStratified,
     "llm_sample_temperature" -> llmSampleTemperature,
     "llm_train_test_split" -> llmTrainTestSplit,
+    "llm_sample_exact_k" -> llmSampleExactK,
   )
 
   private def quotaCaseSql: String =
@@ -116,5 +136,8 @@ object SampleOps {
         "CASE WHEN ((doc_id % 1000003) * 16807) % 2147483647 % 100 < 90 THEN 'train' " +
         "WHEN ((doc_id % 1000003) * 16807) % 2147483647 % 100 < 95 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+    "llm_sample_exact_k" ->
+      (s"SELECT doc_id, lang, source, ((doc_id % 1000003) * 69621) % 2147483647 AS h " +
+        s"FROM documents ORDER BY h, doc_id LIMIT $SampleK"),
   )
 }

@@ -334,6 +334,22 @@ class PlanSpec extends AnyFunSuite {
       s"null-safe equality supports broadcast hashing — must not sort-merge:\n$p")
   }
 
+  test("global export sorts via a sampled range exchange, never one partition") {
+    val p = plan(graft.analytics.Queries.sortGlobalExport(spark, sfDir))
+    assert(p.contains("Exchange rangepartitioning"),
+      s"global sort must range-partition:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no row-bearing single-partition step in a global sort:\n$p")
+  }
+
+  test("exact-k sample plans as TakeOrderedAndProject — k rows per partition, no global sort") {
+    val p = plan(graft.llm.SampleOps.llmSampleExactK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"order+limit must fuse into a per-partition top-k:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"the corpus must not be globally sorted for a k-row sample:\n$p")
+  }
+
   test("gap fill pushes the analysis-window predicate into both parquet scans") {
     val df = graft.analytics.Temporal.fnDateGapfill(spark, sfDir)
     val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
