@@ -256,6 +256,34 @@ object Advanced {
       .orderBy("label")
   }
 
+  /** Table profiling (the ANALYZE-TABLE pass): row count, null count, and
+    * exact distinct count for every column of orders in ONE scan — the
+    * stats collection every optimizer and data-quality monitor runs
+    * first. Spark plans the multiple exact count-distincts as a single
+    * Expand (×(cols+1) rows map-side, then one partial/final agg) — still
+    * one pass over the table; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` (HLL buffers, Expand gone, same single
+    * scan). The 1-row aggregate is reshaped to a row per column AFTER
+    * aggregation — the unpivot touches driver-sized data, never the
+    * fact. */
+  val aggTableProfile: QFn = (spark, sfDir) => {
+    val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+      "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val o = Tables(spark, sfDir, "orders")
+    val wide = o.agg(count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))): _*)
+    wide.select(col("n_rows"), expr(
+      "explode(arrays_zip(" +
+        s"array(${cols.map(c => s"'$c'").mkString(",")}), " +
+        s"array(${cols.map(c => s"nulls_$c").mkString(",")}), " +
+        s"array(${cols.map(c => s"dist_$c").mkString(",")})))").as("z"))
+      .select(col("z.0").as("column"), col("n_rows"),
+        col("z.1").as("n_nulls"), col("z.2").as("n_distinct"))
+      .orderBy("column")
+  }
+
   /** First/last order per customer carried onto every row — the
     * "first-touch / latest-state" enrichment pattern (first order date for
     * cohort assignment, latest order key for current-state lookups)
@@ -280,6 +308,7 @@ object Advanced {
   val queries: Map[String, QFn] = Map(
     "agg_retention_weekly" -> aggRetentionWeekly,
     "agg_stats_moments" -> aggStatsMoments,
+    "agg_table_profile" -> aggTableProfile,
     "window_first_last_value" -> windowFirstLastValue,
     "window_percent_rank" -> windowPercentRank,
     "window_zscore_anomaly" -> windowZscoreAnomaly,
@@ -307,6 +336,13 @@ object Advanced {
         "ROUND(cume_dist() OVER w, 6) AS cume " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
         "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
+    "agg_table_profile" ->
+      (Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+        .map(c => s"SELECT '$c' AS \"column\", count(*) AS n_rows, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct FROM orders")
+        .mkString(" UNION ALL ") + " ORDER BY \"column\""),
     "window_first_last_value" ->
       ("SELECT o_orderkey, o_custkey, o_orderdate, " +
         "first_value(o_orderkey) OVER w AS first_orderkey, " +
