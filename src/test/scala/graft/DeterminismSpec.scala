@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning-invariance: on a real cluster the number of input splits
+  * and shuffle partitions changes with cluster size, file layout, and AQE
+  * decisions — any operator whose OUTPUT depends on them is broken at
+  * scale even if every local run looks right. The hash-keyed decisions
+  * (sampling, splits, shard assignment, CDC compaction) must produce the
+  * IDENTICAL row set under a different physical partitioning; rank-based
+  * ops additionally pin their tie-breaks. */
+class DeterminismSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private def rowsHash(df: DataFrame): (Long, Any) = {
+    // decimal sum: ANSI mode makes a plain long sum of hashes a job-killing
+    // overflow error
+    val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).collect()(0)
+    (h.getLong(0), h.get(1))
+  }
+
+  private val ops: Seq[(String, QFn)] = Seq(
+    "llm_train_test_split" -> graft.llm.SampleOps.llmTrainTestSplit,
+    "llm_sample_exact_k" -> graft.llm.SampleOps.llmSampleExactK,
+    "llm_sample_stratified" -> graft.llm.SampleOps.llmSampleStratified,
+    "llm_shuffle_shards" -> graft.llm.TextOps.llmShuffleShards,
+    "upsert_cdc_apply" -> graft.etl.Upsert.upsertCdcApply,
+  )
+
+  test("hash-keyed sampling/split/CDC outputs are invariant to input partitioning") {
+    val before = ops.map { case (n, f) => n -> rowsHash(f(spark, sfDir)) }.toMap
+    // force a different physical layout: many tiny input splits + a
+    // different shuffle fan-out (7 instead of the fixture's 4)
+    val confs = Map(
+      "spark.sql.files.maxPartitionBytes" -> "16384",
+      "spark.sql.shuffle.partitions" -> "7")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      ops.foreach { case (n, f) =>
+        assert(rowsHash(f(spark, sfDir)) == before(n),
+          s"$n changed output under a different partitioning")
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
