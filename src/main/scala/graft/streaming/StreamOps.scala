@@ -131,6 +131,37 @@ object StreamOps {
       .orderBy("hour", "event_type")
   }
 
+  /** Sliding windows — the trend-smoothing shape tumbling can't express
+    * (a 1-hour window advancing every 15 minutes: each event lands in 4
+    * overlapping windows), completing the streaming window trio alongside
+    * the tumbling hourly agg and the session-gap state op. State per key
+    * is (windows-per-slide × |event types|) rows — bounded like tumbling,
+    * ×overlap; at 100 TB the overlap factor is the knob (window/slide),
+    * not the data volume. Oracle = the batch twin: each event exploded to
+    * its 4 epoch-aligned window starts (Spark's window() aligns to the
+    * epoch in slide-width steps — replayed in DuckDB with explicit µs
+    * floor arithmetic so alignment can't drift between engines). */
+  val streamSlidingWindow: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val base = Scratch.dir("stream_sliding_window")
+    ev.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+    val name = uniq("stream_sliding_window")
+    val ss = streamSession(spark, 4)
+    val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:00").as("w_start"),
+        col("event_type"), col("count").as("cnt"))
+      .orderBy("w_start", "event_type")
+  }
+
   /** Watermark + dropDuplicates against late/duplicate file drops — the
     * reference's "sync issue" (README.md:123): the same events file lands
     * twice; event_id dedup restores exactly-once counts. */
@@ -384,6 +415,7 @@ object StreamOps {
     "stream_enrich_dim" -> streamEnrichDim,
     "stream_file_source_upsert" -> streamFileSourceUpsert,
     "stream_hourly_window" -> streamHourlyWindow,
+    "stream_sliding_window" -> streamSlidingWindow,
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_session_state" -> streamSessionState,
     "stream_stream_join" -> streamStreamJoin,
@@ -406,6 +438,13 @@ object StreamOps {
     "stream_hourly_window" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +
         "event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "stream_sliding_window" ->
+      ("WITH e AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b, " +
+        "event_type FROM events), " +
+        "w AS (SELECT b - (k * INTERVAL '15 minutes') AS w_start, event_type " +
+        "FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)) " +
+        "SELECT strftime(w_start, '%Y-%m-%d %H:%M:00') AS w_start, event_type, " +
+        "count(*) AS cnt FROM w GROUP BY 1, 2 ORDER BY 1, 2"),
     "stream_watermark_late" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "stream_stream_join" ->
