@@ -305,7 +305,28 @@ object Advanced {
       .orderBy("o_orderkey")
   }
 
+  /** Per-user modal event type ("what does this user mostly do") with a
+    * DETERMINISTIC tie-break — the built-in `mode()` picks an arbitrary
+    * winner on ties, which would make the oracle hash unstable. Spelling:
+    * count per (user, type) — one shuffle with map-side partial agg over
+    * the fact — then a row_number window ordered (cnt DESC, event_type ASC)
+    * over the SMALL counts frame (|users × event types| ≪ |events|), so
+    * the second shuffle moves only the aggregate. Both stages partition by
+    * the high-cardinality user_id. */
+  val aggModeFrequent: QFn = (spark, sfDir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    Tables(spark, sfDir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_event"), col("cnt"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "agg_mode_frequent" -> aggModeFrequent,
     "agg_retention_weekly" -> aggRetentionWeekly,
     "agg_stats_moments" -> aggStatsMoments,
     "agg_table_profile" -> aggTableProfile,
@@ -323,6 +344,13 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mode_frequent" ->
+      ("WITH c AS (SELECT user_id, event_type, count(*) AS cnt " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY cnt DESC, event_type ASC) AS rn FROM c) " +
+        "SELECT user_id, event_type AS top_event, cnt FROM r WHERE rn = 1 " +
+        "ORDER BY user_id"),
     "agg_stats_moments" ->
       ("SELECT l_returnflag, count(*) AS n, " +
         "ROUND(avg(l_extendedprice), 4) AS avg_price, " +

@@ -136,10 +136,84 @@ object Temporal {
       .orderBy("o_custkey", "day")
   }
 
+  /** Interval-overlap join: per-user activity sessions (30-min-gap, the
+    * same boundaries as `window_sessionize`) matched against promo windows
+    * (two 4-hour promos per active day, 10:00 and 18:00) — "which sessions
+    * were live during each promotion, and for how long".
+    *
+    * Spark has no native interval join; the naive spelling is a range-
+    * predicate join that plans as a nested loop, O(sessions × promos). The
+    * scale shape used here is GRID BUCKETING: explode each session onto the
+    * calendar days it covers, equi-join day-cell against the promo's day,
+    * re-check the exact overlap predicate, and dedupe (a session crossing
+    * midnight reaches the same promo through at most one cell here, but the
+    * dedupe is what makes the pattern correct for intervals and cells of
+    * any width). The join is then a plain hash/merge equi-join on the cell
+    * key — shuffle-partitionable, no nested loop, and the explode factor is
+    * bounded by interval span / cell width (sessions are minutes-to-hours,
+    * so ~1). Overlap is computed in exact integer microseconds; closed
+    * intervals, so a session touching a promo endpoint counts with 0 µs. */
+  val joinIntervalOverlap: QFn = (spark, sfDir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = Tables(spark, sfDir, "events")
+      .withColumn("new_sess",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+          > 30L * 60 * 1000000 || lag(col("ts"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val promos = Tables(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day")).distinct()
+      .select(col("day"), explode(array(lit(10), lit(18))).as("h"))
+      .select(
+        concat_ws("_", date_format(col("day"), "yyyy-MM-dd"), col("h"))
+          .as("promo_id"),
+        col("day"),
+        expr("timestampadd(HOUR, h, CAST(day AS TIMESTAMP))").as("p_start"),
+        expr("timestampadd(HOUR, h + 4, CAST(day AS TIMESTAMP))").as("p_end"))
+    sessions
+      .select(col("*"),
+        explode(expr("sequence(to_date(s_start), to_date(s_end))")).as("cell"))
+      .join(promos, col("cell") === col("day")
+        && col("s_start") <= col("p_end") && col("p_start") <= col("s_end"))
+      .dropDuplicates("user_id", "session_idx", "promo_id")
+      .groupBy("promo_id", "p_start")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(unix_micros(least(col("s_end"), col("p_end")))
+          - unix_micros(greatest(col("s_start"), col("p_start"))))
+          .as("overlap_us"))
+      .orderBy("p_start")
+  }
+
+  /** Gaps-and-islands: each user's streaks of CONSECUTIVE active days. The
+    * classic spelling — distinct (user, day), row_number per user, group by
+    * `day - rn` (constant within a run of consecutive days) — is one
+    * distinct-shuffle plus one window plus one aggregate, all partitioned
+    * by the high-cardinality user_id, so every stage parallelizes across
+    * the user space and no task sees more than one user's calendar. The
+    * window-free alternative (self-join day = day - 1 iterated) is
+    * O(streak-length) joins; this is the linear shape. */
+  val windowGapsIslands: QFn = (spark, sfDir) => {
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("grp", expr("date_sub(day, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day))"))
+      .groupBy("user_id", "grp")
+      .agg(min(col("day")).as("streak_start"), max(col("day")).as("streak_end"),
+        count(lit(1)).as("len_days"))
+      .select("user_id", "streak_start", "streak_end", "len_days")
+      .orderBy("user_id", "streak_start")
+  }
+
   val queries: Map[String, QFn] = Map(
     "fn_date_gapfill" -> fnDateGapfill,
     "join_asof_purchase" -> joinAsofPurchase,
+    "join_interval_overlap" -> joinIntervalOverlap,
     "join_range_bands" -> joinRangeBands,
+    "window_gaps_islands" -> windowGapsIslands,
     "window_sessionize" -> windowSessionize,
   )
 
@@ -169,6 +243,34 @@ object Temporal {
         "FROM (SELECT * FROM events WHERE event_type = 'click') e " +
         "ASOF LEFT JOIN pd ON e.user_id = pd.user_id AND e.ts >= pd.ts " +
         "ORDER BY e.event_id"),
+    // independent spelling: DuckDB joins on the RAW overlap predicate (no
+    // grid cells), so the bucketing rewrite is checked against the direct
+    // range join it replaces
+    "join_interval_overlap" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM g), " +
+        "sess AS (SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end " +
+        "FROM s GROUP BY 1, 2), " +
+        "promos AS (SELECT strftime(day, '%Y-%m-%d') || '_' || CAST(h AS VARCHAR) AS promo_id, " +
+        "CAST(day AS TIMESTAMP) + h * INTERVAL 1 HOUR AS p_start, " +
+        "CAST(day AS TIMESTAMP) + (h + 4) * INTERVAL 1 HOUR AS p_end " +
+        "FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events), (VALUES (10), (18)) t(h)) " +
+        "SELECT promo_id, p_start, count(*) AS n_sessions, " +
+        "count(DISTINCT user_id) AS n_users, " +
+        "CAST(sum(epoch_us(least(s_end, p_end)) - epoch_us(greatest(s_start, p_start))) AS BIGINT) AS overlap_us " +
+        "FROM sess JOIN promos ON s_start <= p_end AND p_start <= s_end " +
+        "GROUP BY 1, 2 ORDER BY p_start"),
+    "window_gaps_islands" ->
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "r AS (SELECT user_id, day, day - CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp FROM a) " +
+        "SELECT user_id, min(day) AS streak_start, max(day) AS streak_end, " +
+        "count(*) AS len_days FROM r GROUP BY user_id, grp " +
+        "ORDER BY user_id, streak_start"),
     // lo/hi cast to DOUBLE: DuckDB types VALUES literals as DECIMAL,
     // which would hash-mismatch Spark's double band columns
     "join_range_bands" ->

@@ -105,7 +105,47 @@ object SampleOps {
       .limit(SampleK)
   }
 
+  /** Target-driven domain mixture (the DoReMi/Pile-style "web 40%, books
+    * 30%, code 30%" rebalance, by chars as the token proxy): given a target
+    * weight per source, find the LARGEST corpus whose source shares match
+    * the targets with every keep-rate ≤ 1, then keep-sample each source at
+    * its rate. The math collapses to one quantity per source,
+    * q_s = chars_s / weight_s: the binding source is argmin q (kept whole,
+    * rate exactly 1.0 by construction — same-double division), every other
+    * source keeps qmin/q_s of its chars. Differs from
+    * `llm_sample_temperature` in direction: temperature DERIVES the mix
+    * from the data; this ENFORCES an external policy. Plan shape is the
+    * same metadata-sized pattern — per-source aggregate (tiny), min as a
+    * broadcast scalar, rates broadcast-joined back, corpus scanned once
+    * with a stateless hash-threshold decision per row. Target weights are
+    * a FORMULA of the source name ((idx % 4) + 1) shared with the oracle
+    * SQL, the markerWords pattern. */
+  val llmDomainMixture: QFn = (spark, sfDir) => {
+    val tgtOf = (s: org.apache.spark.sql.Column) =>
+      (substring(s, 4, 10).cast("int") % 4 + 1)
+    val d = Tables(spark, sfDir, "documents")
+    val q = d.groupBy("source").agg(sum(col("n_chars")).as("chars"))
+      .withColumn("q",
+        col("chars").cast("double") / tgtOf(col("source")).cast("double"))
+    val qmin = q.agg(min(col("q")).as("qmin"))
+    val rates = q.crossJoin(broadcast(qmin))
+      .select(col("source"),
+        floor(least(lit(1.0), col("qmin") / col("q")) * 10000 + 0.5)
+          .cast("int").as("thr"))
+    d.join(broadcast(rates), Seq("source"))
+      // fresh Lehmer multiplier (40692) so mixture membership is
+      // uncorrelated with the split/shard/sample hashes; same mod-fold
+      // ANSI-overflow guard as the other sampling ops
+      .filter(pmod(pmod(pmod(col("doc_id"), lit(1000003L)) * 40692L,
+        lit(2147483647L)), lit(10000L)) < col("thr"))
+      .groupBy("source")
+      .agg(max(tgtOf(col("source"))).as("tgt_w"), max(col("thr")).as("thr"),
+        count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_domain_mixture" -> llmDomainMixture,
     "llm_sample_stratified" -> llmSampleStratified,
     "llm_sample_temperature" -> llmSampleTemperature,
     "llm_train_test_split" -> llmTrainTestSplit,
@@ -117,6 +157,18 @@ object SampleOps {
       .mkString(" ") + " ELSE 0 END"
 
   val oracleSql: Map[String, String] = Map(
+    "llm_domain_mixture" ->
+      ("WITH s AS (SELECT source, sum(n_chars) AS chars FROM documents GROUP BY 1), " +
+        "q AS (SELECT source, CAST(chars AS DOUBLE) / " +
+        "CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS DOUBLE) AS q FROM s), " +
+        "m AS (SELECT min(q) AS qmin FROM q), " +
+        "r AS (SELECT source, CAST(floor(least(1.0, qmin / q) * 10000 + 0.5) AS INT) AS thr " +
+        "FROM q, m) " +
+        "SELECT d.source, CAST(max((CAST(substr(d.source, 4) AS INT) % 4) + 1) AS INT) AS tgt_w, " +
+        "max(r.thr) AS thr, count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars " +
+        "FROM documents d JOIN r USING (source) " +
+        "WHERE ((d.doc_id % 1000003) * 40692) % 2147483647 % 10000 < r.thr " +
+        "GROUP BY d.source ORDER BY d.source"),
     "llm_sample_stratified" ->
       (s"SELECT doc_id, lang, CAST($quotaCaseSql AS INT) AS quota_pct, n_chars " +
         s"FROM documents WHERE doc_id % 100 < $quotaCaseSql ORDER BY doc_id"),

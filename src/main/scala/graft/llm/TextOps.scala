@@ -331,7 +331,41 @@ object TextOps {
       .orderBy("lang", "bucket")
   }
 
+  /** Unigram-LM document scoring — the CCNet/Gopher-style "perplexity
+    * filter" reduced to its engine shape: build the corpus unigram model
+    * (token → count), score every document by its mean negative log
+    * probability, and the pipeline drops the high-NLL tail as
+    * boilerplate/gibberish. Plan: one explode + hash aggregate for the
+    * model (map-side combine — the shuffle carries distinct tokens, not
+    * occurrences), corpus total as a broadcast scalar, then ONE shuffle
+    * joining occurrences to the model on token. At 100 TB the vocab is
+    * Zipf-skewed, so the production variant broadcasts the head of the
+    * vocabulary and shuffle-joins only the tail — same outputs, same model.
+    *
+    * Determinism: each token's NLL is quantized to integer micro-nats
+    * (floor(ln(total/cnt)·1e6)) BEFORE summation, so the per-doc sum is
+    * exact integer arithmetic — immune to float summation order — and the
+    * single final division is deterministic. */
+  val llmUnigramLogprob: QFn = (spark, sfDir) => {
+    val occ = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens).as("token"))
+    val model = occ.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("total_tokens"))
+    val nll = model.crossJoin(broadcast(total))
+      .select(col("token"),
+        floor(log(col("total_tokens").cast("double") / col("cnt")) * 1e6)
+          .cast("long").as("nll_q"))
+    occ.join(nll, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_q")).as("nll_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
+        round(col("nll_micro").cast("double") / col("n_tokens") / 1e6, 4)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_unigram_logprob" -> llmUnigramLogprob,
     "llm_quality_filter" -> llmQualityFilter,
     "llm_length_histogram" -> llmLengthHistogram,
     "llm_bigram_counts" -> llmBigramCounts,
@@ -352,6 +386,16 @@ object TextOps {
   val oracleSql: Map[String, String] = {
     val hitsSql = markerWords.map { case (l, ws) => l -> markerHitsSql(ws) }.toMap
     Map(
+      "llm_unigram_logprob" ->
+        ("WITH occ AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+          "FROM documents), " +
+          "model AS (SELECT token, count(*) AS cnt FROM occ GROUP BY token), " +
+          "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM model), " +
+          "nll AS (SELECT token, CAST(floor(ln(CAST(total_tokens AS DOUBLE) / cnt) * 1e6) AS BIGINT) AS nll_q " +
+          "FROM model, tot) " +
+          "SELECT doc_id, count(*) AS n_tokens, CAST(sum(nll_q) AS BIGINT) AS nll_micro, " +
+          "ROUND(CAST(sum(nll_q) AS DOUBLE) / count(*) / 1e6, 4) AS avg_nll " +
+          "FROM occ JOIN nll USING (token) GROUP BY doc_id ORDER BY doc_id"),
       "llm_pii_scrub" ->
         ("WITH d AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) || " +
           "'@example.com or +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' AS dirty " +

@@ -22,7 +22,9 @@ object PlanDump {
       "sink_bucketed_colocated", "join_skew_salted", "agg_grouping_sets",
       "llm_decontaminate", "agg_hll_mergeable",
       // round 5
-      "llm_chunk_documents", "llm_tfidf_topterms")
+      "llm_chunk_documents", "llm_tfidf_topterms",
+      "join_interval_overlap", "llm_unigram_logprob", "llm_domain_mixture",
+      "sink_zorder_cluster")
     picks.foreach { name =>
       println(s"\n======== $name ========")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -357,4 +357,15 @@ class PlanSpec extends AnyFunSuite {
     assert(scans.nonEmpty && scans.forall(_.contains("GreaterThanOrEqual(o_orderdate")),
       s"date window must reach the readers:\n${scans.mkString("\n")}")
   }
+
+  test("interval-overlap join is an equi-join on the grid cell, never a nested loop") {
+    val df = graft.analytics.Temporal.joinIntervalOverlap(spark, sfDir)
+    df.collect() // finalize AQE so the checked plan is the executed one
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid bucketing must turn the range join into an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"expected a hash/merge join on the day cell:\n$p")
+  }
 }

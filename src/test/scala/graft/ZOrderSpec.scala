@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground truth for `sink_zorder_cluster` (Bucketing.scala): the point of a
+  * Morton layout is FILE LOCALITY for 2-D box predicates — matching rows
+  * concentrate in few files so parquet min/max stats can skip the rest.
+  * Results are oracle-checked by the driver; this spec measures the layout
+  * property itself, against a round-robin baseline of the same file count. */
+class ZOrderSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private val box = col("o_custkey").between(40, 110) &&
+    col("o_totalprice").between(100000, 150000)
+
+  private def filesTouched(dir: String): Long =
+    spark.read.parquet(dir).filter(box)
+      .select(input_file_name()).distinct().count()
+
+  test("z-order box query touches fewer files than a round-robin layout") {
+    // run the operator (writes the z-clustered copy as a side effect)
+    val res = graft.etl.Bucketing.sinkZorderCluster(spark, sfDir)
+    assert(res.count() > 0, "box query must match rows at this SF")
+
+    // keep(), not dir(): dir() would wipe the operator's freshly-written copy
+    val zDir = graft.util.Scratch.keep(
+      s"zorder_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    val rrDir = graft.util.Scratch.dir("zorder_roundrobin_baseline")
+    graft.tables.Tables(spark, sfDir, "orders")
+      .repartition(8) // same file count, no clustering
+      .write.mode("overwrite").parquet(rrDir)
+
+    val zFiles = filesTouched(zDir)
+    val rrFiles = filesTouched(rrDir)
+    info(s"box rows live in $zFiles z-clustered files vs $rrFiles round-robin files")
+    // round-robin spreads the box over every file; z-order must beat it
+    assert(rrFiles == 8, s"baseline should spread the box across all 8 files, got $rrFiles")
+    assert(zFiles < rrFiles, s"z-order gave no locality win: $zFiles vs $rrFiles")
+    assert(zFiles <= 4, s"box spans a z-range that should fit in ≤4 of 8 range partitions, got $zFiles")
+  }
+
+  test("z-clustered read-back equals the raw table under the box predicate") {
+    val zDir = graft.util.Scratch.keep(
+      s"zorder_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    val fromZ = spark.read.parquet(zDir).filter(box)
+      .agg(count(lit(1)), round(sum("o_totalprice"), 2)).collect()(0)
+    val fromRaw = graft.tables.Tables(spark, sfDir, "orders").filter(box)
+      .agg(count(lit(1)), round(sum("o_totalprice"), 2)).collect()(0)
+    assert(fromZ == fromRaw, s"clustering changed query results: $fromZ vs $fromRaw")
+  }
+}
