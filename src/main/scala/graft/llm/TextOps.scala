@@ -16,6 +16,41 @@ object TextOps {
 
   private val tokens: Column = split(lower(trim(col("text"))), "\\s+")
 
+  /** Persisted unigram model (token → count), one per (session, sfDir) —
+    * the DedupOps index pattern: the LM is consulted twice inside the
+    * logprob query (corpus total + per-token NLL join) and Spark would
+    * otherwise re-derive the whole explode+aggregate subtree for each use
+    * (self-referencing plans recompute, they don't share). At 100 TB this
+    * is the vocabulary table every perplexity filter materializes once —
+    * one linear corpus pass, then all scoring reads it. */
+  private val unigramCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private val persistedFrames =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+
+  /** Release the persisted unigram models (same contract as
+    * DedupOps.clearCaches — safe between corpora, rebuilt lazily). */
+  def clearCaches(): Unit = persistedFrames.synchronized {
+    persistedFrames.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    persistedFrames.clear()
+    unigramCache.clear()
+  }
+
+  private[llm] def unigramModel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    unigramCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + sfDir, {
+        val m = Tables(spark, sfDir, "documents")
+          .select(explode(tokens).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persistedFrames.synchronized { persistedFrames += m }
+        m
+      })
+
   /** Shared en/de/es/fr marker-word lists: the SAME lists build both the
     * Spark plan and the DuckDB oracle SQL, so they cannot drift. */
   val markerWords: Seq[(String, Seq[String])] = Seq(
@@ -349,7 +384,7 @@ object TextOps {
   val llmUnigramLogprob: QFn = (spark, sfDir) => {
     val occ = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(tokens).as("token"))
-    val model = occ.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val model = unigramModel(spark, sfDir)
     val total = model.agg(sum(col("cnt")).as("total_tokens"))
     val nll = model.crossJoin(broadcast(total))
       .select(col("token"),

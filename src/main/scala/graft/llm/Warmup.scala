@@ -22,5 +22,6 @@ object Warmup {
     timed("embIndex") { DedupOps.embIndex(spark, sfDir).count() }
     timed("gramIndex") { DedupOps.gramIndex(spark, sfDir).count() }
     timed("ivfIndex") { SimilarityOps.ivfIndex(spark, sfDir)._1.count() }
+    timed("unigramModel") { TextOps.unigramModel(spark, sfDir).count() }
   }
 }
