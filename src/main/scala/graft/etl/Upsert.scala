@@ -216,7 +216,69 @@ object Upsert {
       .orderBy("o_orderkey")
   }
 
+  /** Snapshot diff — the INVERSE of cdc_apply: given yesterday's and
+    * today's snapshots of a table with no changelog (the replication
+    * scenario the reference's full-reload Data Pipeline drops actually
+    * produce, README.md:52-63), emit the I/U/D change records that turn
+    * one into the other. One full-outer join on the key classifies every
+    * row (right-only → I, left-only → D, both-but-different → U,
+    * identical → dropped); at warehouse scale both snapshots bucket on the
+    * key and the join is exchange-free — this is how lakehouses derive
+    * CDC feeds from table versions. The new snapshot is derived
+    * deterministically (deletes: key%97=0; updates: 2001+ prices doubled;
+    * inserts: shifted keys for key%101=0) so the oracle replays it. */
+  val upsertSnapshotDiff: QFn = (spark, sfDir) => {
+    val oldSnap = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val base = Tables(spark, sfDir, "orders")
+    val newSnap = base.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderdate") >= lit("2001-01-01"), col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .unionByName(base.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"), (col("o_totalprice") + 1.0).as("o_totalprice")))
+    oldSnap.as("o")
+      .join(newSnap.as("n"), col("o.o_orderkey") === col("n.o_orderkey"),
+        "full_outer")
+      .withColumn("op",
+        when(col("n.o_orderkey").isNull, "D")
+          .when(col("o.o_orderkey").isNull, "I")
+          .when(col("o.o_totalprice") =!= col("n.o_totalprice")
+            || col("o.o_orderstatus") =!= col("n.o_orderstatus"), "U"))
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("o.o_orderkey"), col("n.o_orderkey")).as("o_orderkey"),
+        col("op"), col("o.o_totalprice").as("old_price"),
+        col("n.o_totalprice").as("new_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Point-in-time (as-of) lookup against the SCD2 dimension — the read
+    * side of upsert_scd2: every order joined to the customer version that
+    * was valid ON ITS ORDER DATE, so pre-change orders report the old
+    * segment and post-change orders the NEW- one. The validity predicate
+    * ([valid_from, valid_to) half-open) rides as a residual on a plain
+    * equi-join keyed on the customer key — versions don't overlap, so each
+    * order matches exactly one row and the join stays hash/merge on the
+    * high-cardinality key (broadcast when the dimension fits, the usual
+    * case). This pairing is why SCD2 beats snapshot-per-day at 100 TB: one
+    * dimension table answers every historical date. */
+  val joinScd2Asof: QFn = (spark, sfDir) => {
+    val dim = upsertScd2(spark, sfDir)
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_date"))
+      .join(dim, col("o_custkey") === col("c_custkey")
+        && col("o_date") >= to_date(col("valid_from"))
+        && col("o_date") < to_date(col("valid_to")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_date"),
+        col("c_mktsegment").as("segment_at_order"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "join_scd2_asof" -> joinScd2Asof,
+    "upsert_snapshot_diff" -> upsertSnapshotDiff,
     "upsert_cdc_apply" -> upsertCdcApply,
     "upsert_merge_three_way" -> upsertMergeThreeWay,
     "upsert_scd2" -> upsertScd2,
@@ -227,6 +289,31 @@ object Upsert {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "upsert_snapshot_diff" ->
+      ("WITH oldsnap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
+        "newsnap AS (SELECT o_orderkey, o_orderstatus, " +
+        "CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01' THEN o_totalprice * 2 " +
+        "ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice + 1 " +
+        "FROM orders WHERE o_orderkey % 101 = 0) " +
+        "SELECT * FROM (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN n.o_orderkey IS NULL THEN 'D' WHEN o.o_orderkey IS NULL THEN 'I' " +
+        "WHEN o.o_totalprice <> n.o_totalprice OR o.o_orderstatus <> n.o_orderstatus THEN 'U' END AS op, " +
+        "o.o_totalprice AS old_price, n.o_totalprice AS new_price " +
+        "FROM oldsnap o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey) " +
+        "WHERE op IS NOT NULL ORDER BY o_orderkey"),
+    "join_scd2_asof" ->
+      ("WITH dim AS (SELECT c_custkey, c_mktsegment, '1995-01-01' AS valid_from, " +
+        "CASE WHEN c_custkey % 10 = 0 THEN '2001-06-01' ELSE '9999-12-31' END AS valid_to " +
+        "FROM customer " +
+        "UNION ALL SELECT c_custkey, 'NEW-' || c_mktsegment, '2001-06-01', '9999-12-31' " +
+        "FROM customer WHERE c_custkey % 10 = 0) " +
+        "SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date, " +
+        "d.c_mktsegment AS segment_at_order " +
+        "FROM orders JOIN dim d ON o_custkey = d.c_custkey " +
+        "AND CAST(o_orderdate AS DATE) >= CAST(valid_from AS DATE) " +
+        "AND CAST(o_orderdate AS DATE) < CAST(valid_to AS DATE) " +
+        "ORDER BY o_orderkey"),
     "upsert_cdc_apply" ->
       ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders), " +
         "c AS (" +
