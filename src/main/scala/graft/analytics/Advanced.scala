@@ -305,6 +305,41 @@ object Advanced {
       .orderBy("o_orderkey")
   }
 
+  /** Deequ-style data-quality constraint suite, evaluated in ONE scan:
+    * completeness (null counts), range/outlier bounds, domain membership,
+    * and key uniqueness all ride the same aggregate as conditional sums
+    * (the uniqueness check shares the scan via count distinct's Expand);
+    * only referential integrity needs a second input — a broadcast
+    * anti-join against the dimension's key column. The naive spelling is
+    * one pass PER RULE, which at 100 TB turns a 6-rule suite into 6 full
+    * table reads; this is the fused shape Deequ compiles to. The per-rule
+    * reshape happens on the 1-row aggregate, never the fact. */
+  val aggQualityConstraints: QFn = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+    val wide = o.agg(
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("price_positive"),
+      // review-flag rule that actually fires, exercising nonzero counts
+      sum(when(col("o_totalprice") > 400000, 1L).otherwise(0L)).as("price_outlier_400k"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+        .as("status_domain"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("unique_orderkey"))
+    val rules = Seq("null_custkey", "null_orderdate", "price_positive",
+      "price_outlier_400k", "status_domain", "unique_orderkey")
+    val scanRules = wide.select(explode(array(rules.map(r =>
+      struct(lit(r).as("rule"), col(r).as("n_violations"))): _*)).as("r"))
+      .select(col("r.rule"), col("r.n_violations"))
+    val fk = o.join(
+      broadcast(Tables(spark, sfDir, "customer").select(col("c_custkey"))),
+      col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("fk_custkey_exists").as("rule"), col("n_violations"))
+    scanRules.unionByName(fk)
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy("rule")
+  }
+
   /** Per-user modal event type ("what does this user mostly do") with a
     * DETERMINISTIC tie-break — the built-in `mode()` picks an arbitrary
     * winner on ties, which would make the oracle hash unstable. Spelling:
@@ -326,6 +361,7 @@ object Advanced {
   }
 
   val queries: Map[String, QFn] = Map(
+    "agg_quality_constraints" -> aggQualityConstraints,
     "agg_mode_frequent" -> aggModeFrequent,
     "agg_retention_weekly" -> aggRetentionWeekly,
     "agg_stats_moments" -> aggStatsMoments,
@@ -344,6 +380,25 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_quality_constraints" ->
+      ("WITH w AS (SELECT " +
+        "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey, " +
+        "sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_orderdate, " +
+        "sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS price_positive, " +
+        "sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS price_outlier_400k, " +
+        "sum(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P')) THEN 1 ELSE 0 END) AS status_domain, " +
+        "count(*) - count(DISTINCT o_orderkey) AS unique_orderkey FROM orders) " +
+        "SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, " +
+        "n_violations = 0 AS pass FROM (" +
+        "SELECT 'null_custkey' AS rule, null_custkey AS n_violations FROM w " +
+        "UNION ALL SELECT 'null_orderdate', null_orderdate FROM w " +
+        "UNION ALL SELECT 'price_positive', price_positive FROM w " +
+        "UNION ALL SELECT 'price_outlier_400k', price_outlier_400k FROM w " +
+        "UNION ALL SELECT 'status_domain', status_domain FROM w " +
+        "UNION ALL SELECT 'unique_orderkey', unique_orderkey FROM w " +
+        "UNION ALL SELECT 'fk_custkey_exists', (SELECT count(*) FROM orders o " +
+        "LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)) " +
+        "ORDER BY rule"),
     "agg_mode_frequent" ->
       ("WITH c AS (SELECT user_id, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2), " +

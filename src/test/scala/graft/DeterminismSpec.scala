@@ -28,6 +28,12 @@ class DeterminismSpec extends AnyFunSuite {
     "llm_sample_stratified" -> graft.llm.SampleOps.llmSampleStratified,
     "llm_shuffle_shards" -> graft.llm.TextOps.llmShuffleShards,
     "upsert_cdc_apply" -> graft.etl.Upsert.upsertCdcApply,
+    // integer micro-nat quantization BEFORE the sum is what makes the
+    // per-doc NLL independent of float summation order — this is the test
+    // of that claim
+    "llm_unigram_logprob" -> graft.llm.TextOps.llmUnigramLogprob,
+    "llm_domain_mixture" -> graft.llm.SampleOps.llmDomainMixture,
+    "upsert_snapshot_diff" -> graft.etl.Upsert.upsertSnapshotDiff,
   )
 
   test("hash-keyed sampling/split/CDC outputs are invariant to input partitioning") {
@@ -40,6 +46,9 @@ class DeterminismSpec extends AnyFunSuite {
     val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // drop the persisted unigram model so it REBUILDS under the new
+      // layout — otherwise the cached frame would bypass the test
+      graft.llm.TextOps.clearCaches()
       ops.foreach { case (n, f) =>
         assert(rowsHash(f(spark, sfDir)) == before(n),
           s"$n changed output under a different partitioning")
