@@ -134,8 +134,15 @@ object ScaleCheck {
       "bigram" -> graft.llm.TextOps.llmBigramCounts,
       "pack" -> graft.llm.TextOps.llmPackSequences,
       "shuffle" -> graft.llm.TextOps.llmShuffleShards,
+      // round-5 additions: the unigram LM pays one model build per corpus
+      // (persisted index — cleared between scales so each scale pays its
+      // own build) and the mixture is a metadata join — both should track
+      // corpus size linearly
+      "unigram" -> graft.llm.TextOps.llmUnigramLogprob,
+      "mixture" -> graft.llm.SampleOps.llmDomainMixture,
     )
     textOps.foreach { case (_, fn) => fn(spark, base).count() } // warmup
+    graft.llm.TextOps.clearCaches()
 
     Seq(1, 2, 4, 8).foreach { scale =>
       val dir =
@@ -157,6 +164,7 @@ object ScaleCheck {
       def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       println(s"""{"metric":"scale_check_text","scale":$scale,""" +
         timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+      graft.llm.TextOps.clearCaches()
     }
 
     // ---- analytics/window path (round 5): sessionize, z-score, as-of,
@@ -171,10 +179,18 @@ object ScaleCheck {
       "sessionize" -> graft.analytics.Temporal.windowSessionize,
       "zscore" -> graft.analytics.Advanced.windowZscoreAnomaly,
       "asof" -> graft.analytics.Temporal.joinAsofPurchase,
+      // round-5 additions: the grid-bucketed interval join (sessions × a
+      // FIXED promo set — growth must stay linear in sessions, pairwise
+      // would be x64 at x8) and two more user-keyed shapes
+      "interval_overlap" -> graft.analytics.Temporal.joinIntervalOverlap,
+      "gaps_islands" -> graft.analytics.Temporal.windowGapsIslands,
+      "mode_frequent" -> graft.analytics.Advanced.aggModeFrequent,
     )
     val winOpsOrders: Seq[(String, QFn)] = Seq(
       "percent_rank" -> graft.analytics.Advanced.windowPercentRank,
       "decile" -> graft.analytics.Advanced.windowNtileDecile,
+      // full-outer snapshot diff: one key-partitioned join, linear growth
+      "snapshot_diff" -> graft.etl.Upsert.upsertSnapshotDiff,
     )
     (winOpsEvents ++ winOpsOrders).foreach { case (_, fn) => fn(spark, base).count() }
 

@@ -446,7 +446,34 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Repeated-passage profile — the WITHIN-corpus counterpart of
+    * decontamination (the signal behind Lee et al.'s substring-level
+    * dedup): for every doc, what fraction of its distinct 13-grams also
+    * appears in at least one OTHER document. Boilerplate, licence headers,
+    * and templated spam score high; unique prose scores ~0. Reads the
+    * same persisted gram index as llm_decontaminate (one linear gram pass
+    * per corpus, shared by both operators); cross-doc repetition is a
+    * count-distinct-docs aggregate per gram plus one semi-join back —
+    * shuffles carry distinct grams, never doc pairs. The per-doc fraction
+    * is integer-ratio arithmetic, so the rounded score is engine-exact. */
+  val llmDedupPassage: QFn = (spark, sfDir) => {
+    val grams = gramIndex(spark, sfDir).select("doc_id", "g")
+    val shared = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val rep = grams.join(shared, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_repeated"))
+    perDoc.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        round(coalesce(col("n_repeated"), lit(0L)).cast("double")
+          / col("n_grams"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_dedup_passage" -> llmDedupPassage,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_dedup_exact" -> llmDedupExact,
     "llm_dedup_minhash" -> llmDedupMinhash,
@@ -457,6 +484,19 @@ object DedupOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // raw-substring replay (the decontaminate/ngram_jaccard argument: only
+    // gram EQUALITY matters, so the xxhash64 in the index is invisible)
+    "llm_dedup_passage" ->
+      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 13) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)), " +
+        "sh AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
+        "n AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id), " +
+        "r AS (SELECT doc_id, count(*) AS n_repeated FROM g " +
+        "WHERE gram IN (SELECT gram FROM sh) GROUP BY doc_id) " +
+        "SELECT n.doc_id, n.n_grams, CAST(coalesce(r.n_repeated, 0) AS BIGINT) AS n_repeated, " +
+        "ROUND(CAST(coalesce(r.n_repeated, 0) AS DOUBLE) / n.n_grams, 4) AS dup_frac " +
+        "FROM n LEFT JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id"),
     "llm_dedup_exact" ->
       ("SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY lower(trim(text)) ORDER BY 1"),
