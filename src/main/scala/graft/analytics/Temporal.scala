@@ -109,6 +109,28 @@ object Temporal {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Engine-native sessionization via the built-in `session_window` — the
+    * complement to `window_sessionize`'s manual lag/running-sum spelling
+    * (the same pairing as AQE skew-join vs manual salting): one grouped
+    * aggregate, Spark's SessionWindowing rule handles the merge, and the
+    * IDENTICAL operator works under Structured Streaming with state
+    * eviction for free. Semantics differ from the manual spelling at the
+    * boundary — a session's window is [first_ts, last_ts + gap), and an
+    * event at EXACTLY prev_ts + 30 min starts a new session (>= where the
+    * manual one breaks on >) — which is why both operators exist and each
+    * has its own exact oracle. */
+  val windowSessionNative: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** Time-series densification (gap fill): each customer's Q1-1995 order
     * activity becomes a CONTINUOUS daily series — `sequence(min_day,
     * max_day)` + explode generates the calendar between that customer's
@@ -214,6 +236,7 @@ object Temporal {
     "join_interval_overlap" -> joinIntervalOverlap,
     "join_range_bands" -> joinRangeBands,
     "window_gaps_islands" -> windowGapsIslands,
+    "window_session_native" -> windowSessionNative,
     "window_sessionize" -> windowSessionize,
   )
 
@@ -278,6 +301,20 @@ object Temporal {
         "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value " +
         s"FROM events JOIN (VALUES $bandsSqlDuck) b(band, lo, hi) " +
         "ON value >= lo AND value < hi GROUP BY 1, 2, 3 ORDER BY lo"),
+    // session_window boundary is >= (an event at exactly last_ts + gap
+    // opens a NEW session) and session_end = last_ts + gap — both replayed
+    // exactly
+    "window_session_native" ->
+      ("WITH g AS (SELECT user_id, ts, value, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM g) " +
+        "SELECT user_id, min(ts) AS session_start, " +
+        "max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events, " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value " +
+        "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_start"),
     "window_sessionize" ->
       ("WITH g AS (SELECT user_id, ts, event_id, value, " +
         "CASE WHEN lag(ts) OVER w IS NULL " +
