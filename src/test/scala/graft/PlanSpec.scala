@@ -139,6 +139,12 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected exactly one user_id shuffle, got $shuffles:\n$p")
   }
 
+  test("native session_window sessionizes over one user_id shuffle") {
+    val p = plan(graft.analytics.Temporal.windowSessionNative(spark, sfDir))
+    val shuffles = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly one user_id shuffle, got $shuffles:\n$p")
+  }
+
   test("decile assignment has no single-partition sort/window — boundaries broadcast back") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
