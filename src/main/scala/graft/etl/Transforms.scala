@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QFn
 import graft.tables.Tables
@@ -143,7 +144,42 @@ object Transforms {
       .orderBy("event_id")
   }
 
+  /** Contiguous global row numbering WITHOUT the single-partition trap —
+    * the surrogate-key assignment every warehouse load needs. The obvious
+    * `row_number() OVER (ORDER BY key)` funnels the whole table through
+    * one task; `monotonically_increasing_id` is parallel but leaves
+    * gaps. The scale shape: range-partition + sort on the key, pin the
+    * layout (localCheckpoint — both consumers below must see the SAME
+    * partition ids), then number = per-partition local rank + a prefix-sum
+    * OFFSET computed from the per-partition counts — a partition-count-
+    * sized frame, broadcast back. Two parallel row-bearing exchanges,
+    * zero single-partition steps (PlanSpec-asserted); ties impossible on
+    * the unique key, so numbering is deterministic and equals the oracle's
+    * global row_number. */
+  val fnGlobalRowNumber: QFn = (spark, sfDir) => {
+    val parted = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset")
+    parted
+      .withColumn("local_rn", row_number().over(
+        Window.partitionBy("pid").orderBy("o_orderkey")))
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("offset") + col("local_rn")).as("rn"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "fn_global_row_number" -> fnGlobalRowNumber,
     "fn_try_cast_robust" -> fnTryCastRobust,
     "project_derive_year_month" -> projectDeriveYearMonth,
     "filter_last_3_months" -> filterLast3Months,
@@ -158,6 +194,12 @@ object Transforms {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle numbers globally in one window — tiny-engine luxury the
+    // distributed plan reproduces via local ranks + broadcast offsets
+    "fn_global_row_number" ->
+      ("SELECT o_orderkey, o_totalprice, " +
+        "row_number() OVER (ORDER BY o_orderkey) AS rn " +
+        "FROM orders ORDER BY o_orderkey"),
     "project_derive_year_month" ->
       ("SELECT event_id, CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m, " +
         "CAST(day(ts) AS INT) AS d FROM events ORDER BY event_id"),

@@ -172,6 +172,34 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("global row numbering never funnels fact rows through one partition") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.etl.Transforms.fnGlobalRowNumber(spark, sfDir)
+      val root = df.queryExecution.executedPlan
+      // the ONLY SinglePartition exchange allowed is the per-partition
+      // count prefix-sum (a partition-count-sized frame) — never fact rows
+      def aggSized(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case _: BaseAggregateExec => true
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+            aggSized(w.child)
+          case _ => false
+        }
+      val rowFunnels = root.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition && !aggSized(e.child) => e
+      }
+      assert(rowFunnels.isEmpty,
+        s"row data must not funnel through one partition:\n$root")
+      assert(root.toString.contains("BroadcastHashJoin"),
+        s"offsets must broadcast back onto the fact:\n$root")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("sequence packing windows per shard — one shard shuffle, never a global rank") {
     val p = plan(graft.llm.TextOps.llmPackSequences(spark, sfDir))
     val shardShuffles = "hashpartitioning\\(shard".r.findAllIn(p).size
