@@ -34,6 +34,9 @@ class DeterminismSpec extends AnyFunSuite {
     "llm_unigram_logprob" -> graft.llm.TextOps.llmUnigramLogprob,
     "llm_domain_mixture" -> graft.llm.SampleOps.llmDomainMixture,
     "upsert_snapshot_diff" -> graft.etl.Upsert.upsertSnapshotDiff,
+    // numbering must survive ANY range-boundary placement: the broadcast
+    // offsets correct whatever layout the sampled range exchange picks
+    "fn_global_row_number" -> graft.etl.Transforms.fnGlobalRowNumber,
   )
 
   test("hash-keyed sampling/split/CDC outputs are invariant to input partitioning") {
