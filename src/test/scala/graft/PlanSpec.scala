@@ -172,6 +172,24 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("bucketed table prunes buckets on an equality key filter") {
+    // sink_bucketed_colocated leaves orders_bkt_* registered; an equality
+    // predicate on the bucket key must scan 1 of 8 buckets, not the table
+    graft.etl.Bucketing.sinkBucketedColocated(spark, sfDir).count()
+    val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+    // autoBucketedScan "helpfully" falls back to a plain scan when no join
+    // consumes the bucketing — which also discards bucket PRUNING; a real
+    // point lookup on a bucketed fact wants it off
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = spark.table(s"orders_bkt_$suffix").filter(col("o_orderkey") === 42L)
+      val p = plan(df)
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"equality on the bucket key must prune to one bucket:\n$p")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("global row numbering never funnels fact rows through one partition") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
