@@ -93,8 +93,24 @@ object Bench {
     val good = results.values.filter(_ >= 0)
     val total = if (good.nonEmpty) good.sum else 0.0
     val nFailed = results.values.count(_ < 0)
+    // Self-normalized totals so a bench line is comparable across host
+    // regimes WITHOUT forensic reads of BASELINE.md: divide by the ratio of
+    // this run's calibration to the recorded clean-regime nominal (calib
+    // 0.50 CPU / 1.15 shuffle — BASELINE.md round-2/4 fast regime). A run
+    // on a 10×-slower host then reports total_normalized ≈ what the clean
+    // host would have measured. Normalization can only be as honest as the
+    // calibration workload's resemblance to the query mix, so both raw and
+    // normalized values are emitted — the raw total stays the ground truth.
+    val calibNominal = 0.50
+    val calibShuffleNominal = 1.15
+    val hostFactor = math.max(calibSec / calibNominal, 1e-9)
+    val hostShuffleFactor = math.max(calibShuffleSec / calibShuffleNominal, 1e-9)
+    val qsNorm = results.map { case (k, v) =>
+      "\"" + k + "\":" + f3(if (v >= 0) v / hostFactor else v)
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"queries","sf":"$sfDir","detail":$qs}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_normalized","sf":"$sfDir","host_factor":${f3(hostFactor)},"detail":$qsNorm}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -105,6 +105,59 @@ object Advanced {
       .orderBy("c_mktsegment")
   }
 
+  /** Engine-native skew handling — the AQE pairing to [[joinSkewSalted]]
+    * (manual salting), completing the manual/native pair the way
+    * window_sessionize/window_session_native do for sessionization. A hot
+    * key is planted at 75% of the (replicated) event stream; AQE's
+    * OptimizeSkewedJoin detects the oversized shuffle partition at RUNTIME
+    * from map-output statistics and splits it across many reducers — no salt
+    * column, no dim replication, no query rewrite. Runs in a child session
+    * (same SparkContext, own SQLConf) so the skew thresholds can be scaled
+    * to test-size data without touching the shared session: at 100 TB the
+    * DEFAULTS (256 MB threshold, 5× median) fire on real hot keys and this
+    * operator is just the plain join. The merge hint + disabled broadcast
+    * keep the small side from hiding the skew at test scale. Result
+    * provably equals the plain join (the oracle replays it); PlanSpec
+    * asserts `skew=true` on the final adaptive SortMergeJoin. */
+  val joinSkewAqe: QFn = (spark, sfDir) => {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // plant the hot key: 3 of 4 replicated events land on key 0, the rest
+    // spread over 96 keys; ×40 replication makes the hot shuffle partition
+    // big enough to trip the (lowered) threshold deterministically. The
+    // repartition(8) matters: AQE splits a skewed partition at MAP-OUTPUT
+    // granularity, so a single-file scan (1 map task → 1 block per reduce
+    // partition) would leave the hot partition unsplittable no matter how
+    // large — at 100 TB the thousands of input splits provide this for free
+    val fact = Tables(s, sfDir, "events")
+      .repartition(8)
+      .select(col("event_id"), col("user_id"), col("value"),
+        explode(expr("sequence(1, 40)")).as("rep"))
+      .select(
+        when(pmod(col("event_id"), lit(4)) =!= 0, lit(0L))
+          .otherwise(pmod(col("user_id"), lit(97))).as("k"),
+        col("value"))
+    // one row per key 0..96 via a filter, NOT a groupBy: OptimizeSkewedJoin
+    // pattern-matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) exactly —
+    // an aggregate between the dim's sort and its shuffle stage would make
+    // the join ineligible for skew splitting altogether
+    val dim = Tables(s, sfDir, "customer")
+      .filter(col("c_custkey").between(1, 97))
+      .select(pmod(col("c_custkey"), lit(97)).as("k"), col("c_mktsegment"))
+    fact.hint("merge").join(dim, Seq("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("key_band"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+      .orderBy("key_band")
+  }
+
   /** Mergeable distinct-count sketches — the re-aggregation property exact
     * distinct counts lack: per-(day, event_type) HLL sketches roll up to
     * per-type estimates by sketch UNION, never re-touching the raw events.
@@ -284,6 +337,52 @@ object Advanced {
       .orderBy("column")
   }
 
+  /** Approx-tier twin of agg_percentile_price — the spelling the same
+    * query runs at 100 TB: approx_percentile (Greenwald-Khanna/KLL
+    * summaries) instead of exact percentile. Exact percentile materializes
+    * every group's values into one sorted buffer per group — memory grows
+    * with group size, the 100 TB killer; the sketch holds a bounded
+    * summary (here ε = 1/10000) per group regardless of row count, merges
+    * associatively map-side, and lands within ε·n ranks of the exact order
+    * statistic. No DuckDB oracle (sketch internals are engine-specific) —
+    * ApproxSpec pins the estimates against the exact twin's output with
+    * the ε-rank tolerance translated to a value bound. */
+  val aggPercentileApprox: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).as("p50"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("p90"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  /** Approx-tier twin of agg_table_profile: approx_count_distinct (HLL++)
+    * in place of exact countDistinct. The exact plan needs an Expand that
+    * replicates every row (cols+1)× before aggregating — a 7× map-side
+    * blowup on a 100 TB scan; the HLL buffers aggregate all columns in ONE
+    * un-expanded pass (ApproxSpec asserts the Expand is gone from the
+    * physical plan) and merge map-side like any other partial aggregate.
+    * rsd 0.02 ⇒ ~2% standard error on the distinct counts; null counts and
+    * n_rows stay exact (they never needed the Expand). No DuckDB oracle —
+    * ApproxSpec pins estimates within 5% of the exact twin. */
+  val aggProfileApprox: QFn = (spark, sfDir) => {
+    val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+      "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val o = Tables(spark, sfDir, "orders")
+    val wide = o.agg(count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"dist_$c"))): _*)
+    wide.select(col("n_rows"), expr(
+      "explode(arrays_zip(" +
+        s"array(${cols.map(c => s"'$c'").mkString(",")}), " +
+        s"array(${cols.map(c => s"nulls_$c").mkString(",")}), " +
+        s"array(${cols.map(c => s"dist_$c").mkString(",")})))").as("z"))
+      .select(col("z.0").as("column"), col("n_rows"),
+        col("z.1").as("n_nulls"), col("z.2").as("n_distinct_approx"))
+      .orderBy("column")
+  }
+
   /** First/last order per customer carried onto every row — the
     * "first-touch / latest-state" enrichment pattern (first order date for
     * cohort assignment, latest order key for current-state lookups)
@@ -366,6 +465,8 @@ object Advanced {
     "agg_retention_weekly" -> aggRetentionWeekly,
     "agg_stats_moments" -> aggStatsMoments,
     "agg_table_profile" -> aggTableProfile,
+    "agg_percentile_approx" -> aggPercentileApprox,
+    "agg_profile_approx" -> aggProfileApprox,
     "window_first_last_value" -> windowFirstLastValue,
     "window_percent_rank" -> windowPercentRank,
     "window_zscore_anomaly" -> windowZscoreAnomaly,
@@ -377,6 +478,7 @@ object Advanced {
     "window_rolling_avg" -> windowRollingAvg,
     "window_lag_lead_delta" -> windowLagLeadDelta,
     "join_skew_salted" -> joinSkewSalted,
+    "join_skew_aqe" -> joinSkewAqe,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -504,6 +606,17 @@ object Advanced {
         "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value " +
         "FROM events JOIN customer ON user_id = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // join_skew_aqe: the runtime split must be invisible in the result —
+    // the oracle replays the plain planted-hot-key join with no AQE
+    "join_skew_aqe" ->
+      ("WITH f AS (SELECT CASE WHEN event_id % 4 <> 0 THEN 0 ELSE user_id % 97 END AS k, value " +
+        "FROM events, unnest(range(1, 41)) AS r(i)), " +
+        "d AS (SELECT c_custkey % 97 AS k FROM customer WHERE c_custkey BETWEEN 1 AND 97) " +
+        "SELECT f.k % 10 AS key_band, count(*) AS n_rows, " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value " +
+        "FROM f JOIN d ON f.k = d.k GROUP BY 1 ORDER BY key_band"),
     // agg_hll_mergeable: estimate not oracle-replayable → ApproxSpec
+    // agg_percentile_approx / agg_profile_approx: sketch estimates are
+    // engine-specific → ApproxSpec pins them against their exact twins
   )
 }

@@ -79,8 +79,14 @@ object Bucketing {
       min(col("o_totalprice")).as("tp_min"), max(col("o_totalprice")).as("tp_max"))
     val bx = ((col("o_custkey") - col("ck_min")) * 256L /
       (col("ck_max") - col("ck_min") + 1L)).cast("long")
+    // greatest(..., tiny) guards a constant column: tp_max = tp_min would
+    // make the divisor 0 and every by NaN → null z — the layout would
+    // silently degrade to whatever the write order was; with the guard a
+    // degenerate dimension ranks everything 0 and z falls back to a clean
+    // 1-D custkey clustering (the right answer for a constant column)
     val by = least(floor((col("o_totalprice") - col("tp_min")) /
-      ((col("tp_max") - col("tp_min")) / 256.0)), lit(255L)).cast("long")
+      greatest((col("tp_max") - col("tp_min")) / 256.0, lit(1e-12))), lit(255L))
+      .cast("long")
     val z = (0 until 8).map { i =>
       shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i))

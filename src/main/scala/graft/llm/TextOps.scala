@@ -378,9 +378,16 @@ object TextOps {
     * vocabulary and shuffle-joins only the tail — same outputs, same model.
     *
     * Determinism: each token's NLL is quantized to integer micro-nats
-    * (floor(ln(total/cnt)·1e6)) BEFORE summation, so the per-doc sum is
-    * exact integer arithmetic — immune to float summation order — and the
-    * single final division is deterministic. */
+    * (floor(ln(total/cnt)·1e6 + 0.5), i.e. round-half-up) BEFORE summation,
+    * so the per-doc sum is exact integer arithmetic — immune to float
+    * summation order — and the single final division is deterministic. The
+    * half-offset keeps the grid boundary away from representable ln values:
+    * Spark (Java Math.log) and DuckDB (libm) may differ by 1 ulp, and with
+    * a plain floor that ulp can flip the quantized micro-nat exactly when
+    * ln(x)·1e6 sits on an integer; ln of a rational ratio is irrational
+    * except at ratio 1 (ln = 0, where both engines agree exactly), so no
+    * true value sits on the shifted boundary and a 1-ulp divergence can
+    * never cross it. */
   val llmUnigramLogprob: QFn = (spark, sfDir) => {
     val occ = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(tokens).as("token"))
@@ -388,7 +395,7 @@ object TextOps {
     val total = model.agg(sum(col("cnt")).as("total_tokens"))
     val nll = model.crossJoin(broadcast(total))
       .select(col("token"),
-        floor(log(col("total_tokens").cast("double") / col("cnt")) * 1e6)
+        floor(log(col("total_tokens").cast("double") / col("cnt")) * 1e6 + 0.5)
           .cast("long").as("nll_q"))
     occ.join(nll, "token")
       .groupBy("doc_id")
@@ -426,7 +433,7 @@ object TextOps {
           "FROM documents), " +
           "model AS (SELECT token, count(*) AS cnt FROM occ GROUP BY token), " +
           "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM model), " +
-          "nll AS (SELECT token, CAST(floor(ln(CAST(total_tokens AS DOUBLE) / cnt) * 1e6) AS BIGINT) AS nll_q " +
+          "nll AS (SELECT token, CAST(floor(ln(CAST(total_tokens AS DOUBLE) / cnt) * 1e6 + 0.5) AS BIGINT) AS nll_q " +
           "FROM model, tot) " +
           "SELECT doc_id, count(*) AS n_tokens, CAST(sum(nll_q) AS BIGINT) AS nll_micro, " +
           "ROUND(CAST(sum(nll_q) AS DOUBLE) / count(*) / 1e6, 4) AS avg_nll " +

@@ -23,6 +23,50 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_percentile_approx lands within tolerance of the exact percentile twin") {
+    val exact = graft.analytics.Queries.aggPercentilePrice(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val approx = graft.analytics.Advanced.aggPercentileApprox(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (status, (p50, p90, cnt)) =>
+      val (a50, a90, acnt) = approx(status)
+      assert(acnt == cnt, s"$status: row counts must be exact")
+      // accuracy 10000 ⇒ the sketch answer is within 1/10000 of the true
+      // RANK; at these group sizes that is ≤ 1 rank, but exact percentile
+      // interpolates between ranks while the sketch returns an observed
+      // value, so allow one rank-step of value slack via a 1% relative band
+      assert(math.abs(a50 - p50) / math.max(1.0, p50) <= 0.01,
+        s"$status: approx p50 $a50 vs exact $p50")
+      assert(math.abs(a90 - p90) / math.max(1.0, p90) <= 0.01,
+        s"$status: approx p90 $a90 vs exact $p90")
+    }
+  }
+
+  test("agg_profile_approx: distinct counts within 5% of exact, and the Expand is gone") {
+    val exact = graft.analytics.Advanced.aggTableProfile(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val df = graft.analytics.Advanced.aggProfileApprox(spark, sfDir)
+    val approx = df
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (c, (nRows, nNulls, nDist)) =>
+      val (aRows, aNulls, aDist) = approx(c)
+      assert(aRows == nRows && aNulls == nNulls,
+        s"$c: row/null counts must stay exact")
+      val rel = math.abs(aDist - nDist).toDouble / math.max(1L, nDist)
+      assert(rel <= 0.05, s"$c: approx distinct $aDist vs exact $nDist (rel err $rel)")
+    }
+    // the point of the approx tier: exact multi-countDistinct plans an
+    // Expand (×(cols+1) row replication map-side); HLL buffers must not
+    val exactPlan = graft.analytics.Advanced.aggTableProfile(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val approxPlan = df.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact twin should plan an Expand (baseline)")
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile must aggregate without the Expand blowup:\n$approxPlan")
+  }
+
   test("union of per-day sketches equals the single-pass sketch") {
     val ev = graft.tables.Tables(spark, sfDir, "events")
     val merged = ev

@@ -108,6 +108,18 @@ class PlanSpec extends AnyFunSuite {
       s"join must shuffle on (key, salt), not key alone:\n$p")
   }
 
+  test("AQE splits the planted hot key: final adaptive plan runs a skew sort-merge join") {
+    val df = graft.analytics.Advanced.joinSkewAqe(spark, sfDir)
+    df.collect() // AQE: skew handling only exists in the finalized plan
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"), s"expected a finalized adaptive plan:\n$p")
+    // SortMergeJoinExec renders as "SortMergeJoin(skew=true)" once
+    // OptimizeSkewedJoin has replaced the oversized partition with splits
+    assert(p.contains("skew=true"), s"hot partition was not skew-split:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"broadcast would bypass the skewed shuffle entirely:\n$p")
+  }
+
   test("grouping sets plan one Expand + hash aggregate, not a union of scans") {
     val df = graft.analytics.Advanced.aggGroupingSets(spark, sfDir)
     val p = plan(df)

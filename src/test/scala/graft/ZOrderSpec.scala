@@ -18,14 +18,20 @@ class ZOrderSpec extends AnyFunSuite {
     spark.read.parquet(dir).filter(box)
       .select(input_file_name()).distinct().count()
 
-  test("z-order box query touches fewer files than a round-robin layout") {
-    // run the operator (writes the z-clustered copy as a side effect)
+  /** Run the operator (writes the z-clustered copy as a side effect) and
+    * return its directory. Each test calls this so it holds standalone —
+    * the second test must not depend on the first having populated the
+    * directory in the same JVM. */
+  private def zClusteredDir(): String = {
     val res = graft.etl.Bucketing.sinkZorderCluster(spark, sfDir)
     assert(res.count() > 0, "box query must match rows at this SF")
-
     // keep(), not dir(): dir() would wipe the operator's freshly-written copy
-    val zDir = graft.util.Scratch.keep(
+    graft.util.Scratch.keep(
       s"zorder_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+  }
+
+  test("z-order box query touches fewer files than a round-robin layout") {
+    val zDir = zClusteredDir()
     val rrDir = graft.util.Scratch.dir("zorder_roundrobin_baseline")
     graft.tables.Tables(spark, sfDir, "orders")
       .repartition(8) // same file count, no clustering
@@ -34,15 +40,19 @@ class ZOrderSpec extends AnyFunSuite {
     val zFiles = filesTouched(zDir)
     val rrFiles = filesTouched(rrDir)
     info(s"box rows live in $zFiles z-clustered files vs $rrFiles round-robin files")
-    // round-robin spreads the box over every file; z-order must beat it
-    assert(rrFiles == 8, s"baseline should spread the box across all 8 files, got $rrFiles")
+    // Core property: z-order concentrates the box in a strict subset of the
+    // files while round-robin spreads it over (nearly) all of them. The
+    // thresholds are derived from the observed baseline file count rather
+    // than pinned to the sf0.001 fixture's exact numbers (82 box rows → 8/4
+    // as of TESTDATA.md), so a testdata regeneration shifts, not breaks, it.
+    assert(rrFiles >= 6, s"baseline should spread the box across most of the 8 files, got $rrFiles")
     assert(zFiles < rrFiles, s"z-order gave no locality win: $zFiles vs $rrFiles")
-    assert(zFiles <= 4, s"box spans a z-range that should fit in ≤4 of 8 range partitions, got $zFiles")
+    assert(zFiles <= rrFiles / 2,
+      s"box spans a z-range that should fit in half the range partitions, got $zFiles of $rrFiles")
   }
 
   test("z-clustered read-back equals the raw table under the box predicate") {
-    val zDir = graft.util.Scratch.keep(
-      s"zorder_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    val zDir = zClusteredDir()
     val fromZ = spark.read.parquet(zDir).filter(box)
       .agg(count(lit(1)), round(sum("o_totalprice"), 2)).collect()(0)
     val fromRaw = graft.tables.Tables(spark, sfDir, "orders").filter(box)
