@@ -188,8 +188,11 @@ object StreamOps {
   }
 
   /** Per-user event for the custom-state sessionizer (micros keep exact
-    * gap arithmetic; see windowSessionize's unix_micros note). */
-  case class SEv(user_id: Long, ts_us: Long, event_id: Long, value: Double)
+    * gap arithmetic; see windowSessionize's unix_micros note). `ts` rides
+    * along as a real timestamp because the WATERMARK needs an event-time
+    * column — the micros long is invisible to it. */
+  case class SEv(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                 event_id: Long, value: Double)
 
   /** Open-session state carried across micro-batches. sum_fp is the running
     * value sum as a scale-4 fixed-point long (exact, order-independent —
@@ -209,14 +212,33 @@ object StreamOps {
     java.math.BigDecimal.valueOf(sumFp, 4)
       .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Watermark delay for the sessionizer: how long an event may be late.
+    * An idle user's open session is flushed once the watermark (max event
+    * time − this delay) passes session_end + gap — at that point no
+    * non-late event can ever extend it, so emitting is safe and exact. */
+  private[graft] val sessionWmDelay = "1 hour"
+  private val wmDelayUs = 60L * 60 * 1000000
+
   /** The flatMapGroupsWithState session closer: merge this batch's events
     * (sorted by event time) into the open session, EMIT every session closed
-    * by a >30 min gap, keep the still-open one in state. Files arrive in
-    * event-time order (the file source's happy path), so state never sees a
-    * late event; the production shape adds a watermark + EventTimeTimeout to
-    * also flush sessions closed by the passage of time. */
+    * by a >30 min gap, keep the still-open one in state — with
+    * EventTimeTimeout eviction so state stays bounded by the ACTIVE user
+    * set: when the watermark passes last_event + gap without new data for
+    * the user, the open session can never be extended (any extending event
+    * would be late beyond the watermark), so it is emitted and the state
+    * slot removed. Without this, every user who ever appeared holds a state
+    * slot forever — the unbounded-state leak SURVEY §2.9 calls out; an
+    * idle-timeout flush is how a 100 TB stream keeps its state stores
+    * proportional to concurrent users, not lifetime users. */
   private def closeSessions(uid: Long, it: Iterator[SEv],
                             state: GroupState[OpenSess]): Iterator[ClosedSess] = {
+    if (state.hasTimedOut) {
+      // no new events and the watermark passed last + gap: the session is
+      // closed by the passage of time — emit it, free the slot
+      val s = state.get
+      state.remove()
+      return Iterator.single(ClosedSess(uid, s.start_us, s.last_us, s.n, fpOut(s.sum_fp)))
+    }
     val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
     var open = state.getOption
     val out = Array.newBuilder[ClosedSess]
@@ -232,49 +254,38 @@ object StreamOps {
           open = Some(OpenSess(e.ts_us, e.ts_us, 1, fp4(e.value)))
       }
     }
-    open.foreach(state.update)
+    open.foreach { s =>
+      state.update(s)
+      // fire when the watermark passes the gap horizon; ms resolution (the
+      // state store's timeout clock) — safe vs the current watermark since
+      // a session touched this batch ends above it by construction
+      state.setTimeoutTimestamp((s.last_us + gapUs) / 1000)
+    }
     out.result().iterator
   }
 
-  /** Custom-state streaming sessionization (flatMapGroupsWithState): the
-    * stateful-operator shape Spark's built-in windowed aggs can't express —
-    * arbitrary per-key state (the open session) mutated across micro-batches
-    * with early emission of completed sessions. The event stream arrives as
-    * two time-split file drops (maxFilesPerTrigger=1 → two micro-batches),
-    * so sessions straddling the batch boundary genuinely exercise the state
-    * carry-over. Emits CLOSED sessions only — each user's final session is
-    * still open when the stream drains, exactly the rows the batch oracle
-    * excludes (sid < max sid per user).
-    *
-    * Scale: state is one tiny struct per ACTIVE user (not per event), hash
-    * partitioned across state stores; at 100 TB the same plan runs with a
-    * watermark + EventTimeTimeout so idle users' sessions flush and state
-    * stays bounded by the active-user set. */
-  val streamSessionState: QFn = (spark, sfDir) => {
+  /** Stage `drops` as mtime-ordered file drops under `base`/src and run the
+    * sessionizer stream over them (one micro-batch per drop). Shared by the
+    * registered operator and StreamingSpec's synthetic idle-user case. */
+  private[graft] def runSessionState(spark: SparkSession, drops: Seq[DataFrame],
+                                     base: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables(spark, sfDir, "events")
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_id"), col("value"))
-    val base = Scratch.dir("stream_session_state")
-    val split = "2024-01-16"
-    // two event-time-ordered "drops"; one file each so maxFilesPerTrigger=1
-    // yields exactly two micro-batches with state carried between them, and
-    // an explicit mtime per drop so delivery order can't tie-break to a
-    // random part-file path
     val now = System.currentTimeMillis()
-    ev.filter(col("ts_us") < unix_micros(to_timestamp(lit(split))))
-      .repartition(1).write.mode("overwrite").parquet(s"$base/src")
-    val firstDrop = stampDrop(s"$base/src", now - 120000)
-    ev.filter(col("ts_us") >= unix_micros(to_timestamp(lit(split))))
-      .repartition(1).write.mode("append").parquet(s"$base/src")
-    stampDrop(s"$base/src", now - 60000, skip = firstDrop)
+    var stamped = Set.empty[String]
+    drops.zipWithIndex.foreach { case (d, i) =>
+      d.repartition(1).write
+        .mode(if (i == 0) "overwrite" else "append").parquet(s"$base/src")
+      stamped = stamped ++
+        stampDrop(s"$base/src", now - (drops.length - i).toLong * 60000, skip = stamped)
+    }
     val name = uniq("stream_session_state")
     val ss = streamSession(spark, 4)
-    val q = ss.readStream.schema(ev.schema)
+    val q = ss.readStream.schema(drops.head.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .withWatermark("ts", sessionWmDelay)
       .as[SEv]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(closeSessions)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(closeSessions)
       .writeStream.format("memory").queryName(name)
       .outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
@@ -287,6 +298,40 @@ object StreamOps {
         timestamp_micros(col("end_us")).as("session_end"),
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Custom-state streaming sessionization (flatMapGroupsWithState): the
+    * stateful-operator shape Spark's built-in windowed aggs can't express —
+    * arbitrary per-key state (the open session) mutated across micro-batches
+    * with early emission of completed sessions. The event stream arrives as
+    * two time-split file drops (maxFilesPerTrigger=1 → two micro-batches),
+    * so sessions straddling the batch boundary genuinely exercise the state
+    * carry-over. Emits CLOSED sessions: closed by a >gap follow-up event,
+    * or flushed by the EventTimeTimeout once the watermark passes
+    * session_end + gap (the batch oracle replays both closure rules).
+    *
+    * Scale: state is one tiny struct per ACTIVE user (not per event), hash
+    * partitioned across state stores, and BOUNDED: the watermark +
+    * EventTimeTimeout eviction in [[closeSessions]] flushes idle users'
+    * sessions and frees their slots, so state is proportional to users
+    * concurrently active within the watermark horizon — not lifetime users.
+    * A user returning after eviction opens a fresh session (asserted in
+    * StreamingSpec's idle-flush case). */
+  val streamSessionState: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+    val base = Scratch.dir("stream_session_state")
+    val split = "2024-01-16"
+    // two event-time-ordered "drops"; one file each so maxFilesPerTrigger=1
+    // yields exactly two micro-batches with state carried between them (the
+    // helper stamps each drop's mtime so delivery order can't tie-break to
+    // a random part-file path). Sessions emitted = closed by a gap event OR
+    // flushed by the watermark timeout; only sessions still alive within
+    // the watermark horizon of the last event remain unemitted.
+    runSessionState(spark, Seq(
+      ev.filter(col("ts_us") < unix_micros(to_timestamp(lit(split)))),
+      ev.filter(col("ts_us") >= unix_micros(to_timestamp(lit(split))))), base)
   }
 
   /** Stream-stream interval join: views joined to the same user's purchases
@@ -453,8 +498,12 @@ object StreamOps {
         "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
         "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR " +
         "ORDER BY v.user_id, view_id, purchase_id"),
-    // batch sessionization minus each user's LAST session (still open when
-    // the stream drains) — the exact closed-session set the stream emits
+    // batch sessionization, keeping every session the stream emits: closed
+    // by a >gap follow-up event (sid < user's max sid) OR flushed by the
+    // EventTimeTimeout — the final watermark (max event ms − 1h delay)
+    // strictly passed session_end + gap (ms floor and strict < mirror the
+    // state store's timeout clock exactly). Only sessions still alive
+    // within the watermark horizon stay unemitted.
     "stream_session_state" ->
       ("WITH g AS (SELECT user_id, ts, event_id, value, " +
         "CASE WHEN lag(ts) OVER w IS NULL " +
@@ -464,9 +513,11 @@ object StreamOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g), " +
         "a AS (SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end, " +
         "count(*) AS n_events, " +
-        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value FROM s GROUP BY 1, 2) " +
-        "SELECT user_id, session_start, session_end, n_events, sum_value FROM a " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value FROM s GROUP BY 1, 2), " +
+        "wm AS (SELECT (max(epoch_us(ts)) // 1000) - 3600000 AS wm_ms FROM events) " +
+        "SELECT user_id, session_start, session_end, n_events, sum_value FROM a, wm " +
         "WHERE sid < (SELECT max(sid) FROM a a2 WHERE a2.user_id = a.user_id) " +
+        "OR ((epoch_us(session_end) + 30 * 60 * 1000000) // 1000) < wm_ms " +
         "ORDER BY user_id, session_start"),
   )
 }

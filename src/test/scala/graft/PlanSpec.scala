@@ -77,7 +77,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("JDBCRelation(ORDERS)"),
       s"expected a real JDBC scan (Derby fallback must not trigger here):\n$p")
     assert(p.contains("numPartitions=4"), s"JDBC read must be range-partitioned:\n$p")
-    // the '*' prefix marks a filter the database itself evaluates
+    // the WHERE must reach the database as a pushed filter (the reference
+    // pushes its extract predicate into RDS the same way); the '*' prefix
+    // marks a filter the database itself evaluates, so Spark never sees
+    // the rows it excludes
+    assert(p.contains("PushedFilters:"),
+      s"JDBC scan must report pushed filters:\n$p")
     assert(p.contains("*GreaterThanOrEqual(o_totalprice,0.0)"),
       s"price predicate must be pushed into the database:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"CUSTOMER dim must broadcast:\n$p")

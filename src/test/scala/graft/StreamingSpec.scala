@@ -31,23 +31,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("flatMapGroupsWithState sessionizer == batch sessionize minus open sessions") {
+  test("flatMapGroupsWithState sessionizer == batch sessionize minus sessions alive at the watermark") {
     val streamed = graft.streaming.StreamOps.streamSessionState(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
         r.getLong(3), r.getDouble(4))).toSet
-    // batch ground truth: full sessionization, drop each user's last
-    // (still-open) session — recomputed independently of the oracle SQL
+    // batch ground truth, recomputed independently of the oracle SQL:
+    // full sessionization, keep sessions closed by a follow-up event OR
+    // flushed by the EventTimeTimeout (watermark = max event ms − 1h delay
+    // strictly passed session_end + 30 min gap; ms floor and strict <
+    // mirror the state store's timeout clock)
+    val wmMs = graft.tables.Tables(spark, sfDir, "events")
+      .agg((max(unix_micros(col("ts"))) / 1000).cast("long") - 3600000L)
+      .head.getLong(0)
     val sess = graft.analytics.Temporal.windowSessionize(spark, sfDir)
     val lastIdx = sess.groupBy("user_id")
       .agg(max(col("session_idx")).as("last_idx"))
     val expected = sess.join(lastIdx, "user_id")
-      .filter(col("session_idx") < col("last_idx"))
+      .filter(col("session_idx") < col("last_idx")
+        || ((unix_micros(col("session_end")) + 30L * 60 * 1000000) / 1000)
+             .cast("long") < wmMs)
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
         r.getLong(3), r.getDouble(4))).toSet
     assert(streamed.nonEmpty && streamed == expected)
+  }
+
+  test("idle user's state flushes on EventTimeTimeout; a later event opens a fresh session") {
+    import spark.implicits._
+    def ev(uid: Long, hhmm: String, id: Long): (Long, java.sql.Timestamp, Long, Long, Double) = {
+      val ts = java.sql.Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+      (uid, ts, ts.getTime * 1000, id, 1.0)
+    }
+    val cols = Seq("user_id", "ts", "ts_us", "event_id", "value")
+    // drop 1: user 1's session (10:00–10:10) + a clock event at 12:00 that
+    // pushes the watermark to 11:00 — past user 1's 10:40 timeout horizon
+    val d1 = Seq(ev(1, "10:00", 1), ev(1, "10:10", 2), ev(2, "12:00", 3)).toDF(cols: _*)
+    // drop 2 has NO user-1 data → in this batch user 1's group times out
+    // (10:40 < 11:00): its open session must be EMITTED and the slot freed
+    val d2 = Seq(ev(2, "12:30", 4)).toDF(cols: _*)
+    // drop 3: user 1 returns at 13:00 — a fresh session on evicted state
+    val d3 = Seq(ev(1, "13:00", 5)).toDF(cols: _*)
+    // drop 4: clock to 15:00 → final watermark 14:00 flushes user 1's
+    // second session (timeout 13:30) and gap-closes user 2's first; the
+    // 15:00 session itself stays open (timeout 15:30 > 14:00), unemitted
+    val d4 = Seq(ev(2, "15:00", 6)).toDF(cols: _*)
+    val got = graft.streaming.StreamOps.runSessionState(spark, Seq(d1, d2, d3, d4),
+        graft.util.Scratch.dir("stream_session_timeout_case"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3))).toSet
+    val expected = Set(
+      (1L, "2024-03-01 10:00:00.0", "2024-03-01 10:10:00.0", 2L), // timeout flush
+      (1L, "2024-03-01 13:00:00.0", "2024-03-01 13:00:00.0", 1L), // fresh session after eviction
+      (2L, "2024-03-01 12:00:00.0", "2024-03-01 12:30:00.0", 2L)) // gap-closed
+    assert(got == expected, s"got $got")
   }
 
   test("watermark dedup restores exactly-once counts after duplicate drop") {
