@@ -67,6 +67,7 @@ object DedupOps {
     verifiedPairsCache.clear()
     simIndexCache.clear()
     embIndexCache.clear()
+    embCountCache.clear()
     gramIndexCache.clear()
   }
 
@@ -313,47 +314,87 @@ object DedupOps {
       .limit(200)
   }
 
-  // ---- Embedding near-dup: 6 random-hyperplane sign bits -> 64 buckets;
+  // ---- Embedding near-dup: random-hyperplane sign bits -> 2^bits buckets;
   // exact cosine only within buckets. Projections are seeded (42) so the
   // plan is deterministic across runs and engines. Within-bucket pair work
-  // is O(n²/2^ProjBits): grow ProjBits ~ log2(n) as the corpus grows to
-  // hold bucket occupancy (and thus per-bucket cost) constant — 6 bits fit
-  // the 10k-100k testdata tiers; a 100 TB corpus wants ~20+.
-  private val ProjBits = 6
+  // is O(n²/2^bits), so the width is DERIVED from the corpus count instead
+  // of being a fixed constant: bits = smallest b with n <= 8·2^b holds
+  // bucket occupancy (and thus per-bucket pair cost) at ~8 vectors as the
+  // corpus grows. Integer thresholds, not ceil(log2(n/8)) — a 1-ulp log2
+  // wobble at an exact power of two could disagree with the oracle's SQL
+  // replay of the same rule. 500 vectors -> 6 bits (identical to the
+  // previous fixed width, so the verified tiers are unchanged), 2k -> 8,
+  // 128k -> 14, ~1e9 (a 100 TB corpus of 100 KB docs) -> 24. The seeded
+  // projection list extends deterministically: the first b arrays are the
+  // same for every corpus, bigger corpora just use more of them.
+  private val MinProjBits = 4
+  private[graft] val MaxProjBits = 24
+  private val TargetOccupancy = 8L
+  private[graft] def projBitsFor(n: Long): Int = {
+    var b = MinProjBits
+    while (b < MaxProjBits && n > TargetOccupancy * (1L << b)) b += 1
+    b
+  }
   private val projections: Seq[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(ProjBits)(Array.fill(64)(rnd.nextGaussian()))
+    Seq.fill(MaxProjBits)(Array.fill(64)(rnd.nextGaussian()))
   }
 
+  /** Corpus row count — the n every adaptive index width derives from. One
+    * parquet metadata count per (session, sfDir), then cached. */
+  private val embCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def embCount(spark: SparkSession, sfDir: String): Long =
+    embCountCache.getOrElseUpdate(cacheKey(spark, sfDir),
+      Tables(spark, sfDir, "embeddings").count())
+  private[graft] def embBits(spark: SparkSession, sfDir: String): Int =
+    projBitsFor(embCount(spark, sfDir))
+
   /** Expects an array<double> vector. Each hyperplane dot product is the
-    * native codegen'd vector_dot against a literal array — 6 tight loops
-    * instead of a 384-term unrolled element_at expression (which blows
-    * past JIT size limits and drops to interpreted evaluation). */
-  private[graft] def llmRpBucket(vec: Column): Column =
-    projections.zipWithIndex.map { case (p, i) =>
+    * native codegen'd vector_dot against a literal array — `bits` tight
+    * loops instead of a 384-term unrolled element_at expression (which
+    * blows past JIT size limits and drops to interpreted evaluation). */
+  private[graft] def llmRpBucket(vec: Column, bits: Int): Column =
+    projections.take(bits).zipWithIndex.map { case (p, i) =>
       val parr = array(p.toIndexedSeq.map(lit): _*)
       val dot = call_function("vector_dot", vec, parr)
       when(dot > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** DuckDB rendering of [[projBitsFor]]: the same integer threshold chain,
+    * rendered to the oracle's max tier (far above any oracle-checked corpus;
+    * Spark's cap is higher but both derive the same b for any n the oracle
+    * sees). */
+  private[graft] val MaxOracleBits = 14
+  private def projBitsSqlDuck(n: String): String =
+    (MinProjBits until MaxOracleBits)
+      .map(b => s"WHEN $n <= ${TargetOccupancy * (1L << b)} THEN $b")
+      .mkString("(CASE ", " ", s" ELSE $MaxOracleBits END)")
 
   /** DuckDB rendering of [[llmRpBucket]], generated from the SAME seeded
     * `projections` array (the way TextOps shares markerWords) so the plan
     * and the oracle cannot drift. Scala's Double.toString is the shortest
     * round-trip representation, so DuckDB parses back the identical bits,
     * and list_sum folds left like Spark's aggregate — the sign decisions
-    * match exactly. */
-  private[graft] def bucketSqlDuck(embExpr: String): String =
-    projections.zipWithIndex.map { case (p, i) =>
+    * match exactly. Every term is gated on `i < pbExpr`, the SQL image of
+    * `projections.take(bits)`, so the oracle adapts its width with n the
+    * way the plan does. */
+  private[graft] def bucketSqlDuck(embExpr: String, pbExpr: String): String =
+    projections.take(MaxOracleBits).zipWithIndex.map { case (p, i) =>
       val lits = p.mkString("[", ", ", "]")
-      s"CASE WHEN list_sum(list_transform(list_zip($embExpr, CAST($lits AS DOUBLE[])), p -> p[1] * p[2])) > 0 THEN ${1 << i} ELSE 0 END"
+      s"CASE WHEN $i < $pbExpr AND list_sum(list_transform(list_zip($embExpr, CAST($lits AS DOUBLE[])), p -> p[1] * p[2])) > 0 THEN ${1 << i} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   /** DuckDB CTE producing the embIndex columns (vec_id, label, emb, norm,
-    * bucket) — shared by the embedding near-dup and ANN oracles. */
+    * bucket) plus the adaptive-width inputs (nn = corpus count, pb =
+    * derived projection bits) — shared by the embedding near-dup and ANN
+    * oracles. */
   private[graft] def embIndexSqlDuck: String =
-    "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb, " +
+    "SELECT vec_id, label, emb, norm, nn, pb, " +
+      bucketSqlDuck("emb", "pb") + " AS bucket FROM " +
+      "(SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb, " +
       "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm, " +
-      bucketSqlDuck("CAST(embedding AS DOUBLE[])") + " AS bucket FROM embeddings"
+      "nn, " + projBitsSqlDuck("nn") + " AS pb " +
+      "FROM embeddings, (SELECT count(*) AS nn FROM embeddings) c) s"
 
   /** Cosine via the native codegen'd dot (graft.functions.VectorDot) —
     * bit-identical to the old HOF fold (same left-to-right summation). */
@@ -384,7 +425,7 @@ object DedupOps {
         .select(col("vec_id"), col("label"),
           expr("cast(embedding as array<double>)").as("emb"))
         .withColumn("norm", sqrt(expr("vector_dot(emb, emb)")))
-        .withColumn("bucket", llmRpBucket(col("emb")))
+        .withColumn("bucket", llmRpBucket(col("emb"), embBits(spark, sfDir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 

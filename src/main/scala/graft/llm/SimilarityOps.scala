@@ -34,21 +34,69 @@ object SimilarityOps {
       .limit(20)
   }
 
+  // ---- Multi-probe budget: probe the query bucket plus every bucket
+  // within the LARGEST Hamming radius whose cumulative bucket fraction
+  // sum(C(bits,i), i<=r) / 2^bits fits the scan budget
+  // max(10%, MinProbeRows/n). Small corpora may scan a big fraction
+  // (probing 200 of 500 rows costs nothing), large ones are capped at 10%
+  // of buckets ≈ 10% of rows — with DedupOps.projBitsFor's derived width
+  // this reproduces the prior fixed policy at the 500-row tiers (radius 2
+  // at 6 bits = 22/64 buckets) and tightens as n grows: ~9% of buckets at
+  // ×8 (9 bits), ~3% at ×64 (11 bits) — genuinely sublinear scan growth.
+  // Mirrored in SQL by radiusSqlDuck: integer binomials and one double
+  // compare, so the plan and the oracle cannot disagree.
+  private val MinProbeRows = 200L
+  private val MaxProbeRadius = 4
+  private def binom(b: Int, r: Int): Long = r match {
+    case 0 => 1L
+    case 1 => b.toLong
+    case 2 => b.toLong * (b - 1) / 2
+    case 3 => b.toLong * (b - 1) * (b - 2) / 6
+    case _ => b.toLong * (b - 1) * (b - 2) * (b - 3) / 24
+  }
+  private[graft] def probedBuckets(bits: Int, r: Int): Long =
+    (0 to r).map(binom(bits, _)).sum
+  private[graft] def probeRadiusFor(bits: Int, n: Long): Int = {
+    val budget = math.max(0.10, MinProbeRows.toDouble / n)
+    (MaxProbeRadius to 0 by -1)
+      .find(r => probedBuckets(bits, r).toDouble / math.pow(2.0, bits) <= budget)
+      .getOrElse(0)
+  }
+  private[graft] def radiusSqlDuck(pb: String, nn: String): String = {
+    def cum(r: Int): String =
+      (0 to r).map {
+        case 0 => "1"
+        case 1 => pb
+        case 2 => s"($pb*($pb-1))/2"
+        case 3 => s"($pb*($pb-1)*($pb-2))/6"
+        case _ => s"($pb*($pb-1)*($pb-2)*($pb-3))/24"
+      }.mkString("(", " + ", ")")
+    val budget = s"greatest(0.10, $MinProbeRows.0 / $nn)"
+    (MaxProbeRadius to 1 by -1)
+      .map(r => s"WHEN CAST(${cum(r)} AS DOUBLE) / pow(2.0, $pb) <= $budget THEN $r")
+      .mkString("(CASE ", " ", " ELSE 0 END)")
+  }
+
   /** ANN top-20: assign every vector to a random-projection bucket; probe
-    * the query's bucket plus all buckets within Hamming distance 2
-    * (multi-probe LSH — 22 of 64 buckets ≈ 1/3 of the data), exact cosine
-    * only within probed buckets. Radius 2 because the testdata embeddings
-    * are near-random (top-20 cosine ≈ 0.4 ⇒ ~2 expected sign flips over 6
-    * hyperplanes); corpora with genuinely close neighbors can probe
-    * tighter. Recall vs the exact baseline is asserted in SimilaritySpec. */
+    * the query's bucket plus all buckets within the budget-derived Hamming
+    * radius (multi-probe LSH — see the probe-budget note above), exact
+    * cosine only within probed buckets. At the 500-row tiers this derives
+    * radius 2 over 6 bits (the testdata embeddings are near-random: top-20
+    * cosine ≈ 0.4 ⇒ ~2 expected sign flips, so the wide radius is what the
+    * small corpus both needs and can afford); corpora with genuinely close
+    * neighbors keep recall as the budget tightens — AnnScaleSpec plants
+    * them and asserts recall ≥ 0.8 at ≤ 10% of buckets at ×8. Recall vs
+    * the exact baseline is asserted in SimilaritySpec. */
   val llmSimilarityAnn: QFn = (spark, sfDir) => {
     val e = DedupOps.embIndex(spark, sfDir)
+    val n = DedupOps.embCount(spark, sfDir)
+    val radius = probeRadiusFor(DedupOps.projBitsFor(n), n)
     val q = e.filter(col("vec_id") === 0)
       .select(col("emb").as("qv"), col("norm").as("qnorm"),
         col("bucket").as("qbucket"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0 &&
-        expr("bit_count(bucket ^ qbucket)") <= 2)
+        expr("bit_count(bucket ^ qbucket)") <= radius)
       .select(col("vec_id"), col("label"),
         round(DedupOps.dotExpr("emb", "qv") / (col("norm") * col("qnorm")), 6)
           .as("sim"))
@@ -70,16 +118,28 @@ object SimilarityOps {
   /** Cap on rows fed to the k-means fit — fixed regardless of corpus size. */
   private val FitSampleRows = 20000L
 
-  // IVF geometry, tuned on the sf0.01 corpus over 50 queries (IvfTune):
-  // these near-random 64-dim embeddings are a worst case for a coarse
-  // quantizer, so recall tracks the scanned fraction almost linearly —
-  // finer cells buy back precision: nlist=64/nprobe=28 measured
-  // recall@20 = 0.84 at 43% of the corpus scanned (vs 0.53 at 25% for the
-  // old 16/4). At 100 TB, scale nlist ~ sqrt(n) and let nprobe set the
-  // recall/cost point; the plan shape (centroid ranking → semi-join on
-  // cell) is unchanged by either knob.
-  private val Nlist = 64
-  private val Nprobe = 28
+  // IVF geometry, DERIVED from the corpus count with the classic
+  // nlist ~ sqrt(n) rule: nlist = sqrt(8n) rounded up to a power of two
+  // (cells ~ sqrt(8n), occupancy ~ sqrt(n/8) — both grow as sqrt(n), so
+  // neither the centroid table nor the per-cell scan becomes the
+  // bottleneck at 100×), capped at 4096 (the fit-sample size bounds how
+  // many centroids are estimable). nprobe keeps the cell FRACTION of the
+  // point measured by IvfTune on the 500-row tier over 50 queries:
+  // nlist=64/nprobe=28 → recall@20 = 0.84 at 43% of this near-random
+  // corpus scanned (a worst case for a coarse quantizer — recall tracks
+  // scanned fraction almost linearly; clustered real corpora probe far
+  // fewer cells for the same recall). n=500 derives exactly the measured
+  // 64/28 point, so the tuned recall floors in SimilaritySpec pin the
+  // derivation. The plan shape (centroid ranking → semi-join on cell) is
+  // unchanged by either knob.
+  private[graft] def ivfGeometry(n: Long): (Int, Int) = {
+    val target = math.max(16, math.ceil(math.sqrt(8.0 * n)).toInt)
+    val pow2 = if (Integer.bitCount(target) == 1) target
+               else Integer.highestOneBit(target) * 2
+    val nlist = math.min(4096, pow2)
+    val nprobe = math.max(1, math.round(nlist * 28.0 / 64).toInt)
+    (nlist, nprobe)
+  }
 
   private val persistedFrames =
     scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
@@ -103,9 +163,10 @@ object SimilarityOps {
       import org.apache.spark.ml.functions.array_to_vector
       val e = DedupOps.embIndex(spark, sfDir)
         .withColumn("fv", array_to_vector(col("emb")))
-      // embIndex is persisted, so this count is a cached-scan metadata pass
-      val frac = math.min(1.0, FitSampleRows.toDouble / math.max(1L, e.count()))
-      val model = new KMeans().setK(Nlist).setSeed(42).setMaxIter(10)
+      val n = math.max(1L, DedupOps.embCount(spark, sfDir))
+      val (nlist, _) = ivfGeometry(n)
+      val frac = math.min(1.0, FitSampleRows.toDouble / n)
+      val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(e.sample(frac, 42))
       val assigned = tracked(model.transform(e)
@@ -118,16 +179,17 @@ object SimilarityOps {
       (assigned, centers)
     })
 
-  /** IVF ANN top-20: probe the Nprobe cells whose centroids are closest to
-    * the query (28 of 64 → ~43% of the data scanned, recall@20 ≈ 0.84 —
-    * see the Nlist/Nprobe tuning note), exact cosine
+  /** IVF ANN top-20: probe the nprobe cells whose centroids are closest to
+    * the query (28 of 64 at the 500-row tiers → ~43% of the data scanned,
+    * recall@20 ≈ 0.84 — see the ivfGeometry derivation note), exact cosine
     * within probed cells. Cell ranking and the query vector both flow
     * through the plan (broadcast of 1-row query × nlist-row centroid table
-    * → top-4 cells → semi-join on cell) — no driver collect, no literal
-    * query array in the SQL. Recall vs the exact baseline asserted in
-    * SimilaritySpec. */
+    * → top-nprobe cells → semi-join on cell) — no driver collect, no
+    * literal query array in the SQL. Recall vs the exact baseline asserted
+    * in SimilaritySpec. */
   val llmSimilarityIvf: QFn = (spark, sfDir) => {
     val (assigned, centers) = ivfIndex(spark, sfDir)
+    val (_, nprobe) = ivfGeometry(math.max(1L, DedupOps.embCount(spark, sfDir)))
     val q = assigned.filter(col("vec_id") === 0)
       .select(col("emb").as("qv"), col("norm").as("qnorm"))
     // Cells ranked by COSINE to the query, not euclidean distance — the
@@ -139,7 +201,7 @@ object SimilarityOps {
         (expr("vector_dot(centroid, qv)") /
           (sqrt(expr("vector_dot(centroid, centroid)")) * col("qnorm"))).as("csim"))
       .orderBy(col("csim").desc, col("cell"))
-      .limit(Nprobe)
+      .limit(nprobe)
       .select("cell")
     assigned
       .join(broadcast(probedCells), Seq("cell"), "left_semi")
@@ -287,14 +349,17 @@ object SimilarityOps {
         "WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
     // llm_similarity_ann IS replayable: the RP projections are seeded
     // literals, so the bucket bit-sum is plain SQL (rendered from the same
-    // array — DedupOps.bucketSqlDuck); recall vs exact is additionally
+    // array — DedupOps.bucketSqlDuck), and the adaptive width/radius are
+    // integer derivations from count(*) that the SQL replays verbatim
+    // (projBitsSqlDuck / radiusSqlDuck); recall vs exact is additionally
     // asserted in SimilaritySpec.
     "llm_similarity_ann" ->
       (s"WITH e AS (${DedupOps.embIndexSqlDuck}), " +
-        "q AS (SELECT emb AS qv, norm AS qnorm, bucket AS qbucket FROM e WHERE vec_id = 0) " +
+        "q AS (SELECT emb AS qv, norm AS qnorm, bucket AS qbucket, pb AS qpb, nn AS qnn FROM e WHERE vec_id = 0) " +
         "SELECT vec_id, label, " +
         "ROUND(list_sum(list_transform(list_zip(emb, qv), p -> p[1] * p[2])) / (norm * qnorm), 6) AS sim " +
-        "FROM e, q WHERE vec_id <> 0 AND bit_count(xor(CAST(bucket AS BIGINT), CAST(qbucket AS BIGINT))) <= 2 " +
+        "FROM e, q WHERE vec_id <> 0 AND bit_count(xor(CAST(bucket AS BIGINT), CAST(qbucket AS BIGINT))) <= " +
+        radiusSqlDuck("qpb", "qnn") + " " +
         "ORDER BY sim DESC, vec_id LIMIT 20"),
     "llm_similarity_knn_join" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE label = 0 AND vec_id < 200) " +

@@ -37,6 +37,7 @@ class SimilaritySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val (assigned, centers) = graft.llm.SimilarityOps.ivfIndex(spark, sfDir)
     val n = assigned.count().toDouble
+    val (_, nprobe) = graft.llm.SimilarityOps.ivfGeometry(n.toLong)
     // sf0.001 is small: evaluate on the driver against the same persisted
     // index the operator reads (exact ground truth = brute-force cosine)
     val rows = assigned.select("vec_id", "emb", "norm", "cell").collect()
@@ -54,7 +55,7 @@ class SimilaritySpec extends AnyFunSuite {
       val probed = ctr.toSeq.map { case (c, cv) =>
         val cn = math.sqrt(cv.map(x => x * x).sum)
         (c, cv.zip(qv).map { case (a, b) => a * b }.sum / (cn * qn))
-      }.sortBy { case (c, s) => (-s, c) }.take(28).map(_._1).toSet
+      }.sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1).toSet
       val got = rows.filter(r => r._1 != qid && probed(r._4))
         .sortBy { case (id, v, vn, _) => (-cos(v, vn), id) }.take(20).map(_._1).toSet
       recallSum += got.intersect(exact).size / 20.0
