@@ -282,6 +282,7 @@ object DedupOps {
       val bitsums = tracked(Tables(spark, sfDir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"),
+          size(split(lower(trim(col("text"))), "\\s+")).as("n_tok"),
           expr(
             "aggregate(split(lower(trim(text)), '\\\\s+'), " +
               "array_repeat(cast(0 as bigint), 64), " +
@@ -295,18 +296,37 @@ object DedupOps {
             "aggregate(sequence(0, 63), cast(0 as bigint), (s, j) -> s + " +
               "CASE WHEN element_at(bitsums, j + 1) > 0 " +
               "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
-          ).as("simhash"))
+          ).as("simhash"),
+          col("n_tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
+  /** Candidate generation joins on (chunk, cval, length band): the 4×16-bit
+    * chunk split guarantees any Hamming<=3 pair collides on >=1 chunk
+    * (pigeonhole — narrower chunks would break that guarantee, so the chunk
+    * geometry cannot grow with n), and the SECOND band key bounds the
+    * random-collision growth the fixed 65536-value chunk space alone cannot:
+    * two docs whose token counts differ by more than a half-octave
+    * (ratio > ~2.8) are never near-dups, so keying the join on
+    * bitlen(n_tok²) — an exact integer half-octave band, no float log2 —
+    * only discards pairs SimHash exists to reject. The probe side emits
+    * band±1 so a true pair can never straddle a band boundary (near-dup
+    * token counts differ by a few %, far inside one band). Within-band
+    * chunk collisions are O(n_band²/65536); corpora grow mostly by adding
+    * docs across the length spectrum, so bands multiply the constant the
+    * way more buckets do for the RP index. */
   val llmDedupSimhash: QFn = (spark, sfDir) => {
     val sim = simIndex(spark, sfDir)
-    val chunked = sim.select(col("doc_id"), col("simhash"),
+      // n_tok² needs long arithmetic (int² overflows past ~46k tokens);
+      // length(bin(x)) is the exact integer bit length = floor(log2)+1
+      .withColumn("lb", length(bin(col("n_tok").cast("long") * col("n_tok"))))
+    val chunked = sim.select(col("doc_id"), col("simhash"), col("lb"),
       posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, 16 * c) & 65535)"))
         .as(Seq("chunk", "cval")))
     val a = chunked.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
     val b = chunked.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
-    a.join(b, Seq("chunk", "cval"))
+      .withColumn("lb", explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+    a.join(b, Seq("chunk", "cval", "lb"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(first(expr("bit_count(sim_a ^ sim_b)")).as("hamming"))

@@ -63,15 +63,23 @@ class FingerprintSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("llm_dedup_simhash equals brute-force chunk-candidates ranked by Hamming") {
+  test("llm_dedup_simhash equals brute-force chunk+band candidates ranked by Hamming") {
+    // mirror the operator's candidate rule: >=1 equal 16-bit chunk AND
+    // token-count half-octave bands within +-1 (band = bit length of
+    // n_tok², exactly what length(bin(n_tok*n_tok)) computes)
     val sim = graft.llm.DedupOps.simIndex(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
     def chunks(s: Long): Seq[Long] = (0 to 3).map(c => (s >> (16 * c)) & 0xFFFFL)
+    def band(nTok: Int): Int = {
+      val sq = nTok.toLong * nTok
+      if (sq == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(sq)
+    }
     val expected = (for {
       i <- sim.indices.iterator
       j <- (i + 1) until sim.length
-      (ida, sa) = sim(i); (idb, sb) = sim(j)
-      if chunks(sa).zip(chunks(sb)).exists { case (x, y) => x == y }
+      (ida, sa, ta) = sim(i); (idb, sb, tb) = sim(j)
+      if math.abs(band(ta) - band(tb)) <= 1 &&
+        chunks(sa).zip(chunks(sb)).exists { case (x, y) => x == y }
     } yield (ida, idb, java.lang.Long.bitCount(sa ^ sb)))
       .toSeq.sortBy { case (a, b, ham) => (ham, a, b) }.take(200)
     val got = graft.llm.DedupOps.llmDedupSimhash(spark, sfDir)
