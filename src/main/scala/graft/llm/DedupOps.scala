@@ -69,6 +69,7 @@ object DedupOps {
     embIndexCache.clear()
     embCountCache.clear()
     gramIndexCache.clear()
+    gramTableCache.clear()
   }
 
   private[graft] def sigIndex(spark: SparkSession, sfDir: String): DataFrame =
@@ -507,6 +508,66 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** The gram index MATERIALIZED to disk as a parquet table hash-bucketed
+    * on the gram hash — the durable form of [[gramIndex]]'s executor-memory
+    * persist, and the artifact a 100 TB pipeline actually builds: the gram
+    * pass over the corpus runs ONCE at index-build time, and every
+    * downstream consumer (decontamination, passage profiling, future eval
+    * sets) scans the bucketed files with NO exchange on g — the bucketed
+    * scan already reports HashPartitioning(g, 16), so gram-keyed distincts
+    * and joins are co-located for free (the Bucketing.sinkBucketedColocated
+    * pattern applied to an index instead of a fact table). Built once per
+    * (session, sfDir); consumers call this idempotently. repartition(16, g)
+    * before the bucketed write = one file per bucket, not 32×16 fragments. */
+  private val gramTableCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def gramTable(spark: SparkSession, sfDir: String): String =
+    gramTableCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+      val tbl = s"grams_bkt_$suffix"
+      val dir = graft.util.Scratch.dir(s"gram_index_$suffix")
+      gramIndex(spark, sfDir)
+        .repartition(16, col("g"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "g").sortBy("g")
+        .option("path", s"$dir/$tbl").saveAsTable(tbl)
+      tbl
+    })
+
+  /** Index build + profile: write the bucketed gram table (no-op if this
+    * session already built it) and report the per-split row/distinct-gram
+    * counts — the sanity numbers a pipeline records after every index
+    * build. The distinct count runs partial-per-bucket with no exchange on
+    * g (the build's bucketing pays for itself in the very first query).
+    * Distinct-of-hashes equals distinct-of-grams (the 64-bit collision
+    * argument the decontaminate oracle already rests on). */
+  val llmGramIndexBuild: QFn = (spark, sfDir) =>
+    spark.table(gramTable(spark, sfDir))
+      .groupBy("is_train")
+      .agg(count(lit(1)).as("n_gram_rows"),
+        countDistinct(col("g")).as("n_distinct_grams"))
+      .orderBy("is_train")
+
+  /** Decontamination re-expressed over the MATERIALIZED index: identical
+    * semantics (and identical DuckDB oracle) to [[llmDecontaminate]], but
+    * both sides of the gram semi-join are bucketed scans of the stored
+    * table — no signature re-derivation, no exchange on g anywhere in the
+    * plan (PlanSpec asserts both); the only shuffle left is the final
+    * per-doc aggregate. The merge hint keeps the test-scale train side
+    * from broadcasting — at corpus scale both sides are huge and the
+    * co-located SMJ is the real plan. */
+  val llmDecontaminateIndexed: QFn = (spark, sfDir) => {
+    val grams = spark.table(gramTable(spark, sfDir))
+    val trainGrams = grams.filter(col("is_train")).select("g").distinct()
+    grams.filter(!col("is_train"))
+      .hint("merge")
+      .join(trainGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Repeated-passage profile — the WITHIN-corpus counterpart of
     * decontamination (the signal behind Lee et al.'s substring-level
     * dedup): for every doc, what fraction of its distinct 13-grams also
@@ -534,6 +595,8 @@ object DedupOps {
   }
 
   val queries: Map[String, QFn] = Map(
+    "llm_gram_index_build" -> llmGramIndexBuild,
+    "llm_decontaminate_indexed" -> llmDecontaminateIndexed,
     "llm_dedup_passage" -> llmDedupPassage,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_dedup_exact" -> llmDedupExact,
@@ -614,6 +677,28 @@ object DedupOps {
         "ROUND(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) / (a.norm * b.norm), 6) AS cosine " +
         "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
         "ORDER BY cosine DESC, vec_a, vec_b LIMIT 100"),
+    // The index-build profile replays the gram derivation on raw
+    // substrings; distinct-of-substrings = distinct-of-hashes by the same
+    // collision argument as llm_decontaminate below.
+    "llm_gram_index_build" ->
+      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, doc_id % 2 = 0 AS is_train, " +
+        "substr(t, CAST(i AS BIGINT), 13) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)) " +
+        "SELECT is_train, count(*) AS n_gram_rows, " +
+        "count(DISTINCT gram) AS n_distinct_grams " +
+        "FROM g GROUP BY is_train ORDER BY is_train"),
+    // identical semantics to llm_decontaminate — the materialized-index
+    // path must be invisible to results, so it shares the oracle verbatim
+    "llm_decontaminate_indexed" ->
+      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, doc_id % 2 = 0 AS is_train, " +
+        "substr(t, CAST(i AS BIGINT), 13) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)), " +
+        "tr AS (SELECT DISTINCT gram FROM g WHERE is_train) " +
+        "SELECT doc_id, count(*) AS n_shared_grams " +
+        "FROM g JOIN tr USING (gram) WHERE NOT is_train " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     // Replayable without xxhash64: gram IDENTITY doesn't matter, only
     // equality — DuckDB intersects the raw 13-char substrings the Spark
     // side hashes (64-bit collisions over ~1M grams: P ≈ 1e-8, ignorable).

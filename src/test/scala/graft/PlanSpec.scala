@@ -207,6 +207,23 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("indexed decontamination consumes the bucketed gram table with no exchange on g") {
+    val df = graft.llm.DedupOps.llmDecontaminateIndexed(spark, sfDir)
+    df.collect() // AQE: final plan only exists after execution
+    val p = plan(df)
+    // both the train-distinct and the semi-join read the stored bucketed
+    // index: no gram re-derivation (the xxhash64 gram pipeline ran only at
+    // build time), no shuffle keyed on g anywhere — the bucketed scan's
+    // HashPartitioning(g, 16) feeds the distinct AND the SMJ directly;
+    // only the final per-doc aggregate (and presentation sort) may shuffle
+    assert(p.contains("Bucketed: true"), s"scan must report bucketed reads:\n$p")
+    assert(!p.contains("xxhash64"),
+      s"grams must come from the stored index, not re-derivation:\n$p")
+    assert(p.contains("SortMergeJoin"), s"merge hint must hold:\n$p")
+    assert("""Exchange hashpartitioning\(g#""".r.findFirstIn(p).isEmpty,
+      s"gram-keyed stages must be exchange-free:\n$p")
+  }
+
   test("global row numbering never funnels fact rows through one partition") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
