@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2.10 / round 6 — the ANN probe budget at scale: at ×8 the
+  * corpus-derived index width (projBitsFor) must cap the scan at ≤ 10% of
+  * buckets while recall vs exact stays ≥ 0.8 on a corpus with GENUINELY
+  * close neighbors — the workload ANN indexes exist for. The raw testdata
+  * embeddings are near-random (top-20 cosine ≈ 0.4), which is
+  * information-free at a 10% budget: no sublinear index can find
+  * near-orthogonal "neighbors" without scanning everything, and the
+  * small-tier policy correctly responds by probing wide (34% of 64
+  * buckets). So this spec builds the ×8 corpus the way ScaleCheck does
+  * (rotated replicas = direction-new vectors) and PLANTS 25 perturbed
+  * copies of the query (cosine ≈ 0.99): the exact top-20 become the
+  * planted neighbors, and the budget-derived radius must recover them
+  * through the multi-probe. */
+class AnnScaleSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  test("×8 corpus with planted neighbors: recall >= 0.8 at <= 10% of buckets scanned") {
+    val dir = graft.util.Scratch.dir("ann_scale_x8")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // 8 rotated replicas (norm-preserving, direction-new — the ScaleCheck
+    // growth model); replica 0 keeps vec_id 0 as the query
+    val corpus = (0 until 8).map { r =>
+      val rot = r % 64
+      emb.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+        .withColumn("embedding",
+          expr(s"concat(slice(embedding, $rot + 1, 64 - $rot), " +
+            s"slice(embedding, 1, $rot))"))
+    }.reduce(_ unionByName _)
+    // 25 planted near-neighbors of the query: per-dimension relative
+    // perturbation x·(1 + 0.4·u), u deterministic uniform(-0.5, 0.5) from
+    // xxhash64(plant id, dim) — cosine to the query ≈ 1 - 0.4²/24 ≈ 0.993,
+    // far above the ~0.4 background
+    val planted = emb.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(25).select(col("id").as("pid")))
+      .select((lit(90000000L) + col("pid")).as("vec_id"),
+        expr("transform(embedding, (x, d) -> cast(x * (1.0 + 0.4 * " +
+          "(pmod(xxhash64(pid, d), 1000) / 1000.0 - 0.5)) as float))")
+          .as("embedding"),
+        lit(9).as("label"))
+    corpus.unionByName(planted)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val exact = graft.llm.SimilarityOps.llmSimilarityTopk(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    val ann = graft.llm.SimilarityOps.llmSimilarityAnn(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(exact.length == 20)
+    assert(exact.count(_ >= 90000000L) == 20,
+      "exact top-20 must be the planted neighbors")
+    val recall = ann.toSet.intersect(exact.toSet).size.toDouble / exact.length
+    // derived geometry: n = 4025 → 9 bits (occupancy ~8), radius 2 →
+    // 46 of 512 buckets ≈ 9.0% — the 10% cap, down from 34% at the base
+    // tier, and shrinking further with n (3% at ×64)
+    val n = graft.llm.DedupOps.embCount(spark, dir)
+    val bits = graft.llm.DedupOps.projBitsFor(n)
+    val radius = graft.llm.SimilarityOps.probeRadiusFor(bits, n)
+    val scannedFrac =
+      graft.llm.SimilarityOps.probedBuckets(bits, radius).toDouble / (1L << bits)
+    info(f"n=$n bits=$bits radius=$radius scanned=${scannedFrac * 100}%.1f%% recall=$recall%.2f")
+    assert(scannedFrac <= 0.10, f"bucket budget exceeded: $scannedFrac%.3f")
+    assert(recall >= 0.8, s"recall $recall below 0.8 at the 10% budget")
+    graft.llm.DedupOps.clearCaches()
+    graft.llm.SimilarityOps.clearCaches()
+  }
+}
