@@ -5,23 +5,39 @@ import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
 /** Empirical no-n² evidence for the dedup pipeline: replicate the sf0.1
-  * documents corpus ×1/×2/×4 and time index build + each dedup operator at
-  * every scale. If candidate generation were pairwise, ×4 data would cost
-  * ×16 — the table this prints (recorded in BASELINE.md) shows whether
-  * growth stays ~linear.
+  * corpora ×1..×64 and (a) time index build + each operator at every scale,
+  * (b) COUNT candidate-pair work per item under the derived index widths.
+  * If candidate generation were pairwise, ×4 data would cost ×16 — the
+  * tables this prints (recorded in BASELINE.md) show whether growth stays
+  * ~linear.
   *
-  * Replica r > 0 gets doc_id + r·10⁷ and a per-replica alphabet rotation
-  * (translate), so cross-replica texts share no 5-gram shingles: the
-  * near-dup pair structure grows linearly with scale, as in a real corpus
-  * growing by new content — NOT quadratically as naive duplication of
-  * identical texts would force regardless of algorithm.
+  * Replica r > 0 gets doc_id + r·10⁷ and a per-replica seeded alphabet
+  * permutation (translate), so cross-replica texts share no 5-gram
+  * shingles: the near-dup pair structure grows linearly with scale, as in
+  * a real corpus growing by new content — NOT quadratically as naive
+  * duplication of identical texts would force regardless of algorithm.
+  *
+  * Sections are selectable via SPARK_GRAFT_SECTIONS (comma list of
+  * dedup,sim,text,window,width; default all) so the ×32/×64 width counts
+  * can run without re-timing everything.
   */
 object ScaleCheck {
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
+  /** Per-replica alphabet permutation, seeded by r. A plain rotation
+    * (Alpha rotated by r % 26) repeats every 26 replicas, so at ×32/×64
+    * replicas r and r+26 would carry IDENTICAL texts — planting
+    * n·(scale/26) exact dups the linear-growth model does not intend.
+    * 26! seeded shuffles keep every replica's text disjoint. */
+  private def perm(r: Int): String =
+    if (r == 0) Alpha
+    else new scala.util.Random(1000 + r).shuffle(Alpha.toList).mkString
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
+      "dedup,sim,text,window,width").split(",").toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,195 +48,233 @@ object ScaleCheck {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
 
-    // JVM/codegen warmup (untimed): run the whole pipeline once on the base
-    // corpus, then drop its indexes — otherwise scale-1 absorbs the one-time
-    // JIT/codegen cost of the HOF-heavy expressions and growth between
-    // scales is not attributable to data size.
-    graft.llm.DedupOps.llmDedupMinhash(spark, base).count()
-    graft.llm.DedupOps.llmDedupNgramJaccard(spark, base).count()
-    graft.llm.DedupOps.llmDedupCluster(spark, base).count()
-    graft.llm.DedupOps.llmDecontaminate(spark, base).count()
-    graft.llm.DedupOps.clearCaches()
-
-    val ops: Seq[(String, QFn)] = Seq(
-      "minhash" -> graft.llm.DedupOps.llmDedupMinhash,
-      "ngram_jaccard" -> graft.llm.DedupOps.llmDedupNgramJaccard,
-      "cluster" -> graft.llm.DedupOps.llmDedupCluster,
-      "decontaminate" -> graft.llm.DedupOps.llmDecontaminate,
-    )
-
-    Seq(1, 2, 4, 8).foreach { scale =>
-      val dir =
-        if (scale == 1) base
-        else {
-          val d = graft.util.Scratch.dir(s"scale_x$scale")
-          val docs = spark.read.parquet(s"$base/documents.parquet")
-          (0 until scale).map { r =>
-            val rot = Alpha.drop(r % 26) + Alpha.take(r % 26)
-            docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
-              .withColumn("text", translate(col("text"), Alpha, rot))
-          }.reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$d/documents.parquet")
-          d
-        }
-      val tIndex = time {
-        graft.llm.DedupOps.sigIndex(spark, dir).count()
-        graft.llm.DedupOps.minhashCandidates(spark, dir).count()
+    /** ×scale documents corpus (seeded-permutation replicas), written once
+      * per (scale) to scratch; returns its dir. */
+    def docsDir(scale: Int, tag: String): String =
+      if (scale == 1) base
+      else {
+        val d = graft.util.Scratch.dir(s"scale_${tag}_x$scale")
+        val docs = spark.read.parquet(s"$base/documents.parquet")
+        (0 until scale).map { r =>
+          docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+            .withColumn("text", translate(col("text"), Alpha, perm(r)))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$d/documents.parquet")
+        d
       }
-      // fn(...) must sit INSIDE the timed block: cluster's convergence loop
-      // executes eagerly when the query is constructed, not at count()
-      val timed = ops.map { case (name, fn) =>
-        name -> time(fn(spark, dir).count())
+
+    /** ×scale embeddings corpus: replica r rotated by r % 64 dimensions —
+      * norm-preserving but direction-new, so replicas add new points (as a
+      * growing corpus does), not duplicate ones. */
+    def embDir(scale: Int, tag: String): String =
+      if (scale == 1) base
+      else {
+        val d = graft.util.Scratch.dir(s"scale_${tag}_x$scale")
+        val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        (0 until scale).map { r =>
+          val rot = r % 64
+          emb.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+            .withColumn("embedding",
+              expr(s"concat(slice(embedding, $rot + 1, 64 - $rot), " +
+                s"slice(embedding, 1, $rot))"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+        d
       }
-      def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      println(s"""{"metric":"scale_check","scale":$scale,"index_sec":${f2(tIndex)},""" +
-        timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
-      // release this scale's persisted indexes before the next one
+
+    if (sections("dedup")) {
+      // JVM/codegen warmup (untimed): run the whole pipeline once on the
+      // base corpus, then drop its indexes — otherwise scale-1 absorbs the
+      // one-time JIT/codegen cost of the HOF-heavy expressions and growth
+      // between scales is not attributable to data size.
+      graft.llm.DedupOps.llmDedupMinhash(spark, base).count()
+      graft.llm.DedupOps.llmDedupNgramJaccard(spark, base).count()
+      graft.llm.DedupOps.llmDedupCluster(spark, base).count()
+      graft.llm.DedupOps.llmDecontaminate(spark, base).count()
       graft.llm.DedupOps.clearCaches()
+
+      val ops: Seq[(String, QFn)] = Seq(
+        "minhash" -> graft.llm.DedupOps.llmDedupMinhash,
+        "ngram_jaccard" -> graft.llm.DedupOps.llmDedupNgramJaccard,
+        "cluster" -> graft.llm.DedupOps.llmDedupCluster,
+        "decontaminate" -> graft.llm.DedupOps.llmDecontaminate,
+      )
+
+      Seq(1, 2, 4, 8).foreach { scale =>
+        val dir = docsDir(scale, "dedup")
+        val tIndex = time {
+          graft.llm.DedupOps.sigIndex(spark, dir).count()
+          graft.llm.DedupOps.minhashCandidates(spark, dir).count()
+        }
+        // fn(...) must sit INSIDE the timed block: cluster's convergence
+        // loop executes eagerly when the query is constructed, not at
+        // count()
+        val timed = ops.map { case (name, fn) =>
+          name -> time(fn(spark, dir).count())
+        }
+        println(s"""{"metric":"scale_check","scale":$scale,"index_sec":${f2(tIndex)},""" +
+          timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+        // release this scale's persisted indexes before the next one
+        graft.llm.DedupOps.clearCaches()
+      }
     }
 
-    // ---- similarity path: the same no-n² evidence for the embedding ops.
-    // Replica r gets vec_id + r·10⁷ and its vector rotated by r dimensions
-    // — norm-preserving but direction-new, so replicas add new points (as a
-    // growing corpus does), not duplicate ones. The knn-join query set
-    // (label=0, vec_id<200) lives only in the base replica, so its cost
-    // curve isolates per-query corpus-scan growth.
-    graft.llm.SimilarityOps.llmSimilarityAnn(spark, base).count()
-    graft.llm.SimilarityOps.llmSimilarityKnnJoin(spark, base).count()
-    graft.llm.DedupOps.llmDedupEmbedding(spark, base).count()
-    graft.llm.DedupOps.clearCaches()
-    graft.llm.SimilarityOps.clearCaches()
-
-    Seq(1, 2, 4, 8).foreach { scale =>
-      val dir =
-        if (scale == 1) base
-        else {
-          val d = graft.util.Scratch.dir(s"scale_emb_x$scale")
-          val emb = spark.read.parquet(s"$base/embeddings.parquet")
-          (0 until scale).map { r =>
-            val rot = r % 64
-            emb.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
-              .withColumn("embedding",
-                expr(s"concat(slice(embedding, $rot + 1, 64 - $rot), " +
-                  s"slice(embedding, 1, $rot))"))
-          }.reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-          d
-        }
-      val tIndex = time { graft.llm.DedupOps.embIndex(spark, dir).count() }
-      val timed = Seq(
-        "dedup_embedding" ->
-          time(graft.llm.DedupOps.llmDedupEmbedding(spark, dir).count()),
-        "similarity_ann" ->
-          time(graft.llm.SimilarityOps.llmSimilarityAnn(spark, dir).count()),
-        "knn_join" ->
-          time(graft.llm.SimilarityOps.llmSimilarityKnnJoin(spark, dir).count()))
-      def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      println(s"""{"metric":"scale_check_sim","scale":$scale,"index_sec":${f2(tIndex)},""" +
-        timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+    if (sections("sim")) {
+      // ---- similarity path: the same no-n² evidence for the embedding
+      // ops. The knn-join query set (label=0, vec_id<200) lives only in the
+      // base replica, so its cost curve isolates per-query corpus-scan
+      // growth.
+      graft.llm.SimilarityOps.llmSimilarityAnn(spark, base).count()
+      graft.llm.SimilarityOps.llmSimilarityKnnJoin(spark, base).count()
+      graft.llm.DedupOps.llmDedupEmbedding(spark, base).count()
       graft.llm.DedupOps.clearCaches()
       graft.llm.SimilarityOps.clearCaches()
+
+      Seq(1, 2, 4, 8).foreach { scale =>
+        val dir = embDir(scale, "emb")
+        val tIndex = time { graft.llm.DedupOps.embIndex(spark, dir).count() }
+        val timed = Seq(
+          "dedup_embedding" ->
+            time(graft.llm.DedupOps.llmDedupEmbedding(spark, dir).count()),
+          "similarity_ann" ->
+            time(graft.llm.SimilarityOps.llmSimilarityAnn(spark, dir).count()),
+          "knn_join" ->
+            time(graft.llm.SimilarityOps.llmSimilarityKnnJoin(spark, dir).count()))
+        println(s"""{"metric":"scale_check_sim","scale":$scale,"index_sec":${f2(tIndex)},""" +
+          timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+        graft.llm.DedupOps.clearCaches()
+        graft.llm.SimilarityOps.clearCaches()
+      }
     }
 
-    // ---- text path (round 5): chunking, TF-IDF, bigram counts, packing,
-    // shard shuffle. All are scan→explode→agg/window shapes with no
-    // candidate generation, so the exposure is different: the explode
-    // multiplies rows and a missing map-side combine or a global sort
-    // would show up here as super-linear growth.
-    val textOps: Seq[(String, QFn)] = Seq(
-      "chunk" -> graft.llm.TextOps.llmChunkDocuments,
-      "tfidf" -> graft.llm.TextOps.llmTfidfTopterms,
-      "bigram" -> graft.llm.TextOps.llmBigramCounts,
-      "pack" -> graft.llm.TextOps.llmPackSequences,
-      "shuffle" -> graft.llm.TextOps.llmShuffleShards,
-      // round-5 additions: the unigram LM pays one model build per corpus
-      // (persisted index — cleared between scales so each scale pays its
-      // own build) and the mixture is a metadata join — both should track
-      // corpus size linearly
-      "unigram" -> graft.llm.TextOps.llmUnigramLogprob,
-      "mixture" -> graft.llm.SampleOps.llmDomainMixture,
-    )
-    textOps.foreach { case (_, fn) => fn(spark, base).count() } // warmup
-    graft.llm.TextOps.clearCaches()
-
-    Seq(1, 2, 4, 8).foreach { scale =>
-      val dir =
-        if (scale == 1) base
-        else {
-          val d = graft.util.Scratch.dir(s"scale_text_x$scale")
-          val docs = spark.read.parquet(s"$base/documents.parquet")
-          (0 until scale).map { r =>
-            val rot = Alpha.drop(r % 26) + Alpha.take(r % 26)
-            docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
-              .withColumn("text", translate(col("text"), Alpha, rot))
-          }.reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$d/documents.parquet")
-          d
-        }
-      val timed = textOps.map { case (name, fn) =>
-        name -> time(fn(spark, dir).count())
-      }
-      def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      println(s"""{"metric":"scale_check_text","scale":$scale,""" +
-        timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+    if (sections("text")) {
+      // ---- text path (round 5): chunking, TF-IDF, bigram counts, packing,
+      // shard shuffle. All are scan→explode→agg/window shapes with no
+      // candidate generation, so the exposure is different: the explode
+      // multiplies rows and a missing map-side combine or a global sort
+      // would show up here as super-linear growth.
+      val textOps: Seq[(String, QFn)] = Seq(
+        "chunk" -> graft.llm.TextOps.llmChunkDocuments,
+        "tfidf" -> graft.llm.TextOps.llmTfidfTopterms,
+        "bigram" -> graft.llm.TextOps.llmBigramCounts,
+        "pack" -> graft.llm.TextOps.llmPackSequences,
+        "shuffle" -> graft.llm.TextOps.llmShuffleShards,
+        // round-5 additions: the unigram LM pays one model build per corpus
+        // (persisted index — cleared between scales so each scale pays its
+        // own build) and the mixture is a metadata join — both should track
+        // corpus size linearly
+        "unigram" -> graft.llm.TextOps.llmUnigramLogprob,
+        "mixture" -> graft.llm.SampleOps.llmDomainMixture,
+      )
+      textOps.foreach { case (_, fn) => fn(spark, base).count() } // warmup
       graft.llm.TextOps.clearCaches()
+
+      Seq(1, 2, 4, 8).foreach { scale =>
+        val dir = docsDir(scale, "text")
+        val timed = textOps.map { case (name, fn) =>
+          name -> time(fn(spark, dir).count())
+        }
+        println(s"""{"metric":"scale_check_text","scale":$scale,""" +
+          timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+        graft.llm.TextOps.clearCaches()
+      }
     }
 
-    // ---- analytics/window path (round 5): sessionize, z-score, as-of,
-    // percent_rank, decile assignment. Replica r shifts event/order AND
-    // user/customer ids, so partition COUNT grows with scale while
-    // per-partition size stays constant — how a real warehouse grows (more
-    // users, same history depth). The exposure here is a window that
-    // accidentally single-partitions (xN growth serializing through one
-    // task) or a join that degrades to pairwise; healthy shapes grow
-    // ~linearly in rows.
-    val winOpsEvents: Seq[(String, QFn)] = Seq(
-      "sessionize" -> graft.analytics.Temporal.windowSessionize,
-      "zscore" -> graft.analytics.Advanced.windowZscoreAnomaly,
-      "asof" -> graft.analytics.Temporal.joinAsofPurchase,
-      // round-5 additions: the grid-bucketed interval join (sessions × a
-      // FIXED promo set — growth must stay linear in sessions, pairwise
-      // would be x64 at x8) and two more user-keyed shapes
-      "interval_overlap" -> graft.analytics.Temporal.joinIntervalOverlap,
-      "gaps_islands" -> graft.analytics.Temporal.windowGapsIslands,
-      "mode_frequent" -> graft.analytics.Advanced.aggModeFrequent,
-    )
-    val winOpsOrders: Seq[(String, QFn)] = Seq(
-      "percent_rank" -> graft.analytics.Advanced.windowPercentRank,
-      "decile" -> graft.analytics.Advanced.windowNtileDecile,
-      // full-outer snapshot diff: one key-partitioned join, linear growth
-      "snapshot_diff" -> graft.etl.Upsert.upsertSnapshotDiff,
-    )
-    (winOpsEvents ++ winOpsOrders).foreach { case (_, fn) => fn(spark, base).count() }
+    if (sections("window")) {
+      // ---- analytics/window path (round 5): sessionize, z-score, as-of,
+      // percent_rank, decile assignment. Replica r shifts event/order AND
+      // user/customer ids, so partition COUNT grows with scale while
+      // per-partition size stays constant — how a real warehouse grows
+      // (more users, same history depth). The exposure here is a window
+      // that accidentally single-partitions (xN growth serializing through
+      // one task) or a join that degrades to pairwise; healthy shapes grow
+      // ~linearly in rows.
+      val winOpsEvents: Seq[(String, QFn)] = Seq(
+        "sessionize" -> graft.analytics.Temporal.windowSessionize,
+        "zscore" -> graft.analytics.Advanced.windowZscoreAnomaly,
+        "asof" -> graft.analytics.Temporal.joinAsofPurchase,
+        // round-5 additions: the grid-bucketed interval join (sessions × a
+        // FIXED promo set — growth must stay linear in sessions, pairwise
+        // would be x64 at x8) and two more user-keyed shapes
+        "interval_overlap" -> graft.analytics.Temporal.joinIntervalOverlap,
+        "gaps_islands" -> graft.analytics.Temporal.windowGapsIslands,
+        "mode_frequent" -> graft.analytics.Advanced.aggModeFrequent,
+      )
+      val winOpsOrders: Seq[(String, QFn)] = Seq(
+        "percent_rank" -> graft.analytics.Advanced.windowPercentRank,
+        "decile" -> graft.analytics.Advanced.windowNtileDecile,
+        // full-outer snapshot diff: one key-partitioned join, linear growth
+        "snapshot_diff" -> graft.etl.Upsert.upsertSnapshotDiff,
+      )
+      (winOpsEvents ++ winOpsOrders).foreach { case (_, fn) => fn(spark, base).count() }
 
-    Seq(1, 2, 4, 8).foreach { scale =>
-      val dir =
-        if (scale == 1) base
-        else {
-          val d = graft.util.Scratch.dir(s"scale_win_x$scale")
-          val ev = Tables(spark, base, "events")
-          (0 until scale).map { r =>
-            ev.withColumn("event_id", col("event_id") + lit(r * 10000000L))
-              .withColumn("user_id", col("user_id") + lit(r * 1000000L))
-          }.reduce(_ unionByName _)
-            // back to long nanos so Tables' ns-rewrite applies on re-read
-            .withColumn("ts", expr("unix_micros(ts) * 1000"))
-            .write.mode("overwrite").parquet(s"$d/events.parquet")
-          val o = spark.read.parquet(s"$base/orders.parquet")
-          (0 until scale).map { r =>
-            o.withColumn("o_orderkey", col("o_orderkey") + lit(r * 10000000L))
-              .withColumn("o_custkey", col("o_custkey") + lit(r * 1000000L))
-          }.reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$d/orders.parquet")
-          d
+      Seq(1, 2, 4, 8).foreach { scale =>
+        val dir =
+          if (scale == 1) base
+          else {
+            val d = graft.util.Scratch.dir(s"scale_win_x$scale")
+            val ev = Tables(spark, base, "events")
+            (0 until scale).map { r =>
+              ev.withColumn("event_id", col("event_id") + lit(r * 10000000L))
+                .withColumn("user_id", col("user_id") + lit(r * 1000000L))
+            }.reduce(_ unionByName _)
+              // back to long nanos so Tables' ns-rewrite applies on re-read
+              .withColumn("ts", expr("unix_micros(ts) * 1000"))
+              .write.mode("overwrite").parquet(s"$d/events.parquet")
+            val o = spark.read.parquet(s"$base/orders.parquet")
+            (0 until scale).map { r =>
+              o.withColumn("o_orderkey", col("o_orderkey") + lit(r * 10000000L))
+                .withColumn("o_custkey", col("o_custkey") + lit(r * 1000000L))
+            }.reduce(_ unionByName _)
+              .write.mode("overwrite").parquet(s"$d/orders.parquet")
+            d
+          }
+        val timed = (winOpsEvents ++ winOpsOrders).map { case (name, fn) =>
+          name -> time(fn(spark, dir).count())
         }
-      val timed = (winOpsEvents ++ winOpsOrders).map { case (name, fn) =>
-        name -> time(fn(spark, dir).count())
+        println(s"""{"metric":"scale_check_window","scale":$scale,""" +
+          timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
       }
-      def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      println(s"""{"metric":"scale_check_window","scale":$scale,""" +
-        timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+    }
+
+    if (sections("width")) {
+      // ---- candidate-WORK counts to ×64 under the derived index widths
+      // (round 6): pairs per item, not seconds — seconds at these corpus
+      // sizes are dominated by fixed per-job overhead, counts are the
+      // direct no-n² witness.
+      //   minhash: banded signature join — pair structure is the planted
+      //     near-dups, linear by construction; per-doc must stay flat.
+      //   simhash: (chunk, cval, ±1 length band) collisions. The 4×16
+      //     chunk geometry is pigeonhole-fixed (DedupOps), so random
+      //     collisions grow ~n/(65536·bands) per doc — the band key
+      //     divides the constant, it cannot flatten the slope; recorded
+      //     honestly as the known 64-bit SimHash bound.
+      //   embedding RP: bits derive from n (occupancy ~8), so per-vec
+      //     bucket-pair work must stay FLAT — this is the round-6 fix
+      //     under test.
+      Seq(8, 32, 64).foreach { scale =>
+        val ddir = docsDir(scale, "width_docs")
+        val nDocs = spark.read.parquet(s"$ddir/documents.parquet").count()
+        val mh = graft.llm.DedupOps.minhashCandidates(spark, ddir).count()
+        val sh = graft.llm.DedupOps.simhashCandidates(spark, ddir).count()
+        graft.llm.DedupOps.clearCaches()
+        val edir = embDir(scale, "width_emb")
+        val nVecs = graft.llm.DedupOps.embCount(spark, edir)
+        val bits = graft.llm.DedupOps.projBitsFor(nVecs)
+        val rp = graft.llm.DedupOps.embIndex(spark, edir)
+          .groupBy("bucket").count()
+          .agg(sum(col("count") * (col("count") - 1) / 2).cast("long").as("p"))
+          .head.getLong(0)
+        graft.llm.DedupOps.clearCaches()
+        graft.llm.SimilarityOps.clearCaches()
+        def r2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+        println(s"""{"metric":"scale_check_width","scale":$scale,""" +
+          s""""docs":$nDocs,"minhash_pairs":$mh,"minhash_per_doc":${r2(mh.toDouble / nDocs)},""" +
+          s""""simhash_cands":$sh,"simhash_per_doc":${r2(sh.toDouble / nDocs)},""" +
+          s""""vecs":$nVecs,"rp_bits":$bits,"rp_pairs":$rp,"rp_per_vec":${r2(rp.toDouble / nVecs)}}""")
+      }
     }
     spark.stop()
   }

@@ -22,7 +22,9 @@ object SparkEntry {
     * CSV→parquet conversion that was the reference's big win), read it
     * back with partition discovery, and run the funnel count. */
   def entry(spark: SparkSession): DataFrame = {
-    val sfDir = "/root/testdata/sf0.001"
+    // driver contract runs the flagship at sf0.001; honor the env override
+    // the other mains already use so ad-hoc runs can point anywhere
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val dir = Scratch.dir("entry_funnel_etl")
     Tables(spark, sfDir, "events")
       .withColumn("year", year(col("ts")))

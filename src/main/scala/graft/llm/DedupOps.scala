@@ -316,7 +316,9 @@ object DedupOps {
     * chunk collisions are O(n_band²/65536); corpora grow mostly by adding
     * docs across the length spectrum, so bands multiply the constant the
     * way more buckets do for the RP index. */
-  val llmDedupSimhash: QFn = (spark, sfDir) => {
+  /** The raw (chunk, cval, band)-collision pair stream, pre-dedup — split
+    * out so ScaleCheck can count candidate work directly. */
+  private[graft] def simhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val sim = simIndex(spark, sfDir)
       // n_tok² needs long arithmetic (int² overflows past ~46k tokens);
       // length(bin(x)) is the exact integer bit length = floor(log2)+1
@@ -329,11 +331,14 @@ object DedupOps {
       .withColumn("lb", explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
     a.join(b, Seq("chunk", "cval", "lb"))
       .filter(col("doc_a") < col("doc_b"))
+  }
+
+  val llmDedupSimhash: QFn = (spark, sfDir) =>
+    simhashCandidates(spark, sfDir)
       .groupBy("doc_a", "doc_b")
       .agg(first(expr("bit_count(sim_a ^ sim_b)")).as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(200)
-  }
 
   // ---- Embedding near-dup: random-hyperplane sign bits -> 2^bits buckets;
   // exact cosine only within buckets. Projections are seeded (42) so the
