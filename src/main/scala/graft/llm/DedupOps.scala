@@ -70,6 +70,8 @@ object DedupOps {
     embCountCache.clear()
     gramIndexCache.clear()
     gramTableCache.clear()
+    embTableCache.clear()
+    sigTableCache.clear()
   }
 
   private[graft] def sigIndex(spark: SparkSession, sfDir: String): DataFrame =
@@ -473,6 +475,116 @@ object DedupOps {
       .limit(100)
   }
 
+  /** The embedding index MATERIALIZED as a parquet table bucketed on the
+    * RP bucket — the durable vector index: vectors, norms, and bucket
+    * assignments are computed once at build time, and the near-dup
+    * self-join reads bucket i against bucket i with no exchange on either
+    * side (the in-memory [[embIndex]] persist still shuffles both sides of
+    * the join; the bucketed table ships the partitioning with the files).
+    * 16 file buckets carry the RP bucket column (2^bits values) — files
+    * arrive pre-hashed on the join key. */
+  private val embTableCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def embTable(spark: SparkSession, sfDir: String): String =
+    embTableCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+      val tbl = s"emb_bkt_$suffix"
+      val dir = graft.util.Scratch.dir(s"emb_index_$suffix")
+      embIndex(spark, sfDir)
+        .repartition(16, col("bucket"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "bucket").sortBy("bucket")
+        .option("path", s"$dir/$tbl").saveAsTable(tbl)
+      tbl
+    })
+
+  /** Vector-index build + occupancy profile: bucket count, vector count,
+    * and the max bucket size — the numbers that tell an operator whether
+    * the derived width actually bounded the hot bucket (occupancy ~8 ⇒
+    * max far below n). Full DuckDB oracle via the shared index CTE. */
+  val llmEmbIndexBuild: QFn = (spark, sfDir) =>
+    spark.table(embTable(spark, sfDir))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).cast("long").as("n_vectors"),
+        max(col("c")).as("max_bucket"))
+
+  /** Embedding near-dup re-expressed over the MATERIALIZED index: same
+    * semantics and same oracle as [[llmDedupEmbedding]], but both join
+    * sides are bucketed scans — zero exchanges below the pair ranking
+    * (PlanSpec asserts). The merge hint keeps the test-scale side from
+    * broadcasting; at corpus scale both sides are the full index. */
+  val llmDedupEmbeddingIndexed: QFn = (spark, sfDir) => {
+    val e = spark.table(embTable(spark, sfDir))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"), col("bucket"))
+    a.hint("merge").join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dotExpr("emb_a", "emb_b") / (col("norm_a") * col("norm_b")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
+  /** The banded MinHash signature index MATERIALIZED as a parquet table
+    * bucketed on the LSH band hash (the join key of candidate generation).
+    * The in-memory [[sigIndex]]/[[bandedIndex]] path recomputes shingles +
+    * K permutations every session and shuffles both sides of the banded
+    * self-join; the stored table pays the signature pass once and joins
+    * co-located. Bucketed on BOTH join columns (band, bhash): co-partition
+    * elimination requires the bucket columns to cover every join key
+    * (requireAllClusterKeysForCoPartition) — a bhash-only layout would be
+    * hash-equivalent in principle but the planner rightly refuses it. */
+  private val sigTableCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def sigTable(spark: SparkSession, sfDir: String): String =
+    sigTableCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+      val tbl = s"sig_bkt_$suffix"
+      val dir = graft.util.Scratch.dir(s"sig_index_$suffix")
+      bandedIndex(spark, sfDir)
+        .repartition(16, col("band"), col("bhash"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "band", "bhash").sortBy("band", "bhash")
+        .option("path", s"$dir/$tbl").saveAsTable(tbl)
+      tbl
+    })
+
+  /** Signature-index build + band profile: per band, row count and
+    * distinct band-hash count (≈ distinct buckets LSH can route to).
+    * xxhash64-based → no DuckDB oracle; NearDupSpec asserts equality with
+    * the in-memory banded index. */
+  val llmSigIndexBuild: QFn = (spark, sfDir) =>
+    spark.table(sigTable(spark, sfDir))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("bhash")).as("n_buckets"))
+      .orderBy("band")
+
+  /** MinHash near-dup pairs over the MATERIALIZED signature index —
+    * byte-identical results to [[llmDedupMinhash]] (NearDupSpec asserts),
+    * with both sides of the candidate join reading the bucketed table:
+    * no signature recompute, no exchange on the band hash. */
+  val llmDedupMinhashIndexed: QFn = (spark, sfDir) => {
+    val idx = spark.table(sigTable(spark, sfDir))
+    val a = idx.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a"))
+    val b = idx.withColumnsRenamed(Map("doc_id" -> "doc_b", "sig" -> "sig_b"))
+    a.hint("merge").join(b, Seq("band", "bhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))") / lit(K.toDouble))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"),
+        round(first(col("est")), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Train/eval decontamination — the benchmark-leakage check every
     * training corpus runs: split the corpus (even doc_id = train, odd =
     * eval), hash each doc's distinct 13-grams, and flag eval docs sharing
@@ -602,6 +714,10 @@ object DedupOps {
   val queries: Map[String, QFn] = Map(
     "llm_gram_index_build" -> llmGramIndexBuild,
     "llm_decontaminate_indexed" -> llmDecontaminateIndexed,
+    "llm_emb_index_build" -> llmEmbIndexBuild,
+    "llm_dedup_embedding_indexed" -> llmDedupEmbeddingIndexed,
+    "llm_sig_index_build" -> llmSigIndexBuild,
+    "llm_dedup_minhash_indexed" -> llmDedupMinhashIndexed,
     "llm_dedup_passage" -> llmDedupPassage,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_dedup_exact" -> llmDedupExact,
@@ -682,6 +798,21 @@ object DedupOps {
         "ROUND(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) / (a.norm * b.norm), 6) AS cosine " +
         "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
         "ORDER BY cosine DESC, vec_a, vec_b LIMIT 100"),
+    // the materialized-index path must be invisible to results — shares
+    // the llm_dedup_embedding oracle verbatim
+    "llm_dedup_embedding_indexed" ->
+      (s"WITH e AS ($embIndexSqlDuck) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "ROUND(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) / (a.norm * b.norm), 6) AS cosine " +
+        "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+        "ORDER BY cosine DESC, vec_a, vec_b LIMIT 100"),
+    // index-build occupancy profile over the same shared index CTE
+    "llm_emb_index_build" ->
+      (s"WITH e AS ($embIndexSqlDuck), " +
+        "b AS (SELECT bucket, count(*) AS c FROM e GROUP BY bucket) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_buckets, " +
+        "CAST(sum(c) AS BIGINT) AS n_vectors, " +
+        "CAST(max(c) AS BIGINT) AS max_bucket FROM b"),
     // The index-build profile replays the gram derivation on raw
     // substrings; distinct-of-substrings = distinct-of-hashes by the same
     // collision argument as llm_decontaminate below.

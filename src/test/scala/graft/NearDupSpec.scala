@@ -98,6 +98,27 @@ class NearDupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("materialized signature index reproduces the in-memory minhash pairs exactly") {
+    // the bucketed sig table is a LAYOUT decision — results must be
+    // byte-identical to the in-memory banded-index path
+    val mem = graft.llm.DedupOps.llmDedupMinhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val idx = graft.llm.DedupOps.llmDedupMinhashIndexed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(idx.toSeq == mem.toSeq)
+  }
+
+  test("signature index build profile matches the in-memory banded index") {
+    val mem = graft.llm.DedupOps.bandedIndex(spark, sfDir)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("bhash")).as("n_buckets"))
+      .orderBy("band")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val got = graft.llm.DedupOps.llmSigIndexBuild(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == mem.toSeq)
+  }
+
   test("exact dedup groups identical normalized text") {
     val n = docs.count()
     val res = graft.llm.DedupOps.llmDedupExact(spark, sfDir)

@@ -224,6 +224,31 @@ class PlanSpec extends AnyFunSuite {
       s"gram-keyed stages must be exchange-free:\n$p")
   }
 
+  test("indexed embedding near-dup joins bucketed scans with no exchange on bucket") {
+    val df = graft.llm.DedupOps.llmDedupEmbeddingIndexed(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Bucketed: true"), s"scan must report bucketed reads:\n$p")
+    assert(p.contains("SortMergeJoin"), s"merge hint must hold:\n$p")
+    assert("""Exchange hashpartitioning\(bucket#""".r.findFirstIn(p).isEmpty,
+      s"bucket-keyed join must be exchange-free:\n$p")
+  }
+
+  test("indexed minhash candidate join is exchange-free on the band hash") {
+    val df = graft.llm.DedupOps.llmDedupMinhashIndexed(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Bucketed: true"), s"scan must report bucketed reads:\n$p")
+    // bucketed on bhash, joined on (band, bhash): HashPartitioning(bhash)
+    // satisfies the clustered distribution of the superset key, so neither
+    // side may shuffle for the join; only the pair-dedup aggregate
+    // (doc_a, doc_b) and presentation sort shuffle
+    assert("""Exchange hashpartitioning\((band|bhash)#""".r.findFirstIn(p).isEmpty,
+      s"band-hash-keyed join must be exchange-free:\n$p")
+    assert(!p.contains("xxhash64"),
+      s"signatures must come from the stored index, not re-derivation:\n$p")
+  }
+
   test("global row numbering never funnels fact rows through one partition") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
