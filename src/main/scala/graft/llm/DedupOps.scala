@@ -585,6 +585,39 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental dedup — the production ingest shape: a DELTA BATCH (odd
+    * doc_ids, the driver-stable stand-in for "today's crawl") deduped
+    * AGAINST the existing corpus (even doc_ids) through the stored
+    * signature index — batch×corpus, never corpus×corpus. Candidates come
+    * from the bucketed sig table (the parity predicates push into both
+    * bucketed scans); verification is exact hashed-shingle Jaccard >= 0.5
+    * from the signature index. Output (doc_new, doc_old, jaccard) — the
+    * pairs an ingest pipeline drops or links before appending. The DuckDB
+    * oracle replays the exact cross-side gram join, so — like
+    * llm_dedup_ngram_jaccard — it doubles as an LSH recall gate: a banding
+    * regression that misses a true cross pair fails correctness, not just
+    * a property spec. */
+  val llmDedupIncrementalBatch: QFn = (spark, sfDir) => {
+    val idx = spark.table(sigTable(spark, sfDir))
+    val newSide = idx.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .withColumnsRenamed(Map("doc_id" -> "doc_new", "sig" -> "sig_new"))
+    val oldSide = idx.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .withColumnsRenamed(Map("doc_id" -> "doc_old", "sig" -> "sig_old"))
+    val cands = newSide.hint("merge").join(oldSide, Seq("band", "bhash"))
+      .select("doc_new", "doc_old").distinct()
+    val sh = sigIndex(spark, sfDir)
+      .select(col("doc_id"), col("hsh"), size(col("hsh")).as("n_sh"))
+    cands
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_new", "hsh" -> "h_a", "n_sh" -> "n_a")), Seq("doc_new"))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_old", "hsh" -> "h_b", "n_sh" -> "n_b")), Seq("doc_old"))
+      .withColumn("i", size(array_intersect(col("h_a"), col("h_b"))))
+      .withColumn("jaccard", round(
+        col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_new", "doc_old", "jaccard")
+      .orderBy("doc_new", "doc_old")
+  }
+
   /** Train/eval decontamination — the benchmark-leakage check every
     * training corpus runs: split the corpus (even doc_id = train, odd =
     * eval), hash each doc's distinct 13-grams, and flag eval docs sharing
@@ -718,6 +751,7 @@ object DedupOps {
     "llm_dedup_embedding_indexed" -> llmDedupEmbeddingIndexed,
     "llm_sig_index_build" -> llmSigIndexBuild,
     "llm_dedup_minhash_indexed" -> llmDedupMinhashIndexed,
+    "llm_dedup_incremental_batch" -> llmDedupIncrementalBatch,
     "llm_dedup_passage" -> llmDedupPassage,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_dedup_exact" -> llmDedupExact,
@@ -770,6 +804,21 @@ object DedupOps {
         "FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
         "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5 " +
         "ORDER BY doc_a, doc_b"),
+    // batch×corpus exact replay — the cross-side twin of the
+    // ngram_jaccard oracle (and the same LSH-recall-gate argument)
+    "llm_dedup_incremental_batch" ->
+      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 5) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)), " +
+        "n AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id), " +
+        "c AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS i " +
+        "FROM g a JOIN g b ON a.gram = b.gram " +
+        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2) " +
+        "SELECT doc_new, doc_old, " +
+        "ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) AS jaccard " +
+        "FROM c JOIN n na ON na.doc_id = doc_new JOIN n nb ON nb.doc_id = doc_old " +
+        "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5 " +
+        "ORDER BY doc_new, doc_old"),
     // cluster: same exact-pair CTE, then connected components as recursive
     // reachability (min reachable doc_id = cluster id). The reach set is
     // sum of component sizes squared — near-dup components are tiny by
