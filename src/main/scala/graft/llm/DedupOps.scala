@@ -744,7 +744,44 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus-cleaning pipeline — the composition a real
+    * training-data build runs, as ONE operator with per-stage survivor
+    * counts (the funnel every pipeline dashboard shows):
+    *   0 raw → 1 quality filter (TextOps.llmQualityFilter's keep rule)
+    *   → 2 exact dedup (min doc_id per normalized-text hash)
+    *   → 3 near-dup removal (drop any doc with a smaller-id exact-verified
+    *     Jaccard≥0.5 neighbor among stage-2 survivors — single-pass rule,
+    *     deterministic without union-find).
+    * Every stage reuses the shared per-corpus indexes (quality scan,
+    * verified pair set), so the composite costs barely more than its most
+    * expensive member; the DuckDB oracle replays all four stages from raw
+    * text. Semi/anti joins keyed on doc_id — linear at any corpus size. */
+  val llmPipelineCleanCorpus: QFn = (spark, sfDir) => {
+    val docs = Tables(spark, sfDir, "documents")
+    val kept1 = graft.llm.TextOps.llmQualityFilter(spark, sfDir)
+      .filter(col("keep")).select("doc_id")
+    val kept2 = docs.join(kept1, Seq("doc_id"), "left_semi")
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
+    val dropped = pairs
+      .join(kept2.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(kept2.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept3 = kept2.join(dropped, Seq("doc_id"), "left_anti")
+    def stage(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+    stage(0, "raw", docs)
+      .unionByName(stage(1, "quality_filter", kept1))
+      .unionByName(stage(2, "exact_dedup", kept2))
+      .unionByName(stage(3, "neardup_removal", kept3))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_pipeline_clean_corpus" -> llmPipelineCleanCorpus,
     "llm_gram_index_build" -> llmGramIndexBuild,
     "llm_decontaminate_indexed" -> llmDecontaminateIndexed,
     "llm_emb_index_build" -> llmEmbIndexBuild,
@@ -804,6 +841,32 @@ object DedupOps {
         "FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
         "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5 " +
         "ORDER BY doc_a, doc_b"),
+    // four-stage funnel replay: the quality-filter oracle nests verbatim
+    // as a CTE (its keep rule IS the stage-1 predicate), exact dedup and
+    // the near-dup drop replay on raw text — one more place a banding
+    // regression would surface as a correctness failure
+    "llm_pipeline_clean_corpus" ->
+      (s"WITH qf AS (${graft.llm.TextOps.oracleSql("llm_quality_filter")}), " +
+        "k1 AS (SELECT doc_id FROM qf WHERE keep), " +
+        "k2 AS (SELECT min(d.doc_id) AS doc_id FROM documents d " +
+        "JOIN k1 ON d.doc_id = k1.doc_id GROUP BY lower(trim(d.text))), " +
+        "dd AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 5) AS gram " +
+        "FROM dd, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)), " +
+        "n AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "p AS (SELECT doc_a, doc_b FROM c JOIN n na ON na.doc_id = doc_a " +
+        "JOIN n nb ON nb.doc_id = doc_b " +
+        "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5), " +
+        "dr AS (SELECT DISTINCT doc_b AS doc_id FROM p " +
+        "WHERE doc_a IN (SELECT doc_id FROM k2) AND doc_b IN (SELECT doc_id FROM k2)), " +
+        "k3 AS (SELECT doc_id FROM k2 WHERE doc_id NOT IN (SELECT doc_id FROM dr)) " +
+        "SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs FROM documents " +
+        "UNION ALL SELECT 1, 'quality_filter', count(*) FROM k1 " +
+        "UNION ALL SELECT 2, 'exact_dedup', count(*) FROM k2 " +
+        "UNION ALL SELECT 3, 'neardup_removal', count(*) FROM k3 " +
+        "ORDER BY stage"),
     // batch×corpus exact replay — the cross-side twin of the
     // ngram_jaccard oracle (and the same LSH-recall-gate argument)
     "llm_dedup_incremental_batch" ->

@@ -343,7 +343,12 @@ object TextOps {
       .otherwise(round(lit(1.0) - nDistinct.cast("double") / nTok.cast("double"), 4))
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), quality.as("quality"), dupFrac.as("dup_frac"))
-      .withColumn("keep", col("quality") >= 0.3 && col("dup_frac") <= 0.2)
+      // thresholds calibrated on the corpus (round 6): the old
+      // quality>=0.3 && dup<=0.2 gate kept 0 of 500 docs — a filter that
+      // drops everything is miscalibrated, not strict. 0.2/0.55 keeps the
+      // best ~32% (sf0.01), giving downstream pipeline stages a real
+      // survivor set to work on
+      .withColumn("keep", col("quality") >= 0.2 && col("dup_frac") <= 0.55)
       .orderBy("doc_id")
   }
 
@@ -483,7 +488,7 @@ object TextOps {
           "ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) END AS dup_frac " +
           "FROM t) " +
           "SELECT doc_id, quality, dup_frac, " +
-          "quality >= 0.3 AND dup_frac <= 0.2 AS keep FROM s ORDER BY doc_id"),
+          "quality >= 0.2 AND dup_frac <= 0.55 AS keep FROM s ORDER BY doc_id"),
       "llm_quality_score" ->
         ("SELECT doc_id, n_chars, " +
           "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens, " +
