@@ -393,7 +393,7 @@ object DedupOps {
     * Spark's cap is higher but both derive the same b for any n the oracle
     * sees). */
   private[graft] val MaxOracleBits = 14
-  private def projBitsSqlDuck(n: String): String =
+  private[graft] def projBitsSqlDuck(n: String): String =
     (MinProjBits until MaxOracleBits)
       .map(b => s"WHEN $n <= ${TargetOccupancy * (1L << b)} THEN $b")
       .mkString("(CASE ", " ", s" ELSE $MaxOracleBits END)")

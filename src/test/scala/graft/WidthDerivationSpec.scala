@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round 6 — the adaptive index widths exist twice by design (Scala for
+  * the plan, SQL for the DuckDB oracle); this spec is the anti-drift
+  * gate. The SQL chains use only functions Spark and DuckDB share
+  * (CASE/greatest/pow with integer-exact operands), so Spark can evaluate
+  * the ORACLE's strings over a dense range of corpus sizes and compare
+  * them to the Scala derivations the plans use — any future edit that
+  * changes one side but not the other fails here, not at the verify gate
+  * (where it would only surface for the one n the driver happens to run). */
+class WidthDerivationSpec extends AnyFunSuite {
+  import SparkFixture.spark
+
+  test("projBitsFor boundary table (integer thresholds, occupancy 8)") {
+    val f = graft.llm.DedupOps.projBitsFor _
+    assert(f(1) == 4 && f(128) == 4, "floor: n <= 8·2^4 stays at MinProjBits")
+    assert(f(129) == 5)
+    assert(f(500) == 6, "the verified-tier count must derive the tuned width")
+    assert(f(512) == 6 && f(513) == 7, "exact power-of-two boundary")
+    assert(f(2000) == 8)
+    assert(f(Long.MaxValue) == 24, "cap at MaxProjBits")
+  }
+
+  test("probeRadiusFor reproduces the tuned points and tightens with n") {
+    val r = graft.llm.SimilarityOps.probeRadiusFor _
+    assert(r(6, 500) == 2, "verified tier: radius 2 over 6 bits (22/64 buckets)")
+    assert(r(8, 2000) == 1)
+    assert(r(9, 4025) == 2, "AnnScaleSpec geometry: 46/512 = 9%")
+    assert(r(14, 131072) == 4, "wide indexes afford radius 4 inside 10%")
+  }
+
+  test("ivfGeometry derives the measured 64/28 point at n=500 and scales ~sqrt(n)") {
+    val g = graft.llm.SimilarityOps.ivfGeometry _
+    assert(g(500) == ((64, 28)))
+    assert(g(512) == ((64, 28)), "sqrt(8·512) = 64 exactly — no pow2 round-up")
+    assert(g(513) == ((128, 56)))
+    assert(g(2000) == ((128, 56)))
+    assert(g(100000000L)._1 == 4096, "nlist capped by the fit-sample bound")
+  }
+
+  test("the oracle's SQL width/radius chains equal the Scala derivations for every n to 131072") {
+    // 8·2^MaxOracleBits = 131072 is the SQL rendering's cap; beyond it the
+    // two sides intentionally diverge (no oracle corpus gets there)
+    val pbSql = graft.llm.DedupOps.projBitsSqlDuck("nn")
+    val rSql = graft.llm.SimilarityOps.radiusSqlDuck("pb", "nn")
+    val rows = spark.range(1, 131073)
+      .select(col("id").as("nn"))
+      .withColumn("pb", expr(pbSql))
+      .withColumn("r", expr(rSql))
+      .collect()
+    rows.foreach { row =>
+      val n = row.getLong(0)
+      val pbScala = graft.llm.DedupOps.projBitsFor(n)
+      assert(row.getInt(1) == pbScala, s"pb drift at n=$n")
+      assert(row.getInt(2) == graft.llm.SimilarityOps.probeRadiusFor(pbScala, n),
+        s"radius drift at n=$n")
+    }
+  }
+}
