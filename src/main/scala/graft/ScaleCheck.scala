@@ -140,6 +140,11 @@ object ScaleCheck {
             time(graft.llm.DedupOps.llmDedupEmbedding(spark, dir).count()),
           "similarity_ann" ->
             time(graft.llm.SimilarityOps.llmSimilarityAnn(spark, dir).count()),
+          // ivf pays its k-means fit per corpus (bounded sample, but
+          // nlist derives ~sqrt(8n): 128 cells at x1 → 512 at x8) — the
+          // one op whose index build must grow with the derived geometry
+          "similarity_ivf" ->
+            time(graft.llm.SimilarityOps.llmSimilarityIvf(spark, dir).count()),
           "knn_join" ->
             time(graft.llm.SimilarityOps.llmSimilarityKnnJoin(spark, dir).count()))
         println(s"""{"metric":"scale_check_sim","scale":$scale,"index_sec":${f2(tIndex)},""" +
