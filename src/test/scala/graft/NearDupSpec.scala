@@ -119,6 +119,21 @@ class NearDupSpec extends AnyFunSuite {
     assert(got.toSeq == mem.toSeq)
   }
 
+  test("incremental batch dedup equals the cross-parity slice of the verified pairs") {
+    // the delta-batch op must find exactly the exact-verified j>=0.5 pairs
+    // with one odd (new) and one even (old) member — reorient ngram_jaccard's
+    // (doc_a < doc_b) pairs to (new, old) and compare
+    val full = graft.llm.DedupOps.llmDedupNgramJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.collect {
+      case (a, b, j) if a % 2 == 1 && b % 2 == 0 => (a, b, j)
+      case (a, b, j) if a % 2 == 0 && b % 2 == 1 => (b, a, j)
+    }.sortBy(p => (p._1, p._2))
+    val got = graft.llm.DedupOps.llmDedupIncrementalBatch(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected.toSeq)
+  }
+
   test("exact dedup groups identical normalized text") {
     val n = docs.count()
     val res = graft.llm.DedupOps.llmDedupExact(spark, sfDir)
