@@ -23,5 +23,13 @@ object Warmup {
     timed("gramIndex") { DedupOps.gramIndex(spark, sfDir).count() }
     timed("ivfIndex") { SimilarityOps.ivfIndex(spark, sfDir)._1.count() }
     timed("unigramModel") { TextOps.unigramModel(spark, sfDir).count() }
+    // round 6: the materialized (bucketed-table) indexes — without these,
+    // whichever *_indexed consumer the map happens to run first would be
+    // timed WITH its table build; after warmup every llm_*_index_build /
+    // *_indexed query measures its profile/consume stage (the build is the
+    // once-per-corpus offline pass, same as the persists above)
+    timed("gramTable") { DedupOps.gramTable(spark, sfDir) }
+    timed("embTable") { DedupOps.embTable(spark, sfDir) }
+    timed("sigTable") { DedupOps.sigTable(spark, sfDir) }
   }
 }
