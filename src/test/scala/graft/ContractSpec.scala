@@ -12,6 +12,34 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
   }
 
+  test("every queries key has an oracle or sits on the documented no-oracle allowlist") {
+    // The driver's correctness gate downgrades oracle-less operators to a
+    // rows-only check — acceptable ONLY for hash/sketch-based semantics
+    // that ANSI SQL cannot replay, each carrying a named ground-truth
+    // spec. This list is the exhaustive set of such waivers; a new
+    // operator landing without an oracle must either get one or be added
+    // here WITH its spec, never silently.
+    val waived = Map(
+      "agg_hll_mergeable" -> "ApproxSpec",
+      "agg_percentile_approx" -> "ApproxSpec",
+      "agg_profile_approx" -> "ApproxSpec",
+      "llm_dedup_minhash" -> "NearDupSpec",
+      "llm_dedup_minhash_indexed" -> "NearDupSpec (byte-equality vs in-memory)",
+      "llm_sig_index_build" -> "NearDupSpec (profile equality)",
+      "llm_dedup_simhash" -> "FingerprintSpec",
+      "llm_fingerprint" -> "FingerprintSpec",
+      "llm_similarity_ivf" -> "SimilaritySpec",
+    )
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val unexplained = unoracled -- waived.keySet
+    assert(unexplained.isEmpty,
+      s"operators with neither oracle nor documented ground-truth spec: $unexplained")
+    val stale = waived.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"waivers for nonexistent operators: $stale")
+    val shadowed = waived.keySet.intersect(SparkEntry.oracleSql.keySet)
+    assert(shadowed.isEmpty, s"waived operators that now HAVE oracles (drop the waiver): $shadowed")
+  }
+
   test("query names are unique across modules") {
     val all = Seq(
       graft.etl.Ingest.queries, graft.etl.Transforms.queries,
