@@ -107,9 +107,41 @@ object Bucketing {
       .orderBy("o_orderstatus")
   }
 
+  /** Hive-partitioned AND bucketed layout — the full lakehouse pruning
+    * matrix in one table: partitionBy(o_year) prunes directories,
+    * bucketBy(4, o_custkey) prunes files within the surviving directory,
+    * so the canonical BI point lookup (year = Y AND custkey = K) reads ONE
+    * bucket file of ONE partition — at 100 TB the difference between a
+    * full scan and a few MB, with zero index structures beyond the layout
+    * itself. The registered read-back slices a customer band within one
+    * year (non-empty at every SF tier, so the oracle has rows to hash);
+    * PlanSpec runs the equality point lookup and asserts BOTH
+    * PartitionFilters and SelectedBucketsCount: 1 out of 4. Results are
+    * layout-invariant — the oracle replays on the raw table. */
+  val sinkPartitionedBucketed: QFn = (spark, sfDir) => {
+    val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+    val tbl = s"orders_pb_$suffix"
+    val dir = Scratch.dir(s"part_bucket_$suffix")
+    Tables(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_year"), col("o_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("o_year")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$dir/$tbl").saveAsTable(tbl)
+    spark.table(tbl)
+      .filter(col("o_year") === 1997 && col("o_custkey").between(0, 50))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, QFn] = Map(
     "sink_bucketed_colocated" -> sinkBucketedColocated,
     "sink_zorder_cluster" -> sinkZorderCluster,
+    "sink_partitioned_bucketed" -> sinkPartitionedBucketed,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -118,6 +150,14 @@ object Bucketing {
         "ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
         "GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey"),
+    // layout-invariance again: the partitioned+bucketed read-back must
+    // equal the raw-table slice
+    "sink_partitioned_bucketed" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price " +
+        "FROM orders WHERE year(o_orderdate) = 1997 " +
+        "AND o_custkey BETWEEN 0 AND 50 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // the oracle scans the RAW table: a correct clustering rewrite must be
     // invisible to query results
     "sink_zorder_cluster" ->

@@ -224,6 +224,24 @@ class PlanSpec extends AnyFunSuite {
       s"gram-keyed stages must be exchange-free:\n$p")
   }
 
+  test("partitioned+bucketed layout prunes both directory and bucket on a point lookup") {
+    graft.etl.Bucketing.sinkPartitionedBucketed(spark, sfDir).count()
+    val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+    // same autoBucketedScan note as the plain bucket-pruning test: no join
+    // consumes the bucketing here, so keep the planner from discarding it
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = spark.table(s"orders_pb_$suffix")
+        .filter(col("o_year") === 1997 && col("o_custkey") === 14L)
+      val p = plan(df)
+      assert(p.contains("SelectedBucketsCount: 1 out of 4"),
+        s"equality on the bucket key must prune to one bucket:\n$p")
+      assert(p.contains("PartitionFilters") && p.contains("o_year"),
+        s"partition filter must prune directories:\n$p")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("indexed embedding near-dup joins bucketed scans with no exchange on bucket") {
     val df = graft.llm.DedupOps.llmDedupEmbeddingIndexed(spark, sfDir)
     df.collect()
