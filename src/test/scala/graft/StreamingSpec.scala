@@ -89,6 +89,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"got $got")
   }
 
+  test("restart from checkpoint is exactly-once: the resumed query reads only the new drop") {
+    // the durability story every production stream rests on: a NEW query
+    // object started on the SAME checkpoint must resume from committed
+    // offsets — no reprocessing of drop 1, no loss of drop 2 — and the
+    // transactional file sink must land every event exactly once
+    import org.apache.spark.sql.streaming.Trigger
+    val base = graft.util.Scratch.dir("stream_restart_ckpt")
+    val incoming = s"$base/incoming"
+    val out = s"$base/out"
+    val ev = graft.tables.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"))
+    val drop1 = ev.filter(col("event_id") % 2 === 0)
+    val drop2 = ev.filter(col("event_id") % 2 =!= 0)
+    def run(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(incoming)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drop1.write.mode("append").parquet(incoming)
+    run()
+    assert(spark.read.parquet(out).count() == drop1.count())
+    drop2.write.mode("append").parquet(incoming)
+    run() // fresh query, same checkpoint
+    val result = spark.read.parquet(out)
+    assert(result.count() == ev.count(),
+      "restart must neither lose nor duplicate events")
+    assert(result.select("event_id").distinct().count() == ev.count(),
+      "every event id lands exactly once across the restart")
+  }
+
   test("watermark dedup restores exactly-once counts after duplicate drop") {
     val res = graft.streaming.StreamOps.streamWatermarkLate(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
