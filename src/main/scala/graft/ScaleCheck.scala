@@ -100,6 +100,10 @@ object ScaleCheck {
         "ngram_jaccard" -> graft.llm.DedupOps.llmDedupNgramJaccard,
         "cluster" -> graft.llm.DedupOps.llmDedupCluster,
         "decontaminate" -> graft.llm.DedupOps.llmDecontaminate,
+        // round 6: the composite funnel — costs its quality scan plus
+        // semi/anti joins because the verified-pair index is already built
+        // by ngram_jaccard above (the reuse IS the claim under test)
+        "pipeline" -> graft.llm.DedupOps.llmPipelineCleanCorpus,
       )
 
       Seq(1, 2, 4, 8).foreach { scale =>
