@@ -85,6 +85,32 @@ object TextOps {
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs | digit runs | single punctuation). */
+  /** Shard export — the final-mile step of a training-data build: write
+    * the corpus as parquet partitioned by the deterministic shuffle shard
+    * (llm_shuffle_shards' LCG hash), then read the EXPORT back and emit
+    * the manifest (shard, n_docs, total_tokens) a downstream loader
+    * consumes. Computing the manifest from the read-back makes the result
+    * prove the round-trip, and partitioning by shard makes per-shard
+    * loads partition-pruned scans. At 100 TB: add maxRecordsPerFile to
+    * bound file sizes and scale the shard count with the corpus — the
+    * fixed 64 fits the test tiers. */
+  val llmExportShards: QFn = (spark, sfDir) => {
+    val dir = graft.util.Scratch.dir(
+      s"export_shards_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        pmod(pmod(col("doc_id") * 48271L, lit(2147483647L)), lit(64))
+          .cast("int").as("shard"),
+        size(tokens).as("n_tokens"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+      .orderBy("shard")
+  }
+
   val llmTokenCount: QFn = (spark, sfDir) =>
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
@@ -417,6 +443,7 @@ object TextOps {
     "llm_length_histogram" -> llmLengthHistogram,
     "llm_bigram_counts" -> llmBigramCounts,
     "llm_shuffle_shards" -> llmShuffleShards,
+    "llm_export_shards" -> llmExportShards,
     "llm_chunk_documents" -> llmChunkDocuments,
     "llm_tfidf_topterms" -> llmTfidfTopterms,
     "llm_pack_sequences" -> llmPackSequences,
@@ -472,6 +499,14 @@ object TextOps {
         ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
           "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
           "ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars, " +
+          "CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS total_tokens " +
+          "FROM documents GROUP BY 1 ORDER BY 1"),
+      // shard via the same LCG hash the shuffle op uses; token totals via
+      // the token_count spelling — the manifest must match the raw corpus
+      // even though Spark computes it from the exported files
+      "llm_export_shards" ->
+        ("SELECT CAST((doc_id * 48271) % 2147483647 % 64 AS INT) AS shard, " +
+          "count(*) AS n_docs, " +
           "CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS total_tokens " +
           "FROM documents GROUP BY 1 ORDER BY 1"),
       "llm_token_count" ->
