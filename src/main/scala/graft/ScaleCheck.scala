@@ -255,11 +255,12 @@ object ScaleCheck {
       // direct no-n² witness.
       //   minhash: banded signature join — pair structure is the planted
       //     near-dups, linear by construction; per-doc must stay flat.
-      //   simhash: (chunk, cval, ±1 length band) collisions. The 4×16
-      //     chunk geometry is pigeonhole-fixed (DedupOps), so random
-      //     collisions grow ~n/(65536·bands) per doc — the band key
-      //     divides the constant, it cannot flatten the slope; recorded
-      //     honestly as the known 64-bit SimHash bound.
+      //   simhash: (chunk, cval, ±1 length band) collisions under the
+      //     round-7 128-bit / 8×16-chunk geometry. simhash_nb_per_doc is
+      //     the same join WITHOUT the length-band key — the direct witness
+      //     that the wider fingerprint itself (not the band crutch) holds
+      //     candidate growth; the banded production number then divides
+      //     that constant further.
       //   embedding RP: bits derive from n (occupancy ~8), so per-vec
       //     bucket-pair work must stay FLAT — this is the round-6 fix
       //     under test.
@@ -268,6 +269,7 @@ object ScaleCheck {
         val nDocs = spark.read.parquet(s"$ddir/documents.parquet").count()
         val mh = graft.llm.DedupOps.minhashCandidates(spark, ddir).count()
         val sh = graft.llm.DedupOps.simhashCandidates(spark, ddir).count()
+        val shNb = graft.llm.DedupOps.simhashCandidates(spark, ddir, useBand = false).count()
         graft.llm.DedupOps.clearCaches()
         val edir = embDir(scale, "width_emb")
         val nVecs = graft.llm.DedupOps.embCount(spark, edir)
@@ -282,6 +284,7 @@ object ScaleCheck {
         println(s"""{"metric":"scale_check_width","scale":$scale,""" +
           s""""docs":$nDocs,"minhash_pairs":$mh,"minhash_per_doc":${r2(mh.toDouble / nDocs)},""" +
           s""""simhash_cands":$sh,"simhash_per_doc":${r2(sh.toDouble / nDocs)},""" +
+          s""""simhash_nb_cands":$shNb,"simhash_nb_per_doc":${r2(shNb.toDouble / nDocs)},""" +
           s""""vecs":$nVecs,"rp_bits":$bits,"rp_pairs":$rp,"rp_per_vec":${r2(rp.toDouble / nVecs)}}""")
       }
     }

@@ -268,18 +268,30 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash over word tokens (sign of per-bit +-1 sums), banded
-    * into 4 x 16-bit chunks for candidate generation; exact Hamming
-    * distance via bit_count(xor). Top pairs by Hamming distance. */
+  /** 128-bit SimHash over word tokens (sign of per-bit +-1 sums), banded
+    * into 8 x 16-bit chunks for candidate generation; exact Hamming
+    * distance via bit_count(xor) over both halves. Top pairs by Hamming
+    * distance. 128 bits (not 64): the candidate join's pigeonhole geometry
+    * is chunk-width-fixed, so the only way to grow the bucket space with
+    * the corpus is more chunks — 8 x 16-bit chunks halve the per-chunk
+    * random-collision rate AND double the bucket count vs the round-5
+    * 4 x 16 layout, pushing the per-band saturation bound from ~65536·4 to
+    * ~65536·8 colliding docs with a strictly stronger Hamming<=7 retention
+    * guarantee. */
   private val simIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** 64-bit SimHash per doc, persisted: (a) the persist is a hard barrier, so
-    * the 64-way bit fold reads the materialized bitsums column instead of
-    * CollapseProject re-inlining the token aggregate into every bit (64×
-    * blowup measured at 276 s vs 3 s on sf0.1); (b) the chunked self-join
-    * reuses it instead of recomputing both sides. The intermediate bitsums
-    * frame is tracked too, so clearCaches can actually release it. */
+  /** 128-bit SimHash per doc as two 64-bit halves, persisted: (a) the
+    * persist is a hard barrier, so the 128-way bit fold reads the
+    * materialized bitsums column instead of CollapseProject re-inlining the
+    * token aggregate into every bit (64× blowup measured at 276 s vs 3 s on
+    * sf0.1); (b) the chunked self-join reuses it instead of recomputing
+    * both sides. The two halves come from decorrelated token hashes —
+    * xxhash64(t) and xxhash64(t, 1L) (Spark chains the second arg into the
+    * hash state, so the streams are independent); each token's pair is
+    * computed ONCE via the struct transform, not once per bit. The
+    * intermediate bitsums frame is tracked too, so clearCaches can
+    * actually release it. */
   private[graft] def simIndex(spark: SparkSession, sfDir: String): DataFrame =
     simIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
       val bitsums = tracked(Tables(spark, sfDir, "documents")
@@ -287,58 +299,72 @@ object DedupOps {
         .select(col("doc_id"),
           size(split(lower(trim(col("text"))), "\\s+")).as("n_tok"),
           expr(
-            "aggregate(split(lower(trim(text)), '\\\\s+'), " +
-              "array_repeat(cast(0 as bigint), 64), " +
-              "(acc, t) -> zip_with(acc, transform(sequence(0, 63), " +
-              "j -> CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1 THEN cast(1 as bigint) ELSE cast(-1 as bigint) END), " +
+            "aggregate(transform(split(lower(trim(text)), '\\\\s+'), " +
+              "t -> struct(xxhash64(t) as h1, xxhash64(t, cast(1 as bigint)) as h2)), " +
+              "array_repeat(cast(0 as bigint), 128), " +
+              "(acc, s) -> zip_with(acc, transform(sequence(0, 127), " +
+              "j -> CASE WHEN (shiftright(IF(j < 64, s.h1, s.h2), j % 64) & 1) = 1 THEN cast(1 as bigint) ELSE cast(-1 as bigint) END), " +
               "(a, b) -> a + b))").as("bitsums"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      def fold(lo: Int): String =
+        s"aggregate(sequence($lo, ${lo + 63}), cast(0 as bigint), (s, j) -> s + " +
+          "CASE WHEN element_at(bitsums, j + 1) > 0 " +
+          s"THEN shiftleft(cast(1 as bigint), j - $lo) ELSE cast(0 as bigint) END)"
       tracked(bitsums
         .select(col("doc_id"),
-          expr(
-            "aggregate(sequence(0, 63), cast(0 as bigint), (s, j) -> s + " +
-              "CASE WHEN element_at(bitsums, j + 1) > 0 " +
-              "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
-          ).as("simhash"),
+          expr(fold(0)).as("simhash"),
+          expr(fold(64)).as("simhash2"),
           col("n_tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
-  /** Candidate generation joins on (chunk, cval, length band): the 4×16-bit
-    * chunk split guarantees any Hamming<=3 pair collides on >=1 chunk
-    * (pigeonhole — narrower chunks would break that guarantee, so the chunk
-    * geometry cannot grow with n), and the SECOND band key bounds the
-    * random-collision growth the fixed 65536-value chunk space alone cannot:
-    * two docs whose token counts differ by more than a half-octave
-    * (ratio > ~2.8) are never near-dups, so keying the join on
-    * bitlen(n_tok²) — an exact integer half-octave band, no float log2 —
-    * only discards pairs SimHash exists to reject. The probe side emits
-    * band±1 so a true pair can never straddle a band boundary (near-dup
-    * token counts differ by a few %, far inside one band). Within-band
-    * chunk collisions are O(n_band²/65536); corpora grow mostly by adding
-    * docs across the length spectrum, so bands multiply the constant the
-    * way more buckets do for the RP index. */
+  /** Candidate generation joins on (chunk, cval, length band): the 8×16-bit
+    * chunk split over the 128-bit fingerprint guarantees any Hamming<=7
+    * pair collides on >=1 chunk (pigeonhole — narrower chunks would break
+    * that guarantee, so per-chunk width is fixed and scale headroom comes
+    * from chunk COUNT), and the SECOND band key bounds the random-collision
+    * growth the fixed 65536-value chunk space alone cannot. The band is
+    * bitlen(n_tok) — one full octave, exact integer arithmetic, no float
+    * log2 — and the probe side emits band±1, so retention is GUARANTEED
+    * for every pair with token-count ratio <= 2 (ratio < 2 implies bitlen
+    * differs by at most 1; ratio exactly 2 shifts bitlen by exactly 1 —
+    * both inside the ±1 probe; this includes a doc vs its own 2×
+    * repetition, whose simhash is identical). Worst-case retained ratio is
+    * just under 8 (bitlen diff 1 can span up to ratio 8 across two
+    * boundaries); every ratio >= 8 pair is dropped — far beyond any
+    * near-dup. Within-band chunk collisions are O(n_band²·8/65536);
+    * corpora grow mostly by adding docs across the length spectrum, so
+    * bands multiply the constant the way more buckets do for the RP
+    * index, while the 8-chunk geometry halves the per-chunk collision
+    * rate vs 4×16/64-bit. */
   /** The raw (chunk, cval, band)-collision pair stream, pre-dedup — split
-    * out so ScaleCheck can count candidate work directly. */
-  private[graft] def simhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    * out so ScaleCheck can count candidate work directly. `useBand=false`
+    * drops the length-band key so ScaleCheck can measure what the 128-bit
+    * chunk geometry alone holds. */
+  private[graft] def simhashCandidates(spark: SparkSession, sfDir: String,
+                                       useBand: Boolean = true): DataFrame = {
     val sim = simIndex(spark, sfDir)
-      // n_tok² needs long arithmetic (int² overflows past ~46k tokens);
       // length(bin(x)) is the exact integer bit length = floor(log2)+1
-      .withColumn("lb", length(bin(col("n_tok").cast("long") * col("n_tok"))))
-    val chunked = sim.select(col("doc_id"), col("simhash"), col("lb"),
-      posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, 16 * c) & 65535)"))
+      .withColumn("lb", if (useBand) length(bin(col("n_tok").cast("long"))) else lit(0))
+    val chunked = sim.select(col("doc_id"), col("simhash"), col("simhash2"), col("lb"),
+      posexplode(expr(
+        "transform(sequence(0, 7), c -> shiftright(IF(c < 4, simhash, simhash2), 16 * (c % 4)) & 65535)"))
         .as(Seq("chunk", "cval")))
-    val a = chunked.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
-    val b = chunked.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
-      .withColumn("lb", explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
-    a.join(b, Seq("chunk", "cval", "lb"))
+    val a = chunked.withColumnsRenamed(Map(
+      "doc_id" -> "doc_a", "simhash" -> "sim_a", "simhash2" -> "sim_a2"))
+    val b = chunked.withColumnsRenamed(Map(
+      "doc_id" -> "doc_b", "simhash" -> "sim_b", "simhash2" -> "sim_b2"))
+    val probed =
+      if (useBand) b.withColumn("lb", explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+      else b
+    a.join(probed, Seq("chunk", "cval", "lb"))
       .filter(col("doc_a") < col("doc_b"))
   }
 
   val llmDedupSimhash: QFn = (spark, sfDir) =>
     simhashCandidates(spark, sfDir)
       .groupBy("doc_a", "doc_b")
-      .agg(first(expr("bit_count(sim_a ^ sim_b)")).as("hamming"))
+      .agg(first(expr("bit_count(sim_a ^ sim_b) + bit_count(sim_a2 ^ sim_b2)")).as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(200)
 

@@ -39,7 +39,7 @@ object TextOps {
     unigramCache.clear()
   }
 
-  private[llm] def unigramModel(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def unigramModel(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
     unigramCache.getOrElseUpdate(
       spark.sparkContext.applicationId + "|" + sfDir, {

@@ -61,4 +61,29 @@ class DeterminismSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("unigram micro-nat quantization is stable under a 1-ulp ln divergence") {
+    // ADVICE r6 #1 / VERDICT r7 task 2: Spark quantizes with JVM Math.log,
+    // the DuckDB oracle with libm ln — the two may legally differ by 1 ulp.
+    // The half-offset grid floor(ln·1e6 + 0.5) claims no true corpus value
+    // sits close enough to a boundary for that ulp to flip the integer.
+    // Verify the claim directly: for EVERY distinct (total, cnt) ratio in
+    // the actual model, quantize ln, nextUp(ln), and nextDown(ln) — all
+    // three must land on the same micro-nat. (nextUp/nextDown move a full
+    // ulp, i.e. at least as far as any correctly-rounded libm can stray.)
+    val model = graft.llm.TextOps.unigramModel(spark, sfDir)
+    val total = model.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val counts = model.select(col("cnt")).distinct()
+      .collect().map(_.getLong(0))
+    assert(counts.nonEmpty)
+    def q(l: Double): Long = math.floor(l * 1e6 + 0.5).toLong
+    val flips = counts.flatMap { cnt =>
+      val l = math.log(total.toDouble / cnt)
+      val (base, up, dn) = (q(l), q(Math.nextUp(l)), q(Math.nextDown(l)))
+      if (base == up && base == dn) None
+      else Some((cnt, l, base, up, dn))
+    }
+    assert(flips.isEmpty,
+      s"grid boundary within 1 ulp of a true ln value: ${flips.take(5).toSeq}")
+  }
 }

@@ -28,6 +28,15 @@ class FingerprintSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  /** The decorrelated second hash stream: xxhash64(s, 1L), exactly the
+    * chained-arg form the 128-bit simhash's upper half uses. */
+  private def hash2Of(strings: Seq[String]): Map[String, Long] = {
+    import spark.implicits._
+    strings.distinct.toDF("s")
+      .select(col("s"), xxhash64(col("s"), lit(1L)).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   test("llm_fingerprint equals a driver-side min-shingle recompute") {
     // same windowing as the plan: 8-char shingles, whole text if shorter
     def shingles(t: String): Seq[String] =
@@ -43,47 +52,84 @@ class FingerprintSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("simhash index equals a driver-side bitsum-fold recompute") {
-    def tokens(t: String): Seq[String] =
-      t.trim.toLowerCase.split("\\s+").toSeq
-    val h = hashOf(texts.toSeq.flatMap(d => tokens(d._2)))
-    val expected = texts.map { case (id, t) =>
-      val bitsums = new Array[Long](64)
-      tokens(t).foreach { tok =>
-        val th = h(tok)
-        var j = 0
-        while (j < 64) {
-          bitsums(j) += (if (((th >> j) & 1L) == 1L) 1L else -1L); j += 1
-        }
+  /** Driver-side recompute of the 128-bit fingerprint: lower half from
+    * xxhash64(t), upper half from the chained xxhash64(t, 1L). */
+  private def simhash128(tokens: Seq[String],
+                         h1: Map[String, Long], h2: Map[String, Long]): (Long, Long) = {
+    val bitsums = new Array[Long](128)
+    tokens.foreach { tok =>
+      val (a, b) = (h1(tok), h2(tok))
+      var j = 0
+      while (j < 128) {
+        val th = if (j < 64) a else b
+        bitsums(j) += (if (((th >> (j % 64)) & 1L) == 1L) 1L else -1L); j += 1
       }
-      id -> (0 until 64).map(j => if (bitsums(j) > 0) 1L << j else 0L).sum
+    }
+    val lo = (0 until 64).map(j => if (bitsums(j) > 0) 1L << j else 0L).sum
+    val hi = (64 until 128).map(j => if (bitsums(j) > 0) 1L << (j - 64) else 0L).sum
+    (lo, hi)
+  }
+
+  private def tokens(t: String): Seq[String] =
+    t.trim.toLowerCase.split("\\s+").toSeq
+
+  test("simhash index equals a driver-side 128-bit bitsum-fold recompute") {
+    val toks = texts.toSeq.flatMap(d => tokens(d._2))
+    val h1 = hashOf(toks); val h2 = hash2Of(toks)
+    val expected = texts.map { case (id, t) =>
+      id -> simhash128(tokens(t), h1, h2)
     }.toMap
     val got = graft.llm.DedupOps.simIndex(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == expected)
   }
 
   test("llm_dedup_simhash equals brute-force chunk+band candidates ranked by Hamming") {
-    // mirror the operator's candidate rule: >=1 equal 16-bit chunk AND
-    // token-count half-octave bands within +-1 (band = bit length of
-    // n_tok², exactly what length(bin(n_tok*n_tok)) computes)
+    // mirror the operator's candidate rule: >=1 equal 16-bit chunk (out of
+    // 8 across the two halves) AND token-count full-octave bands within
+    // +-1 (band = bit length of n_tok, exactly length(bin(n_tok)))
     val sim = graft.llm.DedupOps.simIndex(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
-    def chunks(s: Long): Seq[Long] = (0 to 3).map(c => (s >> (16 * c)) & 0xFFFFL)
-    def band(nTok: Int): Int = {
-      val sq = nTok.toLong * nTok
-      if (sq == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(sq)
-    }
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    def chunks(lo: Long, hi: Long): Seq[Long] =
+      (0 to 3).map(c => (lo >> (16 * c)) & 0xFFFFL) ++
+        (0 to 3).map(c => (hi >> (16 * c)) & 0xFFFFL)
+    def band(nTok: Int): Int =
+      if (nTok == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(nTok.toLong)
     val expected = (for {
       i <- sim.indices.iterator
       j <- (i + 1) until sim.length
-      (ida, sa, ta) = sim(i); (idb, sb, tb) = sim(j)
+      (ida, la, ha, ta) = sim(i); (idb, lb, hb, tb) = sim(j)
       if math.abs(band(ta) - band(tb)) <= 1 &&
-        chunks(sa).zip(chunks(sb)).exists { case (x, y) => x == y }
-    } yield (ida, idb, java.lang.Long.bitCount(sa ^ sb)))
+        chunks(la, ha).zip(chunks(lb, hb)).exists { case (x, y) => x == y }
+    } yield (ida, idb,
+      java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)))
       .toSeq.sortBy { case (a, b, ham) => (ham, a, b) }.take(200)
     val got = graft.llm.DedupOps.llmDedupSimhash(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(got == expected)
+  }
+
+  test("simhash retains a doc vs its own 2x repetition (the ratio-2 band edge)") {
+    // ADVICE r6 (medium): the old half-octave band on bitlen(n_tok²)
+    // dropped ratio-2 pairs — a doc and its own repetition have an
+    // IDENTICAL simhash (Hamming 0) and MUST surface as the top pair.
+    // Plant a corpus where doc 2 = doc 1's text twice, in a scratch dir
+    // shaped like a testdata tier.
+    val dir = graft.util.Scratch.dir("fingerprint_rep_pair")
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    import spark.implicits._
+    Seq(
+      (1L, base),
+      (2L, base + " " + base), // exact 2x repetition: identical fingerprint
+      (3L, "completely different text about spark catalyst optimizer internals and shuffle exchange planning")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val top = graft.llm.DedupOps.llmDedupSimhash(spark, dir).collect()
+      assert(top.nonEmpty, "repetition pair was dropped by the band key")
+      val head = top.head
+      assert((head.getLong(0), head.getLong(1), head.getInt(2)) == ((1L, 2L, 0)),
+        s"expected (1,2,Hamming 0) as the top pair, got ${top.toSeq}")
+    } finally graft.llm.DedupOps.clearCaches()
   }
 }
