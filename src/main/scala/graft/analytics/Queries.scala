@@ -122,6 +122,61 @@ object Queries {
   val aggSalesByCategoryYear: QFn = (spark, sfDir) =>
     salesByCategoryYear(spark, sfDir).orderBy("p_type", "o_year")
 
+  /** Catalog tables + statistics for the CBO star query, created once per
+    * (session, sfDir). EXTERNAL tables (LOCATION) over the driver parquet —
+    * DROP never touches the read-only testdata. The name tag is a sha-256
+    * prefix of the corpus dir (not hashCode — collision-safe across
+    * tiers). */
+  private val starStatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def starStatsTag(spark: SparkSession, sfDir: String): String =
+    starStatsCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + sfDir, {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(sfDir.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      Seq("lineitem", "orders", "customer", "part").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS star_${t}_$tag")
+        spark.sql(s"CREATE TABLE star_${t}_$tag USING parquet " +
+          s"LOCATION '$sfDir/$t.parquet'")
+        // row counts + per-column NDV/min/max — what the cost model's
+        // join-cardinality estimates (and thus the reorder) feed on
+        spark.sql(s"ANALYZE TABLE star_${t}_$tag COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      tag
+    })
+
+  /** The Spectrum lake⋈DW star behind the sales dashboard
+    * (README.md:92-94,99-102), planned by the COST MODEL instead of by
+    * hand: statistics (ANALYZE above) + `spark.sql.cbo.enabled` +
+    * stats-driven join reordering decide the join order and broadcast
+    * choices. The SQL deliberately leads with the two dimension tables in
+    * the worst order (customer⋈part would be a cross join) — a syntactic
+    * planner would die on it; the reorder pulls the fact table in first.
+    * CBO confs live on a child session (newSession: same catalog and
+    * SparkContext, private conf) so the cost-model switch cannot leak into
+    * other queries' plans mid-session. At 100 TB this is the difference
+    * between hand-tuning every dashboard query and letting ANALYZE-time
+    * stats pick the order as dimensions grow. */
+  val aggSalesByCategoryStar: QFn = (spark, sfDir) => {
+    val tag = starStatsTag(spark, sfDir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    s2.sql(
+      s"""SELECT p.p_type, c.c_mktsegment, CAST(year(o.o_orderdate) AS INT) AS o_year,
+         |       count(*) AS sold_cnt,
+         |       round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+         |FROM star_customer_$tag c
+         |JOIN star_part_$tag p
+         |JOIN star_orders_$tag o ON o.o_custkey = c.c_custkey
+         |JOIN star_lineitem_$tag l
+         |  ON l.l_orderkey = o.o_orderkey AND l.l_partkey = p.p_partkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin)
+  }
+
   /** Funnel stage counts (README.md:102,160). */
   val aggFunnelCounts: QFn = (spark, sfDir) =>
     Tables(spark, sfDir, "events")
@@ -323,6 +378,7 @@ object Queries {
     "join_semi_exists" -> joinSemiExists,
     "join_left_behavior" -> joinLeftBehavior,
     "agg_sales_by_category_year" -> aggSalesByCategoryYear,
+    "agg_sales_by_category_star" -> aggSalesByCategoryStar,
     "agg_funnel_counts" -> aggFunnelCounts,
     "agg_purchase_frequency" -> aggPurchaseFrequency,
     "agg_sum_revenue" -> aggSumRevenue,
@@ -370,6 +426,14 @@ object Queries {
       ("SELECT p_type, CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS sold_cnt " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2 ORDER BY 1, 2"),
+    "agg_sales_by_category_star" ->
+      ("SELECT p_type, c_mktsegment, CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "count(*) AS sold_cnt, " +
+        "ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "agg_funnel_counts" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "agg_purchase_frequency" ->

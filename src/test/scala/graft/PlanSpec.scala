@@ -88,6 +88,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"CUSTOMER dim must broadcast:\n$p")
   }
 
+  test("CBO star query: stats-driven reorder kills the syntactic cross join, dims broadcast") {
+    val df = graft.analytics.Queries.aggSalesByCategoryStar(spark, sfDir)
+    // ANALYZE-time stats must be visible to the cost model: every leaf
+    // relation carries a rowCount (not just sizeInBytes)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty &&
+      leaves.forall(_.stats.rowCount.isDefined),
+      s"CBO needs ANALYZE row counts on every star table:\n${leaves.map(_.stats)}")
+    df.collect() // AQE: broadcast decisions finalize at execution
+    val p = plan(df)
+    // the SQL's syntactic order starts customer⋈part — conditionless, a
+    // cross join. Only the stats-driven reorder removes it.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"join reorder must eliminate the syntactic cross join:\n$p")
+    // both dimensions hash in as broadcasts against the fact chain
+    assert("(?s)BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"customer and part must both broadcast:\n$p")
+  }
+
   test("bucketed fact⋈fact join runs with zero hash exchanges") {
     val df = graft.etl.Bucketing.sinkBucketedColocated(spark, sfDir)
     df.collect() // AQE: final plan only exists after execution
