@@ -26,6 +26,21 @@ object StreamOps {
   private def uniq(prefix: String): String =
     prefix + "_" + java.lang.Long.toHexString(System.nanoTime())
 
+  /** State-store provider for every stateful stream: RocksDB (bundled
+    * rocksdbjni), not the default HDFS-backed in-memory provider. The
+    * in-memory provider holds every key of every state-store version in
+    * executor heap — fine at sf0.1, an OOM at 100 TB state (stream-stream
+    * join state, million-user session maps). RocksDB spills to local SSD,
+    * keeps a bounded block cache, and checkpoint-uploads SST files
+    * incrementally. StreamingSpec runs the sessionizer under BOTH
+    * providers and asserts identical results, so the twin stays honest. */
+  private[graft] val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Test hook: StreamingSpec sets this to pin a run to a specific
+    * provider (e.g. the HDFS twin) — None means RocksDB. */
+  @volatile private[graft] var providerOverride: Option[String] = None
+
   /** Dedicated child session for a stateful stream, with a shuffle-partition
     * count sized to the stream. The partition count of a stateful query is a
     * real deployment decision made once per checkpoint (it is baked into
@@ -40,6 +55,8 @@ object StreamOps {
   private def streamSession(spark: SparkSession, n: Int): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      providerOverride.getOrElse(RocksProvider))
     ss
   }
 
