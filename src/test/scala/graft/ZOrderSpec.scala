@@ -51,6 +51,31 @@ class ZOrderSpec extends AnyFunSuite {
       s"box spans a z-range that should fit in half the range partitions, got $zFiles of $rrFiles")
   }
 
+  test("constant price column degrades to 1-D custkey clustering, not NaN z-values") {
+    // ADVICE r6 #4: tp_max == tp_min makes the unguarded rank divisor 0
+    // (NaN → null z, silent layout collapse). With the greatest(…, tiny)
+    // guard the degenerate dimension ranks 0 everywhere and z becomes a
+    // clean custkey-only clustering. Plant a constant-price orders table
+    // and assert (a) the write succeeds, (b) the box result matches the
+    // raw table, (c) the layout still clusters on custkey.
+    val src = graft.util.Scratch.dir("zorder_const_src")
+    graft.tables.Tables(spark, sfDir, "orders")
+      .withColumn("o_totalprice", lit(120000.0))
+      .write.mode("overwrite").parquet(s"$src/orders.parquet")
+    val res = graft.etl.Bucketing.sinkZorderCluster(spark, src)
+    val zDir = graft.util.Scratch.keep(
+      s"zorder_${java.lang.Integer.toHexString(src.hashCode)}")
+    val nRaw = spark.read.parquet(s"$src/orders.parquet").filter(box).count()
+    assert(nRaw > 0 && res.agg(sum("n_orders")).collect()(0).getLong(0) == nRaw)
+    // custkey clustering survives: the custkey band must not touch every file
+    val touched = spark.read.parquet(zDir)
+      .filter(col("o_custkey").between(40, 110))
+      .select(input_file_name()).distinct().count()
+    val total = graft.util.Scratch.dataFiles(zDir).length
+    assert(total >= 4 && touched < total,
+      s"degenerate range should still cluster on custkey: $touched of $total files")
+  }
+
   test("z-clustered read-back equals the raw table under the box predicate") {
     val zDir = zClusteredDir()
     val fromZ = spark.read.parquet(zDir).filter(box)
