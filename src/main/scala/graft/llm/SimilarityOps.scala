@@ -187,22 +187,32 @@ object SimilarityOps {
     * → top-nprobe cells → semi-join on cell) — no driver collect, no
     * literal query array in the SQL. Recall vs the exact baseline asserted
     * in SimilaritySpec. */
-  val llmSimilarityIvf: QFn = (spark, sfDir) => {
+  /** The top-nprobe cells for the vec_id-0 query, ranked by COSINE to the
+    * query, not euclidean distance — the quantizer must use the search
+    * metric: euclidean ranking favors populous cells (their centroids sit
+    * near the data mean, close to any query), measured at +45% scanned
+    * corpus for the same nprobe. Shared with AnnScaleSpec, which counts
+    * the rows these cells hold (the true scanned fraction). */
+  private[graft] def ivfProbedCells(spark: org.apache.spark.sql.SparkSession,
+                                    sfDir: String): org.apache.spark.sql.DataFrame = {
     val (assigned, centers) = ivfIndex(spark, sfDir)
     val (_, nprobe) = ivfGeometry(math.max(1L, DedupOps.embCount(spark, sfDir)))
     val q = assigned.filter(col("vec_id") === 0)
       .select(col("emb").as("qv"), col("norm").as("qnorm"))
-    // Cells ranked by COSINE to the query, not euclidean distance — the
-    // quantizer must use the search metric: euclidean ranking favors
-    // populous cells (their centroids sit near the data mean, close to any
-    // query), measured at +45% scanned corpus for the same nprobe.
-    val probedCells = centers.crossJoin(broadcast(q))
+    centers.crossJoin(broadcast(q))
       .select(col("cell"),
         (expr("vector_dot(centroid, qv)") /
           (sqrt(expr("vector_dot(centroid, centroid)")) * col("qnorm"))).as("csim"))
       .orderBy(col("csim").desc, col("cell"))
       .limit(nprobe)
       .select("cell")
+  }
+
+  val llmSimilarityIvf: QFn = (spark, sfDir) => {
+    val (assigned, _) = ivfIndex(spark, sfDir)
+    val q = assigned.filter(col("vec_id") === 0)
+      .select(col("emb").as("qv"), col("norm").as("qnorm"))
+    val probedCells = ivfProbedCells(spark, sfDir)
     assigned
       .join(broadcast(probedCells), Seq("cell"), "left_semi")
       .filter(col("vec_id") =!= 0)

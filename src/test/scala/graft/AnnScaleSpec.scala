@@ -19,7 +19,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class AnnScaleSpec extends AnyFunSuite {
   import SparkFixture.{spark, sfDir}
 
-  test("×8 corpus with planted neighbors: recall >= 0.8 at <= 10% of buckets scanned") {
+  /** ×8 planted corpus, built once per suite run (both the RP and the IVF
+    * test search the same corpus). */
+  private lazy val plantedX8Dir: String = {
     val dir = graft.util.Scratch.dir("ann_scale_x8")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // 8 rotated replicas (norm-preserving, direction-new — the ScaleCheck
@@ -44,14 +46,23 @@ class AnnScaleSpec extends AnyFunSuite {
         lit(9).as("label"))
     corpus.unionByName(planted)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
 
+  private def exactTop20(dir: String): Array[Long] = {
     val exact = graft.llm.SimilarityOps.llmSimilarityTopk(spark, dir)
-      .select("vec_id").collect().map(_.getLong(0))
-    val ann = graft.llm.SimilarityOps.llmSimilarityAnn(spark, dir)
       .select("vec_id").collect().map(_.getLong(0))
     assert(exact.length == 20)
     assert(exact.count(_ >= 90000000L) == 20,
       "exact top-20 must be the planted neighbors")
+    exact
+  }
+
+  test("×8 corpus with planted neighbors: recall >= 0.8 at <= 10% of buckets scanned") {
+    val dir = plantedX8Dir
+    val exact = exactTop20(dir)
+    val ann = graft.llm.SimilarityOps.llmSimilarityAnn(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
     val recall = ann.toSet.intersect(exact.toSet).size.toDouble / exact.length
     // derived geometry: n = 4025 → 9 bits (occupancy ~8), radius 2 →
     // 46 of 512 buckets ≈ 9.0% — the 10% cap, down from 34% at the base
@@ -64,6 +75,31 @@ class AnnScaleSpec extends AnyFunSuite {
     info(f"n=$n bits=$bits radius=$radius scanned=${scannedFrac * 100}%.1f%% recall=$recall%.2f")
     assert(scannedFrac <= 0.10, f"bucket budget exceeded: $scannedFrac%.3f")
     assert(recall >= 0.8, s"recall $recall below 0.8 at the 10% budget")
+    graft.llm.DedupOps.clearCaches()
+    graft.llm.SimilarityOps.clearCaches()
+  }
+
+  test("×8 corpus through IVF: recall@20 >= 0.8 at <= 50% of corpus scanned") {
+    // VERDICT r7 task 6: IvfTune pins recall only at the 500-row tier
+    // (nlist=64); this drives the DERIVED geometry at ×8 (n≈4025 →
+    // nlist=256, nprobe=112) through the same planted corpus. The scanned
+    // fraction is counted in ROWS of the probed cells — the true cost —
+    // not in cells, since cell populations are skewed.
+    val dir = plantedX8Dir
+    val exact = exactTop20(dir)
+    val ivf = graft.llm.SimilarityOps.llmSimilarityIvf(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    val recall = ivf.toSet.intersect(exact.toSet).size.toDouble / exact.length
+    val n = graft.llm.DedupOps.embCount(spark, dir)
+    val (nlist, nprobe) = graft.llm.SimilarityOps.ivfGeometry(n)
+    val (assigned, _) = graft.llm.SimilarityOps.ivfIndex(spark, dir)
+    val scannedRows = assigned
+      .join(graft.llm.SimilarityOps.ivfProbedCells(spark, dir), Seq("cell"), "left_semi")
+      .count()
+    val scannedFrac = scannedRows.toDouble / n
+    info(f"n=$n nlist=$nlist nprobe=$nprobe scanned=${scannedFrac * 100}%.1f%% recall=$recall%.2f")
+    assert(scannedFrac <= 0.50, f"IVF scan budget exceeded: $scannedFrac%.3f")
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 at the 50% budget")
     graft.llm.DedupOps.clearCaches()
     graft.llm.SimilarityOps.clearCaches()
   }
