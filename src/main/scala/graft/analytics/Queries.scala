@@ -131,9 +131,7 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def starStatsTag(spark: SparkSession, sfDir: String): String =
     starStatsCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + sfDir, {
-      val tag = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(sfDir.getBytes("UTF-8"))
-        .take(6).map("%02x".format(_)).mkString
+      val tag = Scratch.pathTag(sfDir)
       Seq("lineitem", "orders", "customer", "part").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS star_${t}_$tag")
         spark.sql(s"CREATE TABLE star_${t}_$tag USING parquet " +

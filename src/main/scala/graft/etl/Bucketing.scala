@@ -26,7 +26,7 @@ object Bucketing {
     * — at production scale both sides are facts and SMJ is the real plan.
     * PlanSpec asserts the no-Exchange property. */
   val sinkBucketedColocated: QFn = (spark, sfDir) => {
-    val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+    val suffix = graft.util.Scratch.pathTag(sfDir)
     val dir = Scratch.dir(s"bucketed_$suffix")
     val oT = s"orders_bkt_$suffix"
     val lT = s"lineitem_bkt_$suffix"
@@ -72,7 +72,7 @@ object Bucketing {
     * locality win (box rows live in a strict subset of files vs all files
     * under a round-robin layout). */
   val sinkZorderCluster: QFn = (spark, sfDir) => {
-    val dir = Scratch.dir(s"zorder_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    val dir = Scratch.dir(s"zorder_${graft.util.Scratch.pathTag(sfDir)}")
     val o = Tables(spark, sfDir, "orders")
     val bounds = o.agg(
       min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
@@ -119,7 +119,7 @@ object Bucketing {
     * PartitionFilters and SelectedBucketsCount: 1 out of 4. Results are
     * layout-invariant — the oracle replays on the raw table. */
   val sinkPartitionedBucketed: QFn = (spark, sfDir) => {
-    val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+    val suffix = graft.util.Scratch.pathTag(sfDir)
     val tbl = s"orders_pb_$suffix"
     val dir = Scratch.dir(s"part_bucket_$suffix")
     Tables(spark, sfDir, "orders")

@@ -108,7 +108,7 @@ object Ingest {
         // sfDir's cached URL would silently serve the other tier's rows
         val db = Scratch.dir(
           "derby_" + spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_-]", "_") +
-            "_" + java.lang.Integer.toHexString(sfDir.hashCode)) + "/oltp"
+            "_" + graft.util.Scratch.pathTag(sfDir)) + "/oltp"
         val url = s"jdbc:derby:$db;create=true"
         Tables(spark, sfDir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")

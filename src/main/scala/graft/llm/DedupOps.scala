@@ -415,10 +415,12 @@ object DedupOps {
     }.reduce(_ + _)
 
   /** DuckDB rendering of [[projBitsFor]]: the same integer threshold chain,
-    * rendered to the oracle's max tier (far above any oracle-checked corpus;
-    * Spark's cap is higher but both derive the same b for any n the oracle
-    * sees). */
-  private[graft] val MaxOracleBits = 14
+    * rendered ALL the way to [[MaxProjBits]] (ADVICE r6: a 14-bit oracle
+    * cap against Spark's 24-bit cap would silently diverge on bucket
+    * assignment past 131,072 embeddings — rendering the full chain makes
+    * the two sides agree for every possible n, with both capping at 24
+    * identically). */
+  private[graft] val MaxOracleBits = MaxProjBits
   private[graft] def projBitsSqlDuck(n: String): String =
     (MinProjBits until MaxOracleBits)
       .map(b => s"WHEN $n <= ${TargetOccupancy * (1L << b)} THEN $b")
@@ -514,7 +516,7 @@ object DedupOps {
 
   private[graft] def embTable(spark: SparkSession, sfDir: String): String =
     embTableCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+      val suffix = graft.util.Scratch.pathTag(sfDir)
       val tbl = s"emb_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"emb_index_$suffix")
       embIndex(spark, sfDir)
@@ -570,7 +572,7 @@ object DedupOps {
 
   private[graft] def sigTable(spark: SparkSession, sfDir: String): String =
     sigTableCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+      val suffix = graft.util.Scratch.pathTag(sfDir)
       val tbl = s"sig_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"sig_index_$suffix")
       bandedIndex(spark, sfDir)
@@ -700,7 +702,7 @@ object DedupOps {
 
   private[graft] def gramTable(spark: SparkSession, sfDir: String): String =
     gramTableCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+      val suffix = graft.util.Scratch.pathTag(sfDir)
       val tbl = s"grams_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"gram_index_$suffix")
       gramIndex(spark, sfDir)

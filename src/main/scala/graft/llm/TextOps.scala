@@ -96,7 +96,7 @@ object TextOps {
     * fixed 64 fits the test tiers. */
   val llmExportShards: QFn = (spark, sfDir) => {
     val dir = graft.util.Scratch.dir(
-      s"export_shards_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+      s"export_shards_${graft.util.Scratch.pathTag(sfDir)}")
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
         pmod(pmod(col("doc_id") * 48271L, lit(2147483647L)), lit(64))

@@ -31,6 +31,16 @@ object Scratch {
     finally walk.close()
   }
 
+  /** Collision-safe name tag for a corpus dir: sha-256 prefix of the full
+    * path. The previous Integer.hashCode tags could collide between two
+    * DIFFERENT corpus dirs, making their materialized catalog tables and
+    * scratch dirs share one name — the second build would overwrite the
+    * first while the first's cache still pointed there (ADVICE r6). 48
+    * bits of digest make an accidental collision implausible. */
+  def pathTag(path: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
   /** The DATA files of a Spark output directory — part files, excluding
     * `_SUCCESS`/metadata/hidden entries. Empty for a missing directory
     * (File.listFiles returns null there, which callers shouldn't inherit

@@ -212,7 +212,7 @@ class PlanSpec extends AnyFunSuite {
     // sink_bucketed_colocated leaves orders_bkt_* registered; an equality
     // predicate on the bucket key must scan 1 of 8 buckets, not the table
     graft.etl.Bucketing.sinkBucketedColocated(spark, sfDir).count()
-    val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+    val suffix = graft.util.Scratch.pathTag(sfDir)
     // autoBucketedScan "helpfully" falls back to a plain scan when no join
     // consumes the bucketing — which also discards bucket PRUNING; a real
     // point lookup on a bucketed fact wants it off
@@ -245,7 +245,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("partitioned+bucketed layout prunes both directory and bucket on a point lookup") {
     graft.etl.Bucketing.sinkPartitionedBucketed(spark, sfDir).count()
-    val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+    val suffix = graft.util.Scratch.pathTag(sfDir)
     // same autoBucketedScan note as the plain bucket-pruning test: no join
     // consumes the bucketing here, so keep the planner from discarding it
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")

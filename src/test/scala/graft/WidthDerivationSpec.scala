@@ -42,8 +42,8 @@ class WidthDerivationSpec extends AnyFunSuite {
   }
 
   test("the oracle's SQL width/radius chains equal the Scala derivations for every n to 131072") {
-    // 8·2^MaxOracleBits = 131072 is the SQL rendering's cap; beyond it the
-    // two sides intentionally diverge (no oracle corpus gets there)
+    // exhaustive to 131072 (the old oracle cap); the next test probes the
+    // remaining thresholds of the now-full-depth chain to 2^24
     val pbSql = graft.llm.DedupOps.projBitsSqlDuck("nn")
     val rSql = graft.llm.SimilarityOps.radiusSqlDuck("pb", "nn")
     val rows = spark.range(1, 131073)
@@ -58,5 +58,28 @@ class WidthDerivationSpec extends AnyFunSuite {
       assert(row.getInt(2) == graft.llm.SimilarityOps.probeRadiusFor(pbScala, n),
         s"radius drift at n=$n")
     }
+  }
+
+  test("the SQL chain matches Scala at every remaining threshold up to the 24-bit cap and beyond") {
+    // ADVICE r6 #2: the oracle chain now renders to MaxProjBits, so no
+    // corpus size can make plan and oracle disagree on bucket width. Probe
+    // every threshold boundary (8·2^b ± 1) for the bits the exhaustive
+    // test doesn't reach, plus corpus sizes far past the shared cap.
+    import spark.implicits._
+    val probes = (14 to 24).flatMap { b =>
+      val t = 8L * (1L << b); Seq(t - 1, t, t + 1)
+    } ++ Seq(1000000000L, Long.MaxValue / 4)
+    val pbSql = graft.llm.DedupOps.projBitsSqlDuck("nn")
+    val rSql = graft.llm.SimilarityOps.radiusSqlDuck("pb", "nn")
+    probes.toDF("nn")
+      .withColumn("pb", expr(pbSql))
+      .withColumn("r", expr(rSql))
+      .collect().foreach { row =>
+        val n = row.getLong(0)
+        val pbScala = graft.llm.DedupOps.projBitsFor(n)
+        assert(row.getInt(1) == pbScala, s"pb drift at n=$n")
+        assert(row.getInt(2) == graft.llm.SimilarityOps.probeRadiusFor(pbScala, n),
+          s"radius drift at n=$n")
+      }
   }
 }

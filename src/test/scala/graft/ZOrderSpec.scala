@@ -27,7 +27,7 @@ class ZOrderSpec extends AnyFunSuite {
     assert(res.count() > 0, "box query must match rows at this SF")
     // keep(), not dir(): dir() would wipe the operator's freshly-written copy
     graft.util.Scratch.keep(
-      s"zorder_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+      s"zorder_${graft.util.Scratch.pathTag(sfDir)}")
   }
 
   test("z-order box query touches fewer files than a round-robin layout") {
@@ -64,7 +64,7 @@ class ZOrderSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$src/orders.parquet")
     val res = graft.etl.Bucketing.sinkZorderCluster(spark, src)
     val zDir = graft.util.Scratch.keep(
-      s"zorder_${java.lang.Integer.toHexString(src.hashCode)}")
+      s"zorder_${graft.util.Scratch.pathTag(src)}")
     val nRaw = spark.read.parquet(s"$src/orders.parquet").filter(box).count()
     assert(nRaw > 0 && res.agg(sum("n_orders")).collect()(0).getLong(0) == nRaw)
     // custkey clustering survives: the custkey band must not touch every file
