@@ -37,7 +37,7 @@ object ScaleCheck {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
-      "dedup,sim,text,window,width").split(",").toSet
+      "dedup,sim,text,window,width,cluster").split(",").toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -245,6 +245,32 @@ object ScaleCheck {
         }
         println(s"""{"metric":"scale_check_window","scale":$scale,""" +
           timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
+      }
+    }
+
+    if (sections("cluster")) {
+      // ---- round 7: pointer doubling promises O(log) label-propagation
+      // rounds; pin the ROUND COUNT (not just seconds) at ×32 against the
+      // ⌈log2(longest chain)⌉ bound. The true chain length (graph
+      // diameter) is bounded above by the largest cluster size, so
+      // rounds <= ceil(log2(max_cluster)) + 2 (+1: doubling overshoot on
+      // non-path graphs; +1: the final no-change detection round) is the
+      // conservative check; the linear-growth replica model keeps planted
+      // clusters small, so a super-log blowup would fail it loudly.
+      graft.llm.DedupOps.llmDedupCluster(spark, base).count() // warmup
+      graft.llm.DedupOps.clearCaches()
+      Seq(8, 32).foreach { scale =>
+        val dir = docsDir(scale, "cluster_docs")
+        var res: org.apache.spark.sql.DataFrame = null
+        val t = time { res = graft.llm.DedupOps.llmDedupCluster(spark, dir) }
+        val rounds = graft.llm.DedupOps.lastClusterRounds.get
+        val maxCluster = res.groupBy("cluster_id").count()
+          .agg(max("count")).head.getLong(0)
+        val bound = math.ceil(math.log(maxCluster.toDouble) / math.log(2)).toInt + 2
+        println(s"""{"metric":"scale_check_cluster","scale":$scale,""" +
+          s""""cluster_sec":${f2(t)},"rounds":$rounds,"max_cluster":$maxCluster,""" +
+          s""""log2_bound":$bound,"rounds_ok":${rounds <= bound}}""")
+        graft.llm.DedupOps.clearCaches()
       }
     }
 

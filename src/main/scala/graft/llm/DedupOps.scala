@@ -68,6 +68,7 @@ object DedupOps {
     simIndexCache.clear()
     embIndexCache.clear()
     embCountCache.clear()
+    docCountCache.clear()
     gramIndexCache.clear()
     gramTableCache.clear()
     embTableCache.clear()
@@ -207,6 +208,11 @@ object DedupOps {
     * union-find ground truth. Output: one row per doc with its cluster id;
     * `is_canonical` marks the cluster representative (min doc_id) a dedup
     * pass would keep. */
+  /** Rounds the last llmDedupCluster invocation ran to convergence —
+    * ScaleCheck records it against the ⌈log2⌉ pointer-doubling bound. */
+  private[graft] val lastClusterRounds =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   val llmDedupCluster: QFn = (spark, sfDir) => {
     val pairs = verifiedPairs(spark, sfDir)
       .select("doc_a", "doc_b")
@@ -262,6 +268,7 @@ object DedupOps {
       labels = next
       rounds += 1
     }
+    lastClusterRounds.set(rounds)
     labels
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_canonical"))
@@ -318,11 +325,11 @@ object DedupOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
-  /** Candidate generation joins on (chunk, cval, length band): the 8×16-bit
-    * chunk split over the 128-bit fingerprint guarantees any Hamming<=7
-    * pair collides on >=1 chunk (pigeonhole — narrower chunks would break
-    * that guarantee, so per-chunk width is fixed and scale headroom comes
-    * from chunk COUNT), and the SECOND band key bounds the random-collision
+  /** Candidate generation joins on (chunk, cval, length band): the chunk
+    * split over the 128-bit fingerprint ([[simChunkGeom]]: 8×16-bit below
+    * 1M docs, 4×32-bit above) guarantees any pair within the pigeonhole
+    * radius (Hamming<=7 / <=3 respectively) collides on >=1 chunk, and
+    * the SECOND band key bounds the random-collision
     * growth the fixed 65536-value chunk space alone cannot. The band is
     * bitlen(n_tok) — one full octave, exact integer arithmetic, no float
     * log2 — and the probe side emits band±1, so retention is GUARANTEED
@@ -337,18 +344,53 @@ object DedupOps {
     * bands multiply the constant the way more buckets do for the RP
     * index, while the 8-chunk geometry halves the per-chunk collision
     * rate vs 4×16/64-bit. */
+  /** Documents-corpus row count — the n the simhash chunk geometry derives
+    * from. One parquet metadata count per (session, sfDir), then cached. */
+  private val docCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def docCount(spark: SparkSession, sfDir: String): Long =
+    docCountCache.getOrElseUpdate(cacheKey(spark, sfDir),
+      Tables(spark, sfDir, "documents").count())
+
+  /** Chunk geometry of the candidate join, DERIVED from corpus size the
+    * way projBitsFor derives RP width: (chunks, bits per chunk). Below
+    * [[SimWideThreshold]] docs: 8×16-bit chunks — pigeonhole-guaranteed
+    * retention of every Hamming≤7 pair, 65,536 values per chunk. Past it
+    * the 16-bit value space saturates (expected RANDOM collisions per doc
+    * = n·8/2^16 overtakes the measured structural level ~150/doc near
+    * n ≈ 1.2M — BASELINE.md round-7 width table), so the join flips to
+    * 4×32-bit chunks: 4.3e9 values per chunk holds random collisions
+    * under 1/doc out to 10^9 docs, with the retention guarantee
+    * tightening to Hamming≤3 — the right trade at that scale, where
+    * wider-radius 128-bit pairs are overwhelmingly collision noise, and
+    * exactly the radius the top-200 Hamming ranking surfaces. The same
+    * fingerprints serve both geometries (only the join key changes), so
+    * an index built small keeps working as the corpus grows past the
+    * flip. */
+  private[graft] val SimWideThreshold = 1000000L
+  private[graft] def simChunkGeom(n: Long): (Int, Int) =
+    if (n <= SimWideThreshold) (8, 16) else (4, 32)
+
+  /** Test hook: FingerprintSpec forces the wide geometry on a small
+    * corpus so the >1M-doc branch is exercised, not just derived. */
+  @volatile private[graft] var simGeomOverride: Option[(Int, Int)] = None
+
   /** The raw (chunk, cval, band)-collision pair stream, pre-dedup — split
     * out so ScaleCheck can count candidate work directly. `useBand=false`
     * drops the length-band key so ScaleCheck can measure what the 128-bit
     * chunk geometry alone holds. */
   private[graft] def simhashCandidates(spark: SparkSession, sfDir: String,
                                        useBand: Boolean = true): DataFrame = {
+    val (nChunks, w) =
+      simGeomOverride.getOrElse(simChunkGeom(docCount(spark, sfDir)))
+    val perHalf = nChunks / 2
+    val mask = (1L << w) - 1
     val sim = simIndex(spark, sfDir)
       // length(bin(x)) is the exact integer bit length = floor(log2)+1
       .withColumn("lb", if (useBand) length(bin(col("n_tok").cast("long"))) else lit(0))
     val chunked = sim.select(col("doc_id"), col("simhash"), col("simhash2"), col("lb"),
       posexplode(expr(
-        "transform(sequence(0, 7), c -> shiftright(IF(c < 4, simhash, simhash2), 16 * (c % 4)) & 65535)"))
+        s"transform(sequence(0, ${nChunks - 1}), " +
+          s"c -> shiftright(IF(c < $perHalf, simhash, simhash2), $w * (c % $perHalf)) & $mask)"))
         .as(Seq("chunk", "cval")))
     val a = chunked.withColumnsRenamed(Map(
       "doc_id" -> "doc_a", "simhash" -> "sim_a", "simhash2" -> "sim_a2"))

@@ -109,6 +109,39 @@ class FingerprintSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("forced 4x32 wide-corpus chunk geometry matches a driver-side brute force") {
+    // The >1M-doc branch of simChunkGeom flips the join to 4×32-bit
+    // chunks (Hamming<=3 pigeonhole, 2^32 values). No test corpus is that
+    // large, so force the geometry and verify the candidate rule against
+    // a brute force with 32-bit chunks over the same fingerprints.
+    assert(graft.llm.DedupOps.simChunkGeom(1000000L) == ((8, 16)))
+    assert(graft.llm.DedupOps.simChunkGeom(1000001L) == ((4, 32)))
+    assert(graft.llm.DedupOps.simGeomOverride.isEmpty)
+    val got =
+      try {
+        graft.llm.DedupOps.simGeomOverride = Some((4, 32))
+        graft.llm.DedupOps.llmDedupSimhash(spark, sfDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      } finally graft.llm.DedupOps.simGeomOverride = None
+    val sim = graft.llm.DedupOps.simIndex(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    def chunks32(lo: Long, hi: Long): Seq[Long] =
+      Seq(lo & 0xFFFFFFFFL, (lo >>> 32) & 0xFFFFFFFFL,
+        hi & 0xFFFFFFFFL, (hi >>> 32) & 0xFFFFFFFFL)
+    def band(nTok: Int): Int =
+      if (nTok == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(nTok.toLong)
+    val expected = (for {
+      i <- sim.indices.iterator
+      j <- (i + 1) until sim.length
+      (ida, la, ha, ta) = sim(i); (idb, lb, hb, tb) = sim(j)
+      if math.abs(band(ta) - band(tb)) <= 1 &&
+        chunks32(la, ha).zip(chunks32(lb, hb)).exists { case (x, y) => x == y }
+    } yield (ida, idb,
+      java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)))
+      .toSeq.sortBy { case (a, b, ham) => (ham, a, b) }.take(200)
+    assert(got == expected)
+  }
+
   test("simhash retains a doc vs its own 2x repetition (the ratio-2 band edge)") {
     // ADVICE r6 (medium): the old half-octave band on bitlen(n_tok²)
     // dropped ratio-2 pairs — a doc and its own repetition have an
