@@ -26,7 +26,8 @@ object Bench {
     // aren't attributable. Skipped when no selected query touches them.
     val warmupSec: Double = {
       val w0 = System.nanoTime()
-      if (selected.keys.exists(_.startsWith("llm_")))
+      if (selected.keys.exists(_.startsWith("llm_")) ||
+          selected.contains("agg_sales_by_category_star"))
         try graft.llm.Warmup.indexes(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] index warmup failed: ${e.getMessage}")
