@@ -73,6 +73,7 @@ object DedupOps {
     gramTableCache.clear()
     embTableCache.clear()
     sigTableCache.clear()
+    simTableCache.clear()
   }
 
   private[graft] def sigIndex(spark: SparkSession, sfDir: String): DataFrame =
@@ -655,6 +656,75 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The chunked SimHash index MATERIALIZED as a parquet table bucketed on
+    * (chunk, cval) — the candidate join's full key set, so both sides of
+    * the self-join read co-located files with no exchange (same
+    * requireAllClusterKeysForCoPartition contract as [[sigTable]]). The
+    * length band moves OUT of the join key and into a post-join filter
+    * (abs(lb_a − lb_b) <= 1 — identical retention semantics to the
+    * in-memory ±1 band probe, since colliding on the same (chunk, cval)
+    * plus band distance <= 1 is exactly the banded-join predicate), which
+    * is what makes a fixed 16-bucket layout possible: band values grow
+    * with document length and cannot be bucket keys. Chunk geometry at
+    * build time follows [[simChunkGeom]]; the stored rows carry the
+    * fingerprint halves so consumers rank by full 128-bit Hamming without
+    * touching the documents table. */
+  private val simTableCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def simTable(spark: SparkSession, sfDir: String): String =
+    simTableCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      val suffix = graft.util.Scratch.pathTag(sfDir)
+      val tbl = s"sim_bkt_$suffix"
+      val dir = graft.util.Scratch.dir(s"sim_index_$suffix")
+      val (nChunks, w) =
+        simGeomOverride.getOrElse(simChunkGeom(docCount(spark, sfDir)))
+      val perHalf = nChunks / 2
+      val mask = (1L << w) - 1
+      simIndex(spark, sfDir)
+        .withColumn("lb", length(bin(col("n_tok").cast("long"))))
+        .select(col("doc_id"), col("simhash"), col("simhash2"), col("lb"),
+          posexplode(expr(
+            s"transform(sequence(0, ${nChunks - 1}), " +
+              s"c -> shiftright(IF(c < $perHalf, simhash, simhash2), $w * (c % $perHalf)) & $mask)"))
+            .as(Seq("chunk", "cval")))
+        .repartition(16, col("chunk"), col("cval"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "chunk", "cval").sortBy("chunk", "cval")
+        .option("path", s"$dir/$tbl").saveAsTable(tbl)
+      tbl
+    })
+
+  /** SimHash-index build + chunk profile: per chunk position, row count
+    * and distinct chunk values (how full the 2^w value space runs).
+    * xxhash64-based → no DuckDB oracle; FingerprintSpec asserts the
+    * indexed consumer equals the in-memory operator byte-for-byte. */
+  val llmSimIndexBuild: QFn = (spark, sfDir) =>
+    spark.table(simTable(spark, sfDir))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("cval")).as("n_cvals"))
+      .orderBy("chunk")
+
+  /** SimHash near-dup pairs over the MATERIALIZED chunk index —
+    * byte-identical results to [[llmDedupSimhash]] (FingerprintSpec
+    * asserts), with both sides of the candidate join reading the bucketed
+    * table: no fingerprint recompute, no exchange on (chunk, cval); the
+    * band check runs as a post-join filter. */
+  val llmDedupSimhashIndexed: QFn = (spark, sfDir) => {
+    val idx = spark.table(simTable(spark, sfDir))
+    val a = idx.withColumnsRenamed(Map(
+      "doc_id" -> "doc_a", "simhash" -> "sim_a", "simhash2" -> "sim_a2", "lb" -> "lb_a"))
+    val b = idx.withColumnsRenamed(Map(
+      "doc_id" -> "doc_b", "simhash" -> "sim_b", "simhash2" -> "sim_b2", "lb" -> "lb_b"))
+    a.hint("merge").join(b, Seq("chunk", "cval"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("lb_a") - col("lb_b")) <= 1)
+      .groupBy("doc_a", "doc_b")
+      .agg(first(expr("bit_count(sim_a ^ sim_b) + bit_count(sim_a2 ^ sim_b2)")).as("hamming"))
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
   /** Incremental dedup — the production ingest shape: a DELTA BATCH (odd
     * doc_ids, the driver-stable stand-in for "today's crawl") deduped
     * AGAINST the existing corpus (even doc_ids) through the stored
@@ -858,6 +928,8 @@ object DedupOps {
     "llm_dedup_embedding_indexed" -> llmDedupEmbeddingIndexed,
     "llm_sig_index_build" -> llmSigIndexBuild,
     "llm_dedup_minhash_indexed" -> llmDedupMinhashIndexed,
+    "llm_sim_index_build" -> llmSimIndexBuild,
+    "llm_dedup_simhash_indexed" -> llmDedupSimhashIndexed,
     "llm_dedup_incremental_batch" -> llmDedupIncrementalBatch,
     "llm_dedup_passage" -> llmDedupPassage,
     "llm_decontaminate" -> llmDecontaminate,

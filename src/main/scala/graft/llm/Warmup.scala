@@ -31,6 +31,7 @@ object Warmup {
     timed("gramTable") { DedupOps.gramTable(spark, sfDir) }
     timed("embTable") { DedupOps.embTable(spark, sfDir) }
     timed("sigTable") { DedupOps.sigTable(spark, sfDir) }
+    timed("simTable") { DedupOps.simTable(spark, sfDir) }
     // round 7: the star catalog tables + ANALYZE statistics — the same
     // once-per-corpus build-step category as the tables above (a real
     // deployment runs ANALYZE at load time, not per dashboard query)

@@ -27,6 +27,8 @@ class ContractSpec extends AnyFunSuite {
       "llm_dedup_minhash_indexed" -> "NearDupSpec (byte-equality vs in-memory)",
       "llm_sig_index_build" -> "NearDupSpec (profile equality)",
       "llm_dedup_simhash" -> "FingerprintSpec",
+      "llm_sim_index_build" -> "FingerprintSpec (profile vs index fold)",
+      "llm_dedup_simhash_indexed" -> "FingerprintSpec (byte-equality vs in-memory)",
       "llm_fingerprint" -> "FingerprintSpec",
       "llm_similarity_ivf" -> "SimilaritySpec",
     )

@@ -109,6 +109,23 @@ class FingerprintSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("materialized simhash index reproduces the in-memory pairs exactly; profile matches the fold") {
+    // the bucketed (chunk, cval) table + band-as-post-filter must be
+    // byte-identical to the in-memory banded join (the ±1 probe and the
+    // |lb_a - lb_b| <= 1 filter are the same predicate)
+    val mem = graft.llm.DedupOps.llmDedupSimhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val idx = graft.llm.DedupOps.llmDedupSimhashIndexed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(mem.nonEmpty && idx == mem)
+    // profile: every chunk position holds one row per doc
+    val nDocs = graft.tables.Tables(spark, sfDir, "documents").count()
+    val prof = graft.llm.DedupOps.llmSimIndexBuild(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(prof.length == 8 && prof.forall(_._2 == nDocs))
+    assert(prof.forall(p => p._3 > 0 && p._3 <= nDocs))
+  }
+
   test("forced 4x32 wide-corpus chunk geometry matches a driver-side brute force") {
     // The >1M-doc branch of simChunkGeom flips the join to 4×32-bit
     // chunks (Hamming<=3 pigeonhole, 2^32 values). No test corpus is that

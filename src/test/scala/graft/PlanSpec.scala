@@ -243,6 +243,20 @@ class PlanSpec extends AnyFunSuite {
       s"gram-keyed stages must be exchange-free:\n$p")
   }
 
+  test("indexed simhash candidate join reads the bucketed table with no exchange on (chunk, cval)") {
+    val df = graft.llm.DedupOps.llmDedupSimhashIndexed(spark, sfDir)
+    df.collect() // AQE: final plan only exists after execution
+    val p = plan(df)
+    assert(p.contains("Bucketed: true"), s"scan must report bucketed reads:\n$p")
+    assert(!p.contains("xxhash64"),
+      s"fingerprints must come from the stored index, not re-derivation:\n$p")
+    assert(p.contains("SortMergeJoin"), s"merge hint must hold:\n$p")
+    // the candidate join's keys are fully covered by the bucket columns:
+    // no hash exchange keyed on chunk anywhere below the pair aggregate
+    assert("""Exchange hashpartitioning\(chunk#""".r.findFirstIn(p).isEmpty,
+      s"chunk-keyed stages must be exchange-free:\n$p")
+  }
+
   test("partitioned+bucketed layout prunes both directory and bucket on a point lookup") {
     graft.etl.Bucketing.sinkPartitionedBucketed(spark, sfDir).count()
     val suffix = graft.util.Scratch.pathTag(sfDir)
