@@ -247,6 +247,45 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  /** Batch ANN k-NN join — the SCALE form of [[llmSimilarityKnnJoin]]:
+    * each query probes only the RP buckets within the derived Hamming
+    * radius of its own bucket, so the q×n cross join becomes a bucket
+    * EQUI-join. The probe set is enumerated as XOR masks of weight ≤
+    * radius (C(bits, ≤r) masks — 22 of 64 buckets at the 500-row tier,
+    * ~3k of 2^24 at a 10⁹-vector corpus: a 5000× candidate cut), exploded
+    * onto the broadcast query side; the corpus side never shuffles, and
+    * against the bucketed [[DedupOps.embTable]] layout the join co-locates
+    * with the stored files. Exact cosine + top-5 per query within probed
+    * buckets; the DuckDB oracle replays the same bucket/radius derivations
+    * (embIndexSqlDuck / radiusSqlDuck), so this is a full-oracle operator,
+    * not a recall-bounded one — recall vs the exact join is additionally
+    * pinned in SimilaritySpec. */
+  val llmSimilarityKnnJoinAnn: QFn = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.embIndex(spark, sfDir)
+    val n = math.max(1L, DedupOps.embCount(spark, sfDir))
+    val bits = DedupOps.projBitsFor(n)
+    val radius = probeRadiusFor(bits, n)
+    val masks: Seq[Int] = (0 to radius).flatMap(r =>
+      (0 until bits).combinations(r).map(_.foldLeft(0)((a, b) => a | (1 << b))))
+    val probes = e.filter(col("label") === 0 && col("vec_id") < 200)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"),
+        col("norm").as("qnorm"), col("bucket").as("qbucket"))
+      .withColumn("m", explode(array(masks.map(lit): _*)))
+      .withColumn("bucket", col("qbucket").bitwiseXOR(col("m")))
+      .drop("m", "qbucket")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(DedupOps.dotExpr("emb", "qv") / (col("norm") * col("qnorm")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("qid", "rank")
+  }
+
   /** Per-label embedding centroids via the native vector_avg aggregate
     * (graft.functions.VectorAvg): one (dim+1)-wide buffer per (group,
     * partition) crosses the shuffle — map-side combine over vectors, the
@@ -324,6 +363,7 @@ object SimilarityOps {
     "llm_similarity_ann" -> llmSimilarityAnn,
     "llm_similarity_ivf" -> llmSimilarityIvf,
     "llm_similarity_knn_join" -> llmSimilarityKnnJoin,
+    "llm_similarity_knn_join_ann" -> llmSimilarityKnnJoinAnn,
   )
 
   private val cosineSql: String =
@@ -377,6 +417,21 @@ object SimilarityOps {
         "CAST(row_number() OVER (PARTITION BY qid ORDER BY " + cosineSql + " DESC, vec_id) AS INT) AS rank " +
         "FROM embeddings, q WHERE vec_id <> qid " +
         "QUALIFY rank <= 5 ORDER BY qid, rank"),
+    // the ANN batch join replays the SAME derived bucket/radius chains as
+    // llm_similarity_ann, per query; ranking on the rounded sim exactly as
+    // the Spark window does
+    "llm_similarity_knn_join_ann" ->
+      (s"WITH e AS (${DedupOps.embIndexSqlDuck}), " +
+        "q AS (SELECT vec_id AS qid, emb AS qv, norm AS qnorm, bucket AS qbucket, pb AS qpb, nn AS qnn " +
+        "FROM e WHERE label = 0 AND vec_id < 200), " +
+        "s AS (SELECT qid, vec_id, label, " +
+        "ROUND(list_sum(list_transform(list_zip(emb, qv), p -> p[1] * p[2])) / (norm * qnorm), 6) AS sim " +
+        "FROM e, q WHERE vec_id <> qid AND " +
+        "bit_count(xor(CAST(bucket AS BIGINT), CAST(qbucket AS BIGINT))) <= " +
+        radiusSqlDuck("qpb", "qnn") + ") " +
+        "SELECT qid, vec_id, label, sim, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM s QUALIFY rank <= 5 ORDER BY qid, rank"),
     // same top-5 CTE as llm_similarity_knn_join, then the majority vote
     "llm_knn_classify" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE label = 0 AND vec_id < 200), " +
