@@ -150,7 +150,12 @@ object ScaleCheck {
           "similarity_ivf" ->
             time(graft.llm.SimilarityOps.llmSimilarityIvf(spark, dir).count()),
           "knn_join" ->
-            time(graft.llm.SimilarityOps.llmSimilarityKnnJoin(spark, dir).count()))
+            time(graft.llm.SimilarityOps.llmSimilarityKnnJoin(spark, dir).count()),
+          // round 7: the bucket-probed ANN form — its curve vs knn_join is
+          // the candidate-cut evidence (the probe set is fixed per query
+          // while the exact join's candidate set grows with the corpus)
+          "knn_join_ann" ->
+            time(graft.llm.SimilarityOps.llmSimilarityKnnJoinAnn(spark, dir).count()))
         println(s"""{"metric":"scale_check_sim","scale":$scale,"index_sec":${f2(tIndex)},""" +
           timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
         graft.llm.DedupOps.clearCaches()
