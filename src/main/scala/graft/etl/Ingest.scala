@@ -192,6 +192,57 @@ object Ingest {
       .orderBy("doc_id")
   }
 
+  /** Raw text-lines lake scan (§2.1 extension — the line-oriented corpus
+    * format every raw-text crawl lands in before parquet conversion): export
+    * documents as TSV-ish lines through the `text` sink (one string column,
+    * no row-level framing), read back with the `text` source, re-split. The
+    * tab/newline sanitize applied before the write is mirrored verbatim in
+    * the oracle so the round-trip is provable from the source table. At
+    * 100 TB the text source splits files on line boundaries per
+    * maxPartitionBytes — a plain distributed scan, no listing bottleneck. */
+  val scanTextLines: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("scan_text_lines")
+    val clean = regexp_replace(col("text"), "[\\t\\n\\r]", " ")
+    Tables(spark, sfDir, "documents")
+      .select(concat(col("doc_id").cast("string"), lit("\t"), clean).as("value"))
+      .write.mode("overwrite").text(dir)
+    spark.read.text(dir)
+      .select(split(col("value"), "\t", 2).as("parts"))
+      .select(element_at(col("parts"), 1).cast("long").as("doc_id"),
+        element_at(col("parts"), 2).as("text_clean"))
+      .withColumn("n_chars_clean", length(col("text_clean")))
+      .orderBy("doc_id")
+  }
+
+  /** Raw-file ingest through the `binaryFile` source (§2.1 extension — the
+    * door multimodal assets walk in through: image/audio files land as
+    * (path, length, content) rows, exactly what llm_multimodal_decode
+    * consumes downstream). Stages the corpus as shard-partitioned text
+    * files, reads them back as opaque binaries, and proves BOTH the
+    * filesystem length column and the fetched content agree with the
+    * source table's byte accounting (each line = utf8 bytes + '\n').
+    * At 100 TB: binaryFile splits per FILE (content is one row), so shard
+    * file sizes must be bounded by the writer — here the shard key does
+    * that; production adds maxRecordsPerFile. */
+  val scanBinaryFile: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("scan_binaryfile")
+    val clean = regexp_replace(col("text"), "[\\t\\n\\r]", " ")
+    Tables(spark, sfDir, "documents")
+      .select(pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
+        clean.as("value"))
+      .repartition(8, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").text(dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .load(dir) // partition discovery turns shard=K dirs into the shard col
+      .select(col("shard").cast("int").as("shard"),
+        col("length"), length(col("content")).as("content_bytes"))
+      .groupBy("shard")
+      .agg(sum(col("length")).as("total_bytes"),
+        sum(col("content_bytes")).as("fetched_bytes"))
+      .orderBy("shard")
+  }
+
   /** CSV export of a query result (README.md:54-56,141 Data Pipeline → S3
     * CSV), read back to prove fidelity. */
   val sinkCsv: QFn = (spark, sfDir) => {
@@ -365,6 +416,8 @@ object Ingest {
     "scan_jdbc_export" -> scanJdbcExport,
     "scan_glob_dynamic" -> scanGlobDynamic,
     "scan_jsonl" -> scanJsonl,
+    "scan_text_lines" -> scanTextLines,
+    "scan_binaryfile" -> scanBinaryFile,
     "sink_csv" -> sinkCsv,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip,
     "sink_parquet_partitioned_compressed" -> sinkParquetPartitionedCompressed,
@@ -410,6 +463,18 @@ object Ingest {
       "SELECT event_type AS src_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "scan_jsonl" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // Same sanitize regexp as the write side; length() is chars on both.
+    "scan_text_lines" ->
+      ("SELECT doc_id, regexp_replace(text, '[\\t\\n\\r]', ' ', 'g') AS text_clean, " +
+        "length(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')) AS n_chars_clean " +
+        "FROM documents ORDER BY doc_id"),
+    // strlen = utf8 byte length in DuckDB (Spark side: octet bytes of the
+    // written file = line bytes + 1 per trailing newline).
+    "scan_binaryfile" ->
+      ("SELECT CAST(doc_id % 8 AS INT) AS shard, " +
+        "SUM(strlen(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')) + 1) AS total_bytes, " +
+        "SUM(strlen(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')) + 1) AS fetched_bytes " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
     "sink_csv" ->
       "SELECT l_returnflag, ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
     "sink_parquet_partitioned_compressed" ->

@@ -49,6 +49,26 @@ class IngestSpec extends AnyFunSuite {
     assert(ordersCount(u2.get) == 15000L)
   }
 
+  test("text-lines round-trip preserves every doc and its char count") {
+    val got = graft.etl.Ingest.scanTextLines(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(got.length == 500)
+    assert(got.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).toSeq.sorted)
+    // sanitizer leaves no framing chars behind
+    assert(got.forall(r => !r.getString(1).exists(c => c == '\t' || c == '\n')))
+    assert(got.forall(r => r.getInt(2) == r.getString(1).length))
+  }
+
+  test("binaryFile ingest: filesystem length equals fetched content bytes") {
+    val got = graft.etl.Ingest.scanBinaryFile(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(got.length == 8, "one row per shard")
+    // both byte accountings come from the same files, independently:
+    // the source's length column (listing) vs length(content) (fetch)
+    assert(got.forall(r => r.getLong(1) == r.getLong(2)))
+    assert(got.map(_.getLong(1)).sum > 0)
+  }
+
   test("invalid-char sanitizer replaces exactly the non-printable-ASCII chars") {
     import spark.implicits._
     val df = Seq("plain ascii 123!", "café 中文", "tab\there").toDF("s")
