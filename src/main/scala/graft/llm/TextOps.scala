@@ -437,8 +437,89 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram positions of a tokenized doc as (prev, cur) structs — the
+    * zip-of-shifted-slices spelling (codegen'd HOFs, no posexplode of the
+    * whole corpus twice). slice lengths are size-1 ≥ 0, so 1-token docs
+    * yield an empty pair array and explode drops them (the unigram start
+    * term still scores the doc). */
+  private val bigramPairs: Column = expr(
+    "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1), " +
+      "(p, c) -> struct(p AS prev, c AS cur))")
+
+  /** Persisted bigram model ((prev, cur) → count), one per (session,
+    * sfDir) — companion to [[unigramModel]]: one explode + hash aggregate,
+    * map-side combine, shuffle carries distinct pairs only. */
+  private val bigramCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private[graft] def bigramModel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    bigramCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + sfDir, {
+        val m = Tables(spark, sfDir, "documents")
+          .withColumn("toks", tokens)
+          .select(explode(bigramPairs).as("pair"))
+          .select(col("pair.prev").as("prev"), col("pair.cur").as("cur"))
+          .groupBy("prev", "cur").agg(count(lit(1)).as("cnt_bi"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persistedFrames.synchronized { persistedFrames += m }
+        m
+      })
+
+  /** Bigram-LM perplexity scoring — the full CCNet shape that
+    * [[llmUnigramLogprob]] reduces: every position i ≥ 1 is scored by the
+    * Jelinek-Mercer interpolated conditional
+    * P(cur|prev) = 0.7·cnt(prev,cur)/cnt(prev) + 0.3·cnt(cur)/total
+    * (the unigram interpolation term is what gives unseen continuations
+    * mass when the model is trained on a different corpus than it scores),
+    * and position 0 by the unigram start term ln(total/cnt). Two model
+    * passes (unigram + bigram, both map-side-combined and persisted), then
+    * ONE shuffle joining occurrences to the pair-NLL table on (prev, cur).
+    * At 100 TB both models are Zipf-skewed: broadcast the head, shuffle
+    * the tail — same outputs.
+    *
+    * Determinism: identical to llmUnigramLogprob — every position's NLL is
+    * quantized to micro-nats with the half-offset grid
+    * (floor(−ln(P)·1e6 + 0.5)) before the exact integer per-doc sum; the
+    * interpolation arithmetic is spelled with the same literal op order on
+    * both sides (CAST-to-double divisions, 0.7/0.3 double literals), so
+    * the doubles entering ln are bit-identical and a 1-ulp ln divergence
+    * cannot cross the shifted boundary. */
+  val llmPerplexityScore: QFn = (spark, sfDir) => {
+    val docs = Tables(spark, sfDir, "documents").withColumn("toks", tokens)
+    val uni = unigramModel(spark, sfDir)
+    val total = uni.agg(sum(col("cnt")).as("total_tokens"))
+    val pairNll = bigramModel(spark, sfDir)
+      .join(uni.select(col("token").as("prev"), col("cnt").as("cnt_prev")), "prev")
+      .join(uni.select(col("token").as("cur"), col("cnt").as("cnt_cur")), "cur")
+      .crossJoin(broadcast(total))
+      .select(col("prev"), col("cur"),
+        floor(-log(
+          lit(0.7) * (col("cnt_bi").cast("double") / col("cnt_prev")) +
+            lit(0.3) * (col("cnt_cur").cast("double") / col("total_tokens")))
+          * 1e6 + 0.5).cast("long").as("nll_q"))
+    val occ = docs.select(col("doc_id"), explode(bigramPairs).as("pair"))
+      .select(col("doc_id"), col("pair.prev").as("prev"), col("pair.cur").as("cur"))
+    val body = occ.join(pairNll, Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("nll_q")).as("pair_micro"))
+    val firstNll = docs
+      .select(col("doc_id"), element_at(col("toks"), 1).as("token"))
+      .join(uni, "token").crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(log(col("total_tokens").cast("double") / col("cnt")) * 1e6 + 0.5)
+          .cast("long").as("first_q"))
+    firstNll.join(body, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_pairs"), lit(0L)) + 1L).as("n_scored"),
+        (coalesce(col("pair_micro"), lit(0L)) + col("first_q")).as("nll_micro"))
+      .withColumn("avg_nll",
+        round(col("nll_micro").cast("double") / col("n_scored") / 1e6, 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
     "llm_unigram_logprob" -> llmUnigramLogprob,
+    "llm_perplexity_score" -> llmPerplexityScore,
     "llm_quality_filter" -> llmQualityFilter,
     "llm_length_histogram" -> llmLengthHistogram,
     "llm_bigram_counts" -> llmBigramCounts,
@@ -470,6 +551,28 @@ object TextOps {
           "SELECT doc_id, count(*) AS n_tokens, CAST(sum(nll_q) AS BIGINT) AS nll_micro, " +
           "ROUND(CAST(sum(nll_q) AS DOUBLE) / count(*) / 1e6, 4) AS avg_nll " +
           "FROM occ JOIN nll USING (token) GROUP BY doc_id ORDER BY doc_id"),
+      // Interpolation arithmetic spelled with the SAME op order as the
+      // Spark plan (cast-to-double divisions, double 0.7/0.3 literals).
+      "llm_perplexity_score" ->
+        ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+          "idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t), " +
+          "occ AS (SELECT doc_id, toks[CAST(i AS INT)] AS prev, toks[CAST(i AS INT)+1] AS cur FROM idx), " +
+          "uni AS (SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token), " +
+          "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM uni), " +
+          "bi AS (SELECT prev, cur, count(*) AS cnt_bi FROM occ GROUP BY prev, cur), " +
+          "pn AS (SELECT prev, cur, CAST(floor(-ln(" +
+          "CAST(0.7 AS DOUBLE) * (CAST(cnt_bi AS DOUBLE) / pc.cnt) + " +
+          "CAST(0.3 AS DOUBLE) * (CAST(cc.cnt AS DOUBLE) / total_tokens)" +
+          ") * 1e6 + 0.5) AS BIGINT) AS nll_q " +
+          "FROM bi JOIN uni pc ON bi.prev = pc.token JOIN uni cc ON bi.cur = cc.token, tot), " +
+          "body AS (SELECT doc_id, count(*) AS n_pairs, CAST(sum(nll_q) AS BIGINT) AS pair_micro " +
+          "FROM occ JOIN pn USING (prev, cur) GROUP BY doc_id), " +
+          "fn AS (SELECT doc_id, CAST(floor(ln(CAST(total_tokens AS DOUBLE) / cnt) * 1e6 + 0.5) AS BIGINT) AS first_q " +
+          "FROM (SELECT doc_id, toks[1] AS token FROM t) f JOIN uni USING (token), tot) " +
+          "SELECT doc_id, CAST(coalesce(n_pairs, 0) + 1 AS BIGINT) AS n_scored, " +
+          "CAST(coalesce(pair_micro, 0) + first_q AS BIGINT) AS nll_micro, " +
+          "ROUND(CAST(coalesce(pair_micro, 0) + first_q AS DOUBLE) / (coalesce(n_pairs, 0) + 1) / 1e6, 4) AS avg_nll " +
+          "FROM fn LEFT JOIN body USING (doc_id) ORDER BY doc_id"),
       "llm_pii_scrub" ->
         ("WITH d AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) || " +
           "'@example.com or +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' AS dirty " +

@@ -32,6 +32,7 @@ class DeterminismSpec extends AnyFunSuite {
     // per-doc NLL independent of float summation order — this is the test
     // of that claim
     "llm_unigram_logprob" -> graft.llm.TextOps.llmUnigramLogprob,
+    "llm_perplexity_score" -> graft.llm.TextOps.llmPerplexityScore,
     "llm_domain_mixture" -> graft.llm.SampleOps.llmDomainMixture,
     "upsert_snapshot_diff" -> graft.etl.Upsert.upsertSnapshotDiff,
     // numbering must survive ANY range-boundary placement: the broadcast
@@ -85,5 +86,28 @@ class DeterminismSpec extends AnyFunSuite {
     }
     assert(flips.isEmpty,
       s"grid boundary within 1 ulp of a true ln value: ${flips.take(5).toSeq}")
+  }
+
+  test("bigram interpolated micro-nat quantization is stable under 1-ulp ln divergence") {
+    // Same claim as the unigram case, for llm_perplexity_score's
+    // Jelinek-Mercer term: every interpolated probability the ACTUAL
+    // corpus model produces must quantize identically for ln, nextUp(ln)
+    // and nextDown(ln). The P values are doubles computed with the same
+    // op order as both engines, so ln(P) is the only divergence source.
+    val uni = graft.llm.TextOps.unigramModel(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = uni.values.sum.toDouble
+    val triples = graft.llm.TextOps.bigramModel(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(triples.length > 500, "bigram model unexpectedly small")
+    def q(l: Double): Long = math.floor(l * 1e6 + 0.5).toLong
+    val flips = triples.flatMap { case (prev, cur, cntBi) =>
+      val p = 0.7 * (cntBi.toDouble / uni(prev)) + 0.3 * (uni(cur) / total)
+      val l = -math.log(p)
+      val (base, up, dn) = (q(l), q(Math.nextUp(l)), q(Math.nextDown(l)))
+      if (base == up && base == dn) None else Some((prev, cur, l))
+    }
+    assert(flips.isEmpty,
+      s"grid boundary within 1 ulp of an interpolated ln: ${flips.take(5).toSeq}")
   }
 }
