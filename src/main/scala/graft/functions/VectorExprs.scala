@@ -150,6 +150,96 @@ object VectorAvg {
   final class Buf(var sums: Array[Double], var n: Long)
 }
 
+/** Exact micro-unit element sums of array<double> vectors — the
+  * deterministic centroid accumulator behind semantic dedup. Each element
+  * is quantized to integer micro-units (floor(x·1e6 + 0.5)) at UPDATE time
+  * and the running sums are Longs, so accumulation is exact integer
+  * arithmetic: unlike float summation (VectorAvg), the result CANNOT
+  * depend on partitioning or merge order, which is what lets a DuckDB
+  * oracle reproduce a centroid bit-for-bit and lets centroid ORDERINGS
+  * (keep/drop policies) survive any cluster layout. Same (dim+1)-wide
+  * buffer per (group, partition) map-side-combine shape as VectorAvg.
+  * Headroom: |x| ≤ ~10³ micro-quantized is ~10⁹ per element, so ~10⁹ rows
+  * per group stay under Long overflow — at 100 TB group cardinality (RP
+  * buckets sized to occupancy ~8) this never binds. */
+case class VectorSumQ(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[VectorSumQ.Buf] with ImplicitCastInputTypes
+    with UnaryLike[Expression] {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_sumq"
+
+  override def createAggregationBuffer(): VectorSumQ.Buf =
+    new VectorSumQ.Buf(null, 0L)
+
+  override def update(b: VectorSumQ.Buf, input: InternalRow): VectorSumQ.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (b.sums == null) b.sums = new Array[Long](arr.numElements())
+      val m = math.min(b.sums.length, arr.numElements())
+      var i = 0
+      while (i < m) {
+        b.sums(i) += math.floor(arr.getDouble(i) * 1e6 + 0.5).toLong
+        i += 1
+      }
+      b.n += 1
+    }
+    b
+  }
+
+  override def merge(b: VectorSumQ.Buf, o: VectorSumQ.Buf): VectorSumQ.Buf = {
+    if (o.sums != null) {
+      if (b.sums == null) { b.sums = o.sums.clone(); b.n = o.n }
+      else {
+        val m = math.min(b.sums.length, o.sums.length)
+        var i = 0
+        while (i < m) { b.sums(i) += o.sums(i); i += 1 }
+        b.n += o.n
+      }
+    }
+    b
+  }
+
+  override def eval(b: VectorSumQ.Buf): Any =
+    if (b.n == 0L || b.sums == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(b.sums)
+
+  override def serialize(b: VectorSumQ.Buf): Array[Byte] = {
+    val len = if (b.sums == null) -1 else b.sums.length
+    val buf = java.nio.ByteBuffer.allocate(8 + 4 + math.max(len, 0) * 8)
+    buf.putLong(b.n).putInt(len)
+    if (len > 0) b.sums.foreach(buf.putLong)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VectorSumQ.Buf = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val n = buf.getLong()
+    val len = buf.getInt()
+    val sums = if (len < 0) null else Array.fill(len)(buf.getLong())
+    new VectorSumQ.Buf(sums, n)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumQ =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumQ =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumQ =
+    copy(child = newChild)
+}
+
+object VectorSumQ {
+  /** Mutable aggregation state: running micro-unit sums + vector count. */
+  final class Buf(var sums: Array[Long], var n: Long)
+}
+
 /** Session-scoped registration of the graft native functions, so plans and
   * SQL strings can call them by name. Idempotent and cheap — callers invoke
   * it on every table load rather than tracking which sessions saw it. */
@@ -162,6 +252,10 @@ object GraftFunctions {
     "vector_avg" -> { exprs =>
       require(exprs.length == 1, "vector_avg(v) takes exactly 1 argument")
       VectorAvg(exprs.head)
+    },
+    "vector_sumq" -> { exprs =>
+      require(exprs.length == 1, "vector_sumq(v) takes exactly 1 argument")
+      VectorSumQ(exprs.head)
     })
 
   def ensure(spark: SparkSession): Unit =

@@ -546,6 +546,62 @@ object DedupOps {
       .limit(100)
   }
 
+  /** Semantic-dedup demo threshold for the near-random fixture vectors
+    * (within-bucket pair cosines top out near 0.49 across the test tiers);
+    * production corpora with true semantic duplicates run ~0.95. Stored in
+    * exact micro-units so the Spark plan and the oracle compare integers. */
+  private val SemTauQ = 350000L
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed on the
+    * engine's own index machinery: cluster the corpus, and within each
+    * cluster drop every vector that has a near-duplicate partner LESS
+    * representative of the cluster (lower centroid-cosine; the paper's
+    * keep-the-low-centroid-sim rule, which preferentially retains the
+    * cluster's diverse edge over its redundant core). The clusters here
+    * are the RP buckets the index already carries — occupancy is held ~8
+    * by the derived width, so the within-cluster pairwise pass is
+    * O(occupancy) per vector = linear in n, the property that makes
+    * SemDeDup viable at 100 TB where global pairwise is n².
+    *
+    * Determinism is the hard part and shapes the plan: centroids are
+    * accumulated with the native vector_sumq aggregate (exact integer
+    * micro-unit sums — order-independent, unlike float vector_avg), and
+    * both the pair cosine and the centroid cosine are quantized to
+    * micro-units before any comparison, so the keep/drop ordering is an
+    * integer ordering the DuckDB oracle replays exactly. Plan shape: one
+    * bucketed-scan aggregate (no exchange below it), centroids broadcast
+    * back, one exchange-free within-bucket self-join. */
+  val llmDedupSemantic: QFn = (spark, sfDir) => {
+    val e = spark.table(embTable(spark, sfDir))
+    val cent = e.groupBy("bucket")
+      .agg(count(lit(1)).as("n_bucket"), expr("vector_sumq(emb)").as("sq"))
+      .select(col("bucket"),
+        expr("transform(sq, s -> CAST(s AS DOUBLE) / (1e6 * n_bucket))")
+          .as("cvec"))
+      .withColumn("cnorm", sqrt(expr("vector_dot(cvec, cvec)")))
+    val s = e.join(broadcast(cent), "bucket")
+      .select(col("vec_id"), col("bucket"), col("norm"), col("emb"),
+        when(col("norm") * col("cnorm") === 0, lit(0L))
+          .otherwise(floor(dotExpr("emb", "cvec") / (col("norm") * col("cnorm"))
+            * 1e6 + 0.5).cast("long"))
+          .as("csim_q"))
+    val a = s.select(col("vec_id").as("va"), col("bucket"),
+      col("norm").as("na"), col("emb").as("ea"), col("csim_q").as("ca"))
+    val b = s.select(col("vec_id").as("vb"), col("bucket"),
+      col("norm").as("nb"), col("emb").as("eb"), col("csim_q").as("cb"))
+    val psimQ = when(col("na") * col("nb") === 0, lit(0L))
+      .otherwise(floor(dotExpr("ea", "eb") / (col("na") * col("nb"))
+        * 1e6 + 0.5).cast("long"))
+    val dropped = a.hint("merge").join(b, Seq("bucket"))
+      .filter(col("va") =!= col("vb") && psimQ >= SemTauQ &&
+        (col("cb") < col("ca") ||
+          (col("cb") === col("ca") && col("vb") < col("va"))))
+      .select(col("va").as("vec_id")).distinct()
+    s.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("bucket"), col("csim_q"))
+      .orderBy("vec_id")
+  }
+
   /** The embedding index MATERIALIZED as a parquet table bucketed on the
     * RP bucket — the durable vector index: vectors, norms, and bucket
     * assignments are computed once at build time, and the near-dup
@@ -938,6 +994,7 @@ object DedupOps {
     "llm_dedup_ngram_jaccard" -> llmDedupNgramJaccard,
     "llm_dedup_simhash" -> llmDedupSimhash,
     "llm_dedup_embedding" -> llmDedupEmbedding,
+    "llm_dedup_semantic" -> llmDedupSemantic,
     "llm_dedup_cluster" -> llmDedupCluster,
   )
 
@@ -1060,6 +1117,33 @@ object DedupOps {
         "ROUND(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) / (a.norm * b.norm), 6) AS cosine " +
         "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
         "ORDER BY cosine DESC, vec_a, vec_b LIMIT 100"),
+    // SemDeDup: the exact-integer centroid (micro-unit sums / count) and
+    // both micro-quantized cosines replay the plan's integer orderings;
+    // parallel unnest zips (element, position) so list() can rebuild the
+    // centroid in position order.
+    "llm_dedup_semantic" ->
+      (s"WITH e AS ($embIndexSqlDuck), " +
+        "q AS (SELECT vec_id, bucket, norm, emb, " +
+        "list_transform(emb, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS qv FROM e), " +
+        "ex AS (SELECT bucket, unnest(qv) AS v, unnest(generate_series(1, len(qv))) AS i FROM q), " +
+        "sums AS (SELECT bucket, i, CAST(sum(v) AS BIGINT) AS s FROM ex GROUP BY bucket, i), " +
+        "cnts AS (SELECT bucket, count(*) AS n_bucket FROM q GROUP BY bucket), " +
+        "cent AS (SELECT bucket, list(CAST(s AS DOUBLE) / (1e6 * n_bucket) ORDER BY i) AS cvec " +
+        "FROM sums JOIN cnts USING (bucket) GROUP BY bucket, n_bucket), " +
+        "cn AS (SELECT bucket, cvec, sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnorm FROM cent), " +
+        "s AS (SELECT q.vec_id, q.bucket, q.norm, q.emb, " +
+        "CASE WHEN q.norm * cn.cnorm = 0 THEN 0 ELSE CAST(floor(" +
+        "list_sum(list_transform(list_zip(q.emb, cn.cvec), p -> p[1] * p[2])) " +
+        "/ (q.norm * cn.cnorm) * 1e6 + 0.5) AS BIGINT) END AS csim_q " +
+        "FROM q JOIN cn USING (bucket)), " +
+        "dropped AS (SELECT DISTINCT a.vec_id FROM s a JOIN s b " +
+        "ON a.bucket = b.bucket AND a.vec_id <> b.vec_id " +
+        "AND (CASE WHEN a.norm * b.norm = 0 THEN 0 ELSE CAST(floor(" +
+        "list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) " +
+        s"/ (a.norm * b.norm) * 1e6 + 0.5) AS BIGINT) END) >= $SemTauQ " +
+        "AND (b.csim_q < a.csim_q OR (b.csim_q = a.csim_q AND b.vec_id < a.vec_id))) " +
+        "SELECT vec_id, bucket, csim_q FROM s ANTI JOIN dropped USING (vec_id) " +
+        "ORDER BY vec_id"),
     // index-build occupancy profile over the same shared index CTE
     "llm_emb_index_build" ->
       (s"WITH e AS ($embIndexSqlDuck), " +

@@ -139,4 +139,42 @@ class NearDupSpec extends AnyFunSuite {
     val res = graft.llm.DedupOps.llmDedupExact(spark, sfDir)
     assert(res.agg(sum("n_copies")).collect().head.getLong(0) == n)
   }
+
+  test("semdedup: no surviving within-bucket pair is a near-dup; drops are justified") {
+    // The SemDeDup contract: after the centroid-ordered drop pass, no two
+    // SURVIVORS in the same cluster (RP bucket) may still be a >= tau
+    // pair (one of any such pair is ordered below the other and must have
+    // been dropped); and the pass must actually fire on the fixture.
+    val tauQ = 350000L
+    val e = graft.llm.DedupOps.embIndex(spark, sfDir)
+      .select(col("vec_id"), col("bucket"), col("norm"), col("emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getSeq[Double](3).toArray))
+    val survivors = graft.llm.DedupOps.llmDedupSemantic(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.size < e.length, "the drop pass never fired")
+    def psimQ(a: Array[Double], na: Double, b: Array[Double], nb: Double): Long = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      if (na * nb == 0) 0L else math.floor(s / (na * nb) * 1e6 + 0.5).toLong
+    }
+    val byBucket = e.filter(v => survivors(v._1)).groupBy(_._2)
+    val violations = byBucket.values.flatMap { vs =>
+      for {
+        i <- vs.indices; j <- (i + 1) until vs.length
+        if psimQ(vs(i)._4, vs(i)._3, vs(j)._4, vs(j)._3) >= tauQ
+      } yield (vs(i)._1, vs(j)._1)
+    }
+    assert(violations.isEmpty,
+      s"surviving near-dup pairs: ${violations.take(5).toSeq}")
+    // every dropped vector must have an in-bucket >= tau partner at all
+    // (no spurious drops)
+    val allByBucket = e.groupBy(_._2)
+    e.filterNot(v => survivors(v._1)).foreach { d =>
+      val partners = allByBucket(d._2).filter(o => o._1 != d._1 &&
+        psimQ(d._4, d._3, o._4, o._3) >= tauQ)
+      assert(partners.nonEmpty, s"vec ${d._1} dropped without a near-dup partner")
+    }
+  }
 }

@@ -285,6 +285,20 @@ class PlanSpec extends AnyFunSuite {
       s"bucket-keyed join must be exchange-free:\n$p")
   }
 
+  test("semdedup centroid aggregate and pair join are exchange-free on bucket") {
+    val df = graft.llm.DedupOps.llmDedupSemantic(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Bucketed: true"), s"scan must report bucketed reads:\n$p")
+    // both the per-bucket vector_sumq aggregate and the within-bucket
+    // pair join key on bucket, which the stored layout already provides —
+    // the only shuffles allowed are the dropped-id distinct + anti join
+    // (keyed on vec_id) and the presentation sort
+    assert("""Exchange hashpartitioning\(bucket#""".r.findFirstIn(p).isEmpty,
+      s"bucket-keyed stages must be exchange-free:\n$p")
+    assert(p.contains("vector_sumq"), s"centroid must use the exact native aggregate:\n$p")
+  }
+
   test("indexed minhash candidate join is exchange-free on the band hash") {
     val df = graft.llm.DedupOps.llmDedupMinhashIndexed(spark, sfDir)
     df.collect()

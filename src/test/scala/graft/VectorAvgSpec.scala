@@ -50,15 +50,49 @@ class VectorAvgSpec extends AnyFunSuite {
     // extension injects: names, arity checks, and constructed expressions.
     import org.apache.spark.sql.catalyst.expressions.Literal
     val byName = graft.functions.GraftFunctions.builders.toMap
-    assert(byName.keySet == Set("vector_dot", "vector_avg"))
+    assert(byName.keySet == Set("vector_dot", "vector_avg", "vector_sumq"))
     val lit = Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     assert(byName("vector_dot")(Seq(lit, lit)).isInstanceOf[graft.functions.VectorDot])
     assert(byName("vector_avg")(Seq(lit)).isInstanceOf[graft.functions.VectorAvg])
+    assert(byName("vector_sumq")(Seq(lit)).isInstanceOf[graft.functions.VectorSumQ])
     intercept[IllegalArgumentException](byName("vector_dot")(Seq(lit)))
     intercept[IllegalArgumentException](byName("vector_avg")(Seq(lit, lit)))
+    intercept[IllegalArgumentException](byName("vector_sumq")(Seq(lit, lit)))
     // and the class itself applies cleanly to a fresh extensions object
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("vector_sumq is EXACTLY partition-invariant (integer sums, no float drift)") {
+    val e = graft.tables.Tables(spark, sfDir, "embeddings")
+      .select(col("label"), expr("cast(embedding as array<double>)").as("emb"))
+    def sums(parts: Int): Map[Long, Seq[Long]] =
+      e.repartition(parts).groupBy("label")
+        .agg(expr("vector_sumq(emb)").as("s"))
+        .collect().map(r => r.getAs[Number](0).longValue() -> r.getSeq[Long](1)).toMap
+    val a = sums(3)
+    val b = sums(17)
+    // == on the Long arrays: bit-exact equality, the property vector_avg
+    // cannot give and the SemDeDup keep/drop ordering depends on
+    assert(a.nonEmpty && a == b)
+    // and it matches the composed quantize-explode-regroup spelling exactly
+    val composed = e
+      .select(col("label"),
+        posexplode(expr("transform(emb, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))"))
+          .as(Seq("idx", "v")))
+      .groupBy("label", "idx").agg(sum(col("v")).as("s"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("idx"), col("s")))).as("l"))
+      .select(col("label"), expr("transform(l, p -> p.s)").as("s"))
+      .collect().map(r => r.getAs[Number](0).longValue() -> r.getSeq[Long](1)).toMap
+    assert(a == composed)
+  }
+
+  test("vector_sumq of an empty group is null") {
+    val r = spark.sql(
+      "SELECT vector_sumq(v) AS s FROM (SELECT cast(null as array<double>) AS v)"
+    ).collect().head
+    assert(r.isNullAt(0))
   }
 }
