@@ -133,6 +133,7 @@ object ScaleCheck {
       graft.llm.SimilarityOps.llmSimilarityAnn(spark, base).count()
       graft.llm.SimilarityOps.llmSimilarityKnnJoin(spark, base).count()
       graft.llm.DedupOps.llmDedupEmbedding(spark, base).count()
+      graft.llm.DedupOps.llmDedupSemantic(spark, base).count()
       graft.llm.DedupOps.clearCaches()
       graft.llm.SimilarityOps.clearCaches()
 
@@ -155,7 +156,12 @@ object ScaleCheck {
           // the candidate-cut evidence (the probe set is fixed per query
           // while the exact join's candidate set grows with the corpus)
           "knn_join_ann" ->
-            time(graft.llm.SimilarityOps.llmSimilarityKnnJoinAnn(spark, dir).count()))
+            time(graft.llm.SimilarityOps.llmSimilarityKnnJoinAnn(spark, dir).count()),
+          // round 7: SemDeDup — within-bucket pairwise at occupancy ~8
+          // must track the index-build curve (linear), not pairwise n²;
+          // its timing includes the embTable materialization for this dir
+          "semdedup" ->
+            time(graft.llm.DedupOps.llmDedupSemantic(spark, dir).count()))
         println(s"""{"metric":"scale_check_sim","scale":$scale,"index_sec":${f2(tIndex)},""" +
           timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
         graft.llm.DedupOps.clearCaches()
@@ -181,6 +187,11 @@ object ScaleCheck {
         // corpus size linearly
         "unigram" -> graft.llm.TextOps.llmUnigramLogprob,
         "mixture" -> graft.llm.SampleOps.llmDomainMixture,
+        // round 7: the bigram LM pays a second model build (distinct pairs
+        // ≫ distinct tokens, still map-side-combined) + one pair-keyed
+        // scoring join — should track the unigram curve with a constant
+        // factor, not a new growth order
+        "perplexity" -> graft.llm.TextOps.llmPerplexityScore,
       )
       textOps.foreach { case (_, fn) => fn(spark, base).count() } // warmup
       graft.llm.TextOps.clearCaches()

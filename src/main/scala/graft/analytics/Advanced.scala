@@ -158,6 +158,41 @@ object Advanced {
       .orderBy("key_band")
   }
 
+  /** Runtime bloom-filter pushdown — the engine-native row-level runtime
+    * filter (Spark's InjectRuntimeFilter): when a shuffle join's build side
+    * carries a selective predicate, the optimizer aggregates a bloom filter
+    * over the build-side join keys and plants `might_contain` on the probe
+    * side's SCAN, so fact rows that cannot match are dropped before the
+    * shuffle instead of after it. At 100 TB this is a first-order win: a
+    * 1% - selective dim predicate means ~99% of the fact shuffle bytes
+    * never leave the mappers. Runs in a child session so the size
+    * thresholds (defaults: creation ≤ 10 MB, probe scan ≥ 10 GB — tuned
+    * for real clusters) can be opened up at test scale; broadcast is
+    * disabled because a broadcast join needs no runtime filter (the probe
+    * side already sees the build rows). Result provably equals the plain
+    * join (the oracle replays it); PlanSpec asserts might_contain sits in
+    * the probe-side scan's filters. */
+  val joinRuntimeBloom: QFn = (spark, sfDir) => {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = Tables(s, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val dim = Tables(s, sfDir, "orders")
+      // the selective build-side predicate the filter derives its value
+      // from: high-value open orders, ~2% of the table
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey"))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Mergeable distinct-count sketches — the re-aggregation property exact
     * distinct counts lack: per-(day, event_type) HLL sketches roll up to
     * per-type estimates by sketch UNION, never re-touching the raw events.
@@ -479,6 +514,7 @@ object Advanced {
     "window_lag_lead_delta" -> windowLagLeadDelta,
     "join_skew_salted" -> joinSkewSalted,
     "join_skew_aqe" -> joinSkewAqe,
+    "join_runtime_bloom" -> joinRuntimeBloom,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -615,6 +651,15 @@ object Advanced {
         "SELECT f.k % 10 AS key_band, count(*) AS n_rows, " +
         "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value " +
         "FROM f JOIN d ON f.k = d.k GROUP BY 1 ORDER BY key_band"),
+    // join_runtime_bloom: the runtime filter must be invisible in the
+    // result — the oracle replays the plain selective join
+    "join_runtime_bloom" ->
+      ("SELECT l_returnflag, count(*) AS n_lines, " +
+        "ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty " +
+        "FROM lineitem JOIN (SELECT o_orderkey FROM orders " +
+        "WHERE o_orderstatus = 'O' AND o_totalprice > 300000.0) o " +
+        "ON l_orderkey = o_orderkey " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // agg_hll_mergeable: estimate not oracle-replayable → ApproxSpec
     // agg_percentile_approx / agg_profile_approx: sketch estimates are
     // engine-specific → ApproxSpec pins them against their exact twins

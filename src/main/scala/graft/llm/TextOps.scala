@@ -37,6 +37,7 @@ object TextOps {
     }
     persistedFrames.clear()
     unigramCache.clear()
+    bigramCache.clear()
   }
 
   private[graft] def unigramModel(spark: org.apache.spark.sql.SparkSession,

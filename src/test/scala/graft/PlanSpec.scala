@@ -285,6 +285,16 @@ class PlanSpec extends AnyFunSuite {
       s"bucket-keyed join must be exchange-free:\n$p")
   }
 
+  test("runtime bloom filter lands might_contain on the fact-side scan") {
+    val df = graft.analytics.Advanced.joinRuntimeBloom(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("might_contain"),
+      s"InjectRuntimeFilter must plant the bloom probe on the fact side:\n$p")
+    assert(p.contains("bloom_filter_agg") || p.contains("ObjectHashAggregate"),
+      s"the filter must be built by the bloom aggregate:\n$p")
+  }
+
   test("semdedup centroid aggregate and pair join are exchange-free on bucket") {
     val df = graft.llm.DedupOps.llmDedupSemantic(spark, sfDir)
     df.collect()
