@@ -65,6 +65,27 @@ object Advanced {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Time-RANGE rolling aggregate — the frame the row-count frames
+    * (rowsBetween, [[windowRollingAvg]]) cannot express: "activity in the
+    * trailing 7 DAYS" is a value-range bound, so gaps and bursts in the
+    * event stream change the frame row count per row. Epoch-second ORDER
+    * BY keys the range numerically on both engines (Spark cast long and
+    * DuckDB floor(epoch()) truncate identically); RANGE includes ties
+    * (same-second events) as peers by definition in both. Per-user
+    * partitions keep the window linear — no global sort at any scale. */
+  val windowRollingRange: QFn = (spark, sfDir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+      .rangeBetween(-604800L, 0L) // 7 days in seconds
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("ts_sec"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        round(sum(col("value").cast("decimal(18,4)")).over(w)
+          .cast("double"), 2).as("sum_7d"))
+      .orderBy("event_id")
+  }
+
   /** Per-customer order cadence: days since the previous order (lag) and
     * the next order's key (lead) — the inter-purchase-interval analysis
     * behind README.md:160's "how frequently user is buying". */
@@ -511,6 +532,7 @@ object Advanced {
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_hll_mergeable" -> aggHllMergeable,
     "window_rolling_avg" -> windowRollingAvg,
+    "window_rolling_range" -> windowRollingRange,
     "window_lag_lead_delta" -> windowLagLeadDelta,
     "join_skew_salted" -> joinSkewSalted,
     "join_skew_aqe" -> joinSkewAqe,
@@ -651,6 +673,15 @@ object Advanced {
         "SELECT f.k % 10 AS key_band, count(*) AS n_rows, " +
         "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value " +
         "FROM f JOIN d ON f.k = d.k GROUP BY 1 ORDER BY key_band"),
+    // window_rolling_range: RANGE peers (same-second events) are included
+    // by definition in both engines; decimal sum keeps it exact
+    "window_rolling_range" ->
+      ("SELECT event_id, user_id, count(*) OVER w AS n_7d, " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 2) AS sum_7d " +
+        "FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec " +
+        "RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
     // join_runtime_bloom: the runtime filter must be invisible in the
     // result — the oracle replays the plain selective join
     "join_runtime_bloom" ->
