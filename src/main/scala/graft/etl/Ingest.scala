@@ -472,8 +472,8 @@ object Ingest {
     // written file = line bytes + 1 per trailing newline).
     "scan_binaryfile" ->
       ("SELECT CAST(doc_id % 8 AS INT) AS shard, " +
-        "SUM(strlen(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')) + 1) AS total_bytes, " +
-        "SUM(strlen(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')) + 1) AS fetched_bytes " +
+        "CAST(SUM(strlen(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')) + 1) AS BIGINT) AS total_bytes, " +
+        "CAST(SUM(strlen(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')) + 1) AS BIGINT) AS fetched_bytes " +
         "FROM documents GROUP BY 1 ORDER BY 1"),
     "sink_csv" ->
       "SELECT l_returnflag, ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
