@@ -26,11 +26,17 @@ object Bench {
     // aren't attributable. Skipped when no selected query touches them.
     val warmupSec: Double = {
       val w0 = System.nanoTime()
-      if (selected.keys.exists(_.startsWith("llm_")) ||
-          selected.contains("agg_sales_by_category_star"))
+      if (selected.keys.exists(_.startsWith("llm_")))
         try graft.llm.Warmup.indexes(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] index warmup failed: ${e.getMessage}")
+        }
+      // star stats are a separate warmup so a star-only selection does not
+      // pay for llm_* index materializations it never touches
+      if (selected.contains("agg_sales_by_category_star"))
+        try graft.llm.Warmup.starStats(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] star-stats warmup failed: ${e.getMessage}")
         }
       // one-time Derby OLTP seed (test scaffolding — at scale the source
       // database exists before the extract runs)

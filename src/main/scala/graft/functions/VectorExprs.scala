@@ -74,8 +74,10 @@ case class VectorDot(left: Expression, right: Expression)
   * pos) → avg → re-assemble) shuffles dim× more rows; VectorAvgSpec pins
   * equivalence against it.
   *
-  * Vectors are expected dense (no null elements) and same-dimension; the
-  * common prefix is averaged on mismatch. Empty groups yield null. */
+  * Vectors are expected dense (no null elements) and same-dimension;
+  * ragged dimensions within a group fail loudly (a silent common-prefix
+  * average would depend on which row a partition saw first). Empty
+  * groups yield null. */
 case class VectorAvg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -95,9 +97,12 @@ case class VectorAvg(
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       if (b.sums == null) b.sums = new Array[Double](arr.numElements())
-      val m = math.min(b.sums.length, arr.numElements())
+      else if (b.sums.length != arr.numElements())
+        throw new IllegalArgumentException(
+          s"vector_avg: ragged vector dimensions in one group " +
+            s"(${b.sums.length} vs ${arr.numElements()})")
       var i = 0
-      while (i < m) { b.sums(i) += arr.getDouble(i); i += 1 }
+      while (i < b.sums.length) { b.sums(i) += arr.getDouble(i); i += 1 }
       b.n += 1
     }
     b
@@ -107,9 +112,12 @@ case class VectorAvg(
     if (o.sums != null) {
       if (b.sums == null) { b.sums = o.sums.clone(); b.n = o.n }
       else {
-        val m = math.min(b.sums.length, o.sums.length)
+        if (b.sums.length != o.sums.length)
+          throw new IllegalArgumentException(
+            s"vector_avg: ragged vector dimensions across partitions " +
+              s"(${b.sums.length} vs ${o.sums.length})")
         var i = 0
-        while (i < m) { b.sums(i) += o.sums(i); i += 1 }
+        while (i < b.sums.length) { b.sums(i) += o.sums(i); i += 1 }
         b.n += o.n
       }
     }
@@ -183,9 +191,13 @@ case class VectorSumQ(
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       if (b.sums == null) b.sums = new Array[Long](arr.numElements())
-      val m = math.min(b.sums.length, arr.numElements())
+      else if (b.sums.length != arr.numElements())
+        throw new IllegalArgumentException(
+          s"vector_sumq: ragged vector dimensions in one group " +
+            s"(${b.sums.length} vs ${arr.numElements()}) — result would " +
+            "depend on partition order; fix the input instead")
       var i = 0
-      while (i < m) {
+      while (i < b.sums.length) {
         b.sums(i) += math.floor(arr.getDouble(i) * 1e6 + 0.5).toLong
         i += 1
       }
@@ -198,9 +210,12 @@ case class VectorSumQ(
     if (o.sums != null) {
       if (b.sums == null) { b.sums = o.sums.clone(); b.n = o.n }
       else {
-        val m = math.min(b.sums.length, o.sums.length)
+        if (b.sums.length != o.sums.length)
+          throw new IllegalArgumentException(
+            s"vector_sumq: ragged vector dimensions across partitions " +
+              s"(${b.sums.length} vs ${o.sums.length})")
         var i = 0
-        while (i < m) { b.sums(i) += o.sums(i); i += 1 }
+        while (i < b.sums.length) { b.sums(i) += o.sums(i); i += 1 }
         b.n += o.n
       }
     }

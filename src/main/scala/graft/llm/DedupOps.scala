@@ -338,15 +338,16 @@ object DedupOps {
     * differs by at most 1; ratio exactly 2 shifts bitlen by exactly 1 —
     * both inside the ±1 probe; this includes a doc vs its own 2×
     * repetition, whose simhash is identical). Worst-case retained ratio is
-    * just under 8 (bitlen diff 1 can span up to ratio 8 across two
-    * boundaries); every ratio >= 8 pair is dropped — far beyond any
+    * just under 4 (bitlen diff 1 spans at most min 2^(b-1) vs max
+    * 2^(b+1)-1); every ratio >= 4 pair is dropped — far beyond any
     * near-dup. Within-band chunk collisions are O(n_band²·8/65536);
     * corpora grow mostly by adding docs across the length spectrum, so
     * bands multiply the constant the way more buckets do for the RP
     * index, while the 8-chunk geometry halves the per-chunk collision
     * rate vs 4×16/64-bit. */
   /** Documents-corpus row count — the n the simhash chunk geometry derives
-    * from. One parquet metadata count per (session, sfDir), then cached. */
+    * from. One Spark count job per (session, sfDir), then cached (Catalyst
+    * may collapse it to parquet footer stats, but that is not guaranteed). */
   private val docCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
   private[graft] def docCount(spark: SparkSession, sfDir: String): Long =
     docCountCache.getOrElseUpdate(cacheKey(spark, sfDir),

@@ -43,6 +43,23 @@ class VectorExprSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("vector_sumq and vector_avg fail loudly on ragged dimensions") {
+    // ADVICE r7: min-truncating ragged vectors would make the result
+    // depend on which row a partition saw first — the aggregates' whole
+    // contract is layout-invariance, so mismatch must throw, not truncate.
+    for (fn <- Seq("vector_sumq", "vector_avg")) {
+      val e = intercept[Exception] {
+        spark.sql(
+          s"""SELECT $fn(v) FROM VALUES (array(1.0d, 2.0d)), (array(1.0d)) AS t(v)"""
+        ).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("ragged vector dimensions")),
+        s"$fn: expected ragged-dimension error, got: ${msgs(e).mkString(" | ")}")
+    }
+  }
+
   test("vector_dot casts float arrays and stays inside whole-stage codegen") {
     val df = graft.tables.Tables(spark, sfDir, "embeddings")
       .select(expr("vector_dot(embedding, embedding)").as("d")) // array<float> input
