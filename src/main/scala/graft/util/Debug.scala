@@ -1,8 +1,12 @@
 package graft.util
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Ad-hoc local profiling main (not part of the driver contract). */
+/** Ad-hoc local profiling main (not part of the driver contract).
+  * Round 8 focus: the indexed-consumer inversion — BENCH_r07 measured
+  * llm_dedup_minhash_indexed at 9× the in-memory twin even with the
+  * bucketed table warmed untimed. */
 object Debug {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,23 +22,49 @@ object Debug {
       val t0 = System.nanoTime(); val r = f
       println(f"[debug] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    def timedN(name: String, n: Int)(f: => Long): Unit =
+      (1 to n).foreach(i => timed(s"$name #$i")(println(s"[debug]   rows=$f")))
 
-    val sig = timed("sigIndex build+count") {
-      val s = graft.llm.DedupOps.sigIndex(spark, sfDir); s.count(); s
-    }
-    timed("sigIndex reread count")(sig.count())
-    println("[debug] avg shingles: " +
-      sig.selectExpr("avg(size(shingles))").collect().head)
-    timed("banded index count")(println("[debug] banded rows: " +
-      graft.llm.DedupOps.bandedIndex(spark, sfDir).count()))
-    timed("candidate pairs count")(println("[debug] candidates: " +
-      graft.llm.DedupOps.minhashCandidates(spark, sfDir).count()))
-    timed("minhash full")(println("[debug] minhash rows: " +
-      graft.llm.DedupOps.llmDedupMinhash(spark, sfDir).count()))
-    timed("ngram full")(println("[debug] ngram rows: " +
-      graft.llm.DedupOps.llmDedupNgramJaccard(spark, sfDir).count()))
-    timed("simhash full")(println("[debug] simhash rows: " +
-      graft.llm.DedupOps.llmDedupSimhash(spark, sfDir).count()))
+    // ---- warmup exactly like Bench does (untimed) ----
+    timed("warmup indexes")(graft.llm.Warmup.indexes(spark, sfDir))
+
+    // ---- the two consumers as benched ----
+    timedN("minhash in-memory", 3)(graft.llm.DedupOps.llmDedupMinhash(spark, sfDir).count())
+    timedN("minhash indexed (as shipped: merge hint)", 3)(
+      graft.llm.DedupOps.llmDedupMinhashIndexed(spark, sfDir).count())
+
+    // ---- where does indexed time go? ----
+    val tbl = graft.llm.DedupOps.sigTable(spark, sfDir)
+    val idx = spark.table(tbl)
+    timedN("sig table bare scan", 2)(idx.count())
+
+    def pairs(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, Seq("band", "bhash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("est",
+          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))") / lit(32.0))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared_bands"),
+          round(first(col("est")), 4).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+    val a = idx.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a"))
+    val b = idx.withColumnsRenamed(Map("doc_id" -> "doc_b", "sig" -> "sig_b"))
+    timedN("indexed join, merge hint", 3)(pairs(a.hint("merge"), b).count())
+    timedN("indexed join, no hint", 3)(pairs(a, b).count())
+    timedN("indexed join, shuffle_hash hint", 3)(pairs(a.hint("shuffle_hash"), b).count())
+
+    // ---- simhash pair ----
+    timedN("simhash in-memory", 3)(graft.llm.DedupOps.llmDedupSimhash(spark, sfDir).count())
+    timedN("simhash indexed (as shipped)", 3)(
+      graft.llm.DedupOps.llmDedupSimhashIndexed(spark, sfDir).count())
+    timedN("sim table bare scan", 2)(
+      spark.table(graft.llm.DedupOps.simTable(spark, sfDir)).count())
+
+    println("[debug] ---- plan: merge hint ----")
+    println(pairs(a.hint("merge"), b).queryExecution.executedPlan.toString.take(4000))
+    println("[debug] ---- plan: no hint ----")
+    println(pairs(a, b).queryExecution.executedPlan.toString.take(4000))
+
     spark.stop()
   }
 }
