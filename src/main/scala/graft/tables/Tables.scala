@@ -17,24 +17,37 @@ object Tables {
     // where the session reliably picks up the graft native functions
     graft.functions.GraftFunctions.ensure(spark)
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-      // natively: read the raw nanos as long, truncate to micros in-plan
-      // (same truncation DuckDB applies when casting ns→µs). The legacy flag
-      // is only needed while the relation's schema is resolved (the eager
-      // part of read.parquet), so restore it immediately — leaving it set
-      // would silently change how OTHER ns-timestamp parquet reads behave
-      // for the rest of the session.
+      // events.ts has shipped in two parquet generations:
+      //   (a) TIMESTAMP(NANOS), which Spark 4 refuses to read natively —
+      //       read the raw nanos as long (legacy flag) and truncate to
+      //       micros in-plan (the same truncation DuckDB applies for ns→µs);
+      //   (b) TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers
+      //       as TIMESTAMP_NTZ by default — disable that inference so the
+      //       stored micros map verbatim onto TimestampType's UTC instant,
+      //       bit-identical to what (a)'s div-1000 produced and independent
+      //       of the session time zone (an NTZ→LTZ cast would shift by it).
+      // Both flags only matter while the relation's schema is resolved (the
+      // eager part of read.parquet), so restore them immediately — leaving
+      // them set would silently change how OTHER timestamp parquet reads
+      // behave for the rest of the session.
       // synchronized: the set/restore races if two threads resolve reads on
       // the same session concurrently (conf is session-global mutable state)
       this.synchronized {
-        val key = "spark.sql.legacy.parquet.nanosAsLong"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "true")
-        try spark.read.parquet(s"$sfDir/$name.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
+        val flags = Seq(
+          "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+          "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
+        val prev = flags.map { case (k, _) => k -> spark.conf.getOption(k) }
+        flags.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val df = spark.read.parquet(s"$sfDir/$name.parquet")
+          df.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType => // generation (a): nanos-as-long
+              df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+            case _ => df // generation (b): already TimestampType with exact micros
+          }
+        } finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
         }
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
