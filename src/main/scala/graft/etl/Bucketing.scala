@@ -138,10 +138,72 @@ object Bucketing {
       .orderBy("o_orderstatus")
   }
 
+  /** Dynamic partition pruning — the runtime counterpart to static
+    * partition pruning, and the engine-native form of the reference's
+    * Spectrum pattern (README.md:92-94: the lake table is partitioned, the
+    * DW dim carries the predicate). The fact (lineitem, hive-partitioned on
+    * ship year) joins a dim whose predicate is NOT expressible on the
+    * partition column statically: "years whose order revenue ran below the
+    * cross-year average" — an aggregate property only known at runtime.
+    * Catalyst's PartitionPruning rule turns the dim's broadcast exchange
+    * into a `dynamicpruning` subquery on the fact scan's PartitionFilters,
+    * so non-qualifying partitions are never even listed. At 100 TB this is
+    * the partition-level sibling of join_runtime_bloom's row-level filter:
+    * a 1-of-N-years dim selection reads 1/N of the fact BYTES with zero
+    * extra passes (the broadcast is reused, so the filter is free).
+    * Constraint propagation canNOT do this statically — the predicate
+    * lives on an aggregate column, not on the join key. The oracle replays
+    * the same join on the raw table (layout-invariance); PlanSpec asserts
+    * `dynamicpruning` sits in the fact scan's partition filters and that
+    * the dim side broadcast. At sf0.01 the dim selects 1 of 7 years (the
+    * trailing partial year), so the pruned scan reads ~14% of the fact. */
+  val joinDppPrune: QFn = (spark, sfDir) => {
+    val suffix = graft.util.Scratch.pathTag(sfDir)
+    val tbl = s"lineitem_dpp_$suffix"
+    val dir = Scratch.dir(s"dpp_$suffix")
+    Tables(spark, sfDir, "lineitem")
+      .withColumn("l_year", year(col("l_shipdate")))
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_year")
+      .repartition(col("l_year"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("l_year")
+      .option("path", s"$dir/$tbl").saveAsTable(tbl)
+    val yr = Tables(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("yr_total"))
+    // the cross-year average via an unpartitioned window over the YEARS
+    // frame (a handful of rows at any fact scale — the single partition is
+    // harmless here, unlike on fact data). Deliberately NOT the
+    // crossJoin(broadcast(avg)) scalar pattern: that filter gets rewritten
+    // into a join condition, and Catalyst's PartitionPruning rule only
+    // recognizes the dim side as "filtering" if a literal Filter node with
+    // a selective predicate survives in its subtree — above a window it
+    // does, so the DPP subquery actually plants.
+    val dim = yr
+      .withColumn("avg_total",
+        avg(col("yr_total")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("yr_total") < col("avg_total"))
+      .select("y")
+    // broadcast the DIM explicitly: its post-aggregate size estimate is
+    // huge (unknown stats), so the planner would otherwise broadcast the
+    // small test-scale FACT (BuildLeft) — and a broadcast fact can't be
+    // partition-pruned. At 100 TB the fact is never the build side anyway;
+    // the hint makes the test-scale plan match the production shape, and
+    // PartitionPruning reuses this broadcast for the pruning subquery.
+    spark.table(tbl)
+      .join(broadcast(dim), col("l_year") === col("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_rev"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, QFn] = Map(
     "sink_bucketed_colocated" -> sinkBucketedColocated,
     "sink_zorder_cluster" -> sinkZorderCluster,
     "sink_partitioned_bucketed" -> sinkPartitionedBucketed,
+    "join_dpp_prune" -> joinDppPrune,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -158,6 +220,18 @@ object Bucketing {
         "FROM orders WHERE year(o_orderdate) = 1997 " +
         "AND o_custkey BETWEEN 0 AND 50 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // layout-invariance: the DPP-pruned partitioned read-back must equal
+    // the raw-table join; the below-average year selection replays as a
+    // scalar subquery over the same CTE
+    "join_dpp_prune" ->
+      ("WITH yr AS (SELECT year(o_orderdate) AS y, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS yr_total " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT l_returnflag, count(*) AS n_lines, " +
+        "ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_rev " +
+        "FROM lineitem JOIN yr ON year(l_shipdate) = yr.y " +
+        "WHERE yr_total < (SELECT AVG(yr_total) FROM yr) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // the oracle scans the RAW table: a correct clustering rewrite must be
     // invisible to query results
     "sink_zorder_cluster" ->

@@ -290,6 +290,10 @@ object StreamOps {
     val now = System.currentTimeMillis()
     var stamped = Set.empty[String]
     drops.zipWithIndex.foreach { case (d, i) =>
+      // FIXTURE-ONLY repartition(1): each drop must land as exactly one
+      // part-file so mtime stamping gives one file per micro-batch — this
+      // simulates the reference's per-hour S3 drops. Never copy this into
+      // an operator's query plan; it would funnel all rows through one task.
       d.repartition(1).write
         .mode(if (i == 0) "overwrite" else "append").parquet(s"$base/src")
       stamped = stamped ++
@@ -408,6 +412,9 @@ object StreamOps {
     val dirs = Array(s"$base/stateA", s"$base/stateB")
     val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
     val now = System.currentTimeMillis()
+    // FIXTURE-ONLY repartition(1) (here and below): one part-file per
+    // staged drop so mtime stamping maps 1 drop → 1 micro-batch. This is
+    // ingest simulation, not a query-plan pattern — never use in operators.
     docs.filter(col("doc_id") <= mid).repartition(1)
       .write.mode("overwrite").parquet(incoming)
     val firstDrop = stampDrop(incoming, now - 120000)

@@ -26,12 +26,28 @@ object Tables {
       //       stored micros map verbatim onto TimestampType's UTC instant,
       //       bit-identical to what (a)'s div-1000 produced and independent
       //       of the session time zone (an NTZ→LTZ cast would shift by it).
-      // Both flags only matter while the relation's schema is resolved (the
-      // eager part of read.parquet), so restore them immediately — leaving
-      // them set would silently change how OTHER timestamp parquet reads
-      // behave for the rest of the session.
+      // Scope of the set/restore (ADVICE r8 correction): nanosAsLong is
+      // consulted ONLY while the relation's schema is resolved (the eager
+      // part of read.parquet), but inferTimestampNTZ is ALSO re-read from
+      // the session conf at physical-planning time (ParquetFileFormat
+      // copies it into the executor hadoopConf) — i.e. after the finally
+      // below restores it. That divergence is benign here because the
+      // analysis-time catalyst schema (TimestampType) drives the vectorized
+      // updater and an NTZ-file→LTZ-catalyst read is permitted; it would
+      // bite if mergeSchema or executor-side schema conversion were added
+      // to this read. A per-read parquet option would remove the divergence
+      // entirely, but Spark 4.1.2's ParquetOptions has no inferTimestampNTZ
+      // read option (verified against the jar — the option string is
+      // silently ignored and inference runs anyway), so the session-conf
+      // dance is the only spelling available. Restore both immediately:
+      // leaving them set would silently change how OTHER timestamp parquet
+      // reads behave for the rest of the session.
       // synchronized: the set/restore races if two threads resolve reads on
-      // the same session concurrently (conf is session-global mutable state)
+      // the same session concurrently (conf is session-global mutable
+      // state) — any concurrent read.parquet on this session during the
+      // window also sees NTZ inference off; no concurrent loads exist in
+      // this repo (Verify/Bench load sequentially; specs share the fixture
+      // session serially), and the window is schema-resolution-short.
       this.synchronized {
         val flags = Seq(
           "spark.sql.legacy.parquet.nanosAsLong" -> "true",

@@ -295,6 +295,21 @@ class PlanSpec extends AnyFunSuite {
       s"the filter must be built by the bloom aggregate:\n$p")
   }
 
+  test("dpp join prunes fact partitions via a dynamicpruning subquery") {
+    val df = graft.etl.Bucketing.joinDppPrune(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    // the fact scan's PartitionFilters must carry the runtime subquery —
+    // the partition set is only known after the dim aggregate runs, so a
+    // static filter here is impossible and its absence means a full scan
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n$p")
+    // the dim side must broadcast: DPP reuses that exchange, making the
+    // pruning subquery free (reuseBroadcastOnly default)
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim side must broadcast so the pruning filter reuses the exchange:\n$p")
+  }
+
   test("semdedup centroid aggregate and pair join are exchange-free on bucket") {
     val df = graft.llm.DedupOps.llmDedupSemantic(spark, sfDir)
     df.collect()
