@@ -38,6 +38,15 @@ object ScaleCheck {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
       "dedup,sim,text,window,width,cluster").split(",").toSet
+    // Per-section scale-tier overrides (round 9): the width/sim curves
+    // extend one octave per round and re-running the recorded lower tiers
+    // every time wastes the wall-clock budget — an override like
+    // SPARK_GRAFT_WIDTH_SCALES=64,128 runs the new octave plus one
+    // overlapping recorded tier for same-host comparability.
+    def scalesEnv(key: String, default: Seq[Int]): Seq[Int] =
+      sys.env.get(key).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(default)
+    val simScales = scalesEnv("SPARK_GRAFT_SIM_SCALES", Seq(1, 2, 4, 8))
+    val widthScales = scalesEnv("SPARK_GRAFT_WIDTH_SCALES", Seq(8, 32, 64))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -137,7 +146,7 @@ object ScaleCheck {
       graft.llm.DedupOps.clearCaches()
       graft.llm.SimilarityOps.clearCaches()
 
-      Seq(1, 2, 4, 8).foreach { scale =>
+      simScales.foreach { scale =>
         val dir = embDir(scale, "emb")
         val tIndex = time { graft.llm.DedupOps.embIndex(spark, dir).count() }
         val timed = Seq(
@@ -306,7 +315,7 @@ object ScaleCheck {
       //   embedding RP: bits derive from n (occupancy ~8), so per-vec
       //     bucket-pair work must stay FLAT — this is the round-6 fix
       //     under test.
-      Seq(8, 32, 64).foreach { scale =>
+      widthScales.foreach { scale =>
         val ddir = docsDir(scale, "width_docs")
         val nDocs = spark.read.parquet(s"$ddir/documents.parquet").count()
         val mh = graft.llm.DedupOps.minhashCandidates(spark, ddir).count()

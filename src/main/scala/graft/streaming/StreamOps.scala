@@ -37,9 +37,23 @@ object StreamOps {
   private[graft] val RocksProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  private[graft] val HdfsProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
   /** Test hook: StreamingSpec sets this to pin a run to a specific
     * provider (e.g. the HDFS twin) — None means RocksDB. */
   @volatile private[graft] var providerOverride: Option[String] = None
+
+  /** Provider resolution: the in-process override wins (StreamingSpec),
+    * then SPARK_GRAFT_STATE_PROVIDER=hdfs|rocksdb (the bench A/B knob —
+    * lets a Bench invocation pin the provider without a code edit), then
+    * the RocksDB default. */
+  private def provider: String =
+    providerOverride.getOrElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER") match {
+      case Some("hdfs") => HdfsProvider
+      case Some("rocksdb") | None => RocksProvider
+      case Some(other) => other // explicit provider class passes through
+    })
 
   /** Dedicated child session for a stateful stream, with a shuffle-partition
     * count sized to the stream. The partition count of a stateful query is a
@@ -55,8 +69,7 @@ object StreamOps {
   private def streamSession(spark: SparkSession, n: Int): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", n.toString)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      providerOverride.getOrElse(RocksProvider))
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     ss
   }
 

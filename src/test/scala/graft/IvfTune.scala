@@ -9,6 +9,25 @@ import org.apache.spark.sql.functions._
   * Run: sbt "Test/runMain graft.IvfTune"
   */
 object IvfTune {
+  /** PREFIX of the cosine-ranked cell list whose cumulative occupancy
+    * stays <= frac*n (>= 1 cell) — the shape a window cumsum filter
+    * expresses in a DataFrame plan (cumsum is monotone, so the filter
+    * keeps a prefix; no skip-the-big-cell cherry-picking). */
+  private def cumPolicy(frac: Double, cellSizes: Map[Int, Long], n: Long)
+      : Seq[(Int, Double)] => Seq[Int] = ranked => {
+    val budget = frac * n
+    var cum = 0L
+    val out = Seq.newBuilder[Int]
+    var taken = 0
+    var stopped = false
+    for ((c, _) <- ranked if !stopped) {
+      val sz = cellSizes.getOrElse(c, 0L)
+      if (taken == 0 || cum + sz <= budget) { out += c; cum += sz; taken += 1 }
+      else stopped = true
+    }
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -56,17 +75,31 @@ object IvfTune {
       // per query: rank cells by cosine(query, centroid), probe top-p
       val qs = e.filter(col("vec_id") < nq).select("vec_id", "emb").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-      for (nprobe <- Seq(28)) {
-        var recallSum = 0.0; var scannedSum = 0.0
+      // Probe policies under comparison (round 9, VERDICT r8 #5):
+      //  fixed-<p>: top-p cells by centroid cosine (the shipped r7 policy)
+      //  cum-<f>:   cosine-ranked cells taken while the CUMULATIVE row
+      //             count stays <= f*n (>= 1 cell) — occupancy-aware, so
+      //             the scan budget is spent on many small centroid-close
+      //             cells instead of cut off mid-list by populous ones
+      val policies: Seq[(String, Seq[(Int, Double)] => Seq[Int])] = Seq(
+        "fixed-28" -> ((ranked: Seq[(Int, Double)]) => ranked.take(28).map(_._1)),
+        "cum-0.44" -> cumPolicy(0.4375, cellSizes, n),
+        "cum-0.40" -> cumPolicy(0.40, cellSizes, n),
+        "cum-0.35" -> cumPolicy(0.35, cellSizes, n),
+        "cum-0.30" -> cumPolicy(0.30, cellSizes, n))
+      for ((pname, pick) <- policies) {
+        var recallSum = 0.0; var scannedSum = 0.0; var cellsSum = 0
         for ((qid, qv) <- qs) {
           val qn = math.sqrt(qv.map(x => x * x).sum)
-          val ranked = centers.zipWithIndex.map { case (c, i) =>
+          val rankedAll = centers.zipWithIndex.map { case (c, i) =>
             val dot = c.zip(qv).map { case (a, b) => a * b }.sum
             val cn = math.sqrt(c.map(x => x * x).sum)
             (i, dot / (cn * qn))
-          }.sortBy(-_._2).take(nprobe).map(_._1).toSet
-          val scanned = ranked.toSeq.map(c => cellSizes.getOrElse(c, 0L)).sum
-          val got = assigned.filter(col("cell").isin(ranked.toSeq: _*) && col("vec_id") =!= qid)
+          }.sortBy { case (i, s) => (-s, i) }.toSeq
+          val rankedSet = pick(rankedAll).toSet
+          val scanned = rankedSet.toSeq.map(c => cellSizes.getOrElse(c, 0L)).sum
+          cellsSum += rankedSet.size
+          val got = assigned.filter(col("cell").isin(rankedSet.toSeq: _*) && col("vec_id") =!= qid)
             .crossJoin(broadcast(e.filter(col("vec_id") === qid)
               .select(col("emb").as("qv"), col("norm").as("qnorm"))))
             .select(col("vec_id"),
@@ -77,7 +110,7 @@ object IvfTune {
           recallSum += got.intersect(exact(qid)).size / 20.0
           scannedSum += scanned.toDouble / n
         }
-        println(f"RESULT unit=$useUnit nlist=$nlist nprobe=$nprobe recall=${recallSum / qs.length}%.3f scanned=${scannedSum / qs.length}%.3f")
+        println(f"RESULT unit=$useUnit nlist=$nlist policy=$pname recall=${recallSum / qs.length}%.3f scanned=${scannedSum / qs.length}%.3f cells=${cellsSum.toDouble / qs.length}%.1f")
       }
       assigned.unpersist()
     }
