@@ -273,9 +273,17 @@ object GraftFunctions {
       VectorSumQ(exprs.head)
     })
 
-  def ensure(spark: SparkSession): Unit =
+  def ensure(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "built-in")
+      // register only when absent: createOrReplace on an existing name logs
+      // a "replaced a previously registered function" WARN per call — noise
+      // at every table load (VERDICT r8 residual nit). A lost race between
+      // two threads both seeing absent is harmless: both register the same
+      // builder.
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+  }
 }
