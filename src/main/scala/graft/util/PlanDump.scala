@@ -24,7 +24,9 @@ object PlanDump {
       // round 5
       "llm_chunk_documents", "llm_tfidf_topterms",
       "join_interval_overlap", "llm_unigram_logprob", "llm_domain_mixture",
-      "sink_zorder_cluster")
+      "sink_zorder_cluster",
+      // round 9
+      "join_dpp_prune")
     picks.foreach { name =>
       println(s"\n======== $name ========")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
