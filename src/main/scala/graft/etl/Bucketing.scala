@@ -179,6 +179,8 @@ object Bucketing {
     // recognizes the dim side as "filtering" if a literal Filter node with
     // a selective predicate survives in its subtree — above a window it
     // does, so the DPP subquery actually plants.
+    // the "No Partition Defined" WARN this logs is accurate and accepted:
+    // the single partition holds the 7-row YEAR frame, never fact data
     val dim = yr
       .withColumn("avg_total",
         avg(col("yr_total")).over(org.apache.spark.sql.expressions.Window.partitionBy()))

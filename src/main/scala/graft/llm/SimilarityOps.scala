@@ -216,6 +216,8 @@ object SimilarityOps {
     val cellRows = assigned.groupBy("cell").count()
     val q = assigned.filter(col("vec_id") === 0)
       .select(col("emb").as("qv"), col("norm").as("qnorm"))
+    // the "No Partition Defined" WARN this logs is accurate and accepted:
+    // the single partition holds the <=4096-row cell frame, never vectors
     val w = Window.orderBy(col("csim").desc, col("cell"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     centers.crossJoin(broadcast(q))
