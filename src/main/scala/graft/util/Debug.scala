@@ -25,6 +25,20 @@ object Debug {
     def timedN(name: String, n: Int)(f: => Long): Unit =
       (1 to n).foreach(i => timed(s"$name #$i")(println(s"[debug]   rows=$f")))
 
+    // Round 9 focus (SPARK_GRAFT_DEBUG=profile_twins): the band showed
+    // agg_profile_approx (HLL buffers, no Expand) at 1.5× its EXACT twin
+    // at sf0.1 — is that steady-state HLL update cost or first-run JIT?
+    if (sys.env.get("SPARK_GRAFT_DEBUG").contains("profile_twins")) {
+      timedN("table_profile (exact, Expand)", 4)(
+        graft.analytics.Advanced.aggTableProfile(spark, sfDir).count())
+      timedN("profile_approx (HLL, no Expand)", 4)(
+        graft.analytics.Advanced.aggProfileApprox(spark, sfDir).count())
+      timedN("table_profile again (order swap)", 2)(
+        graft.analytics.Advanced.aggTableProfile(spark, sfDir).count())
+      spark.stop()
+      return
+    }
+
     // ---- warmup exactly like Bench does (untimed) ----
     timed("warmup indexes")(graft.llm.Warmup.indexes(spark, sfDir))
 
