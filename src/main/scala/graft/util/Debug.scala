@@ -39,6 +39,21 @@ object Debug {
       return
     }
 
+    // Round 9 (SPARK_GRAFT_DEBUG=funnel_writes): steady-state cost of the
+    // three ops whose partitioned writes gained the pmod spreader — the
+    // band medians (pre-fix: dpp 1.64 / upsert_po 1.29 / orc 1.25) are
+    // the comparison point.
+    if (sys.env.get("SPARK_GRAFT_DEBUG").contains("funnel_writes")) {
+      timedN("join_dpp_prune", 4)(
+        graft.etl.Bucketing.joinDppPrune(spark, sfDir).count())
+      timedN("upsert_partition_overwrite", 4)(
+        graft.etl.Upsert.upsertPartitionOverwrite(spark, sfDir).count())
+      timedN("sink_orc_roundtrip", 4)(
+        graft.etl.Ingest.sinkOrcRoundtrip(spark, sfDir).count())
+      spark.stop()
+      return
+    }
+
     // ---- warmup exactly like Bench does (untimed) ----
     timed("warmup indexes")(graft.llm.Warmup.indexes(spark, sfDir))
 
