@@ -45,6 +45,7 @@ object ScaleCheck {
     // overlapping recorded tier for same-host comparability.
     def scalesEnv(key: String, default: Seq[Int]): Seq[Int] =
       sys.env.get(key).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(default)
+    val dedupScales = scalesEnv("SPARK_GRAFT_DEDUP_SCALES", Seq(1, 2, 4, 8))
     val simScales = scalesEnv("SPARK_GRAFT_SIM_SCALES", Seq(1, 2, 4, 8))
     val widthScales = scalesEnv("SPARK_GRAFT_WIDTH_SCALES", Seq(8, 32, 64))
     val spark = SparkSession.builder()
@@ -115,7 +116,7 @@ object ScaleCheck {
         "pipeline" -> graft.llm.DedupOps.llmPipelineCleanCorpus,
       )
 
-      Seq(1, 2, 4, 8).foreach { scale =>
+      dedupScales.foreach { scale =>
         val dir = docsDir(scale, "dedup")
         val tIndex = time {
           graft.llm.DedupOps.sigIndex(spark, dir).count()
