@@ -141,11 +141,16 @@ object Bench {
     // leveled comparison (indexed simhash beats its twin outright; indexed
     // minhash 0.26-0.35 s vs a 0.12 s cache read).
     // ASCII only: println encodes with the JVM default charset, and a
-    // non-UTF8 locale would turn an em-dash into '?' inside the JSON
-    val twinNote = "in-memory twins (llm_dedup_minhash, llm_dedup_ngram_jaccard, " +
-      "llm_dedup_cluster, llm_dedup_simhash, llm_dedup_embedding) read " +
-      "warmup-persisted frames; *_indexed twins re-run their stored-table " +
-      "join per call - not like-for-like; see BASELINE.md r8 profile"
+    // non-UTF8 locale would turn an em-dash into '?' inside the JSON.
+    // The four actual twin PAIRS are named (review finding r9: the first
+    // draft listed ops with no *_indexed twin and omitted decontaminate);
+    // ngram_jaccard/cluster are persisted-frame consumers without twins.
+    val twinNote = "twin pairs (llm_dedup_minhash, llm_dedup_simhash, " +
+      "llm_dedup_embedding, llm_decontaminate vs their *_indexed forms) are " +
+      "not like-for-like: the in-memory side reads warmup-persisted frames, " +
+      "the *_indexed side re-runs its stored-table join per call; " +
+      "llm_dedup_ngram_jaccard/llm_dedup_cluster also ride persisted frames " +
+      "(no indexed twin); see BASELINE.md r8 profile"
     println(s"""{"metric":"queries","sf":"$sfDir","twin_note":"$twinNote","detail":$qs}""")
     println(s"""{"metric":"queries_normalized","sf":"$sfDir","host_factor":${f3(hostFactor)},"detail":$qsNorm}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"streaming_sec":${f3(streamingSec)},"analytic_sec":${f3(analyticSec)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"calib_nominal":${f3(calibNominal)},"calib_shuffle_nominal":${f3(calibShuffleNominal)},"calib_abnormal":$calibAbnormal,"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"sf":"$sfDir"}""")

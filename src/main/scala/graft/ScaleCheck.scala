@@ -44,7 +44,12 @@ object ScaleCheck {
     // SPARK_GRAFT_WIDTH_SCALES=64,128 runs the new octave plus one
     // overlapping recorded tier for same-host comparability.
     def scalesEnv(key: String, default: Seq[Int]): Seq[Int] =
-      sys.env.get(key).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(default)
+      sys.env.get(key).map { raw =>
+        val toks = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(toks.nonEmpty && toks.forall(_.forall(_.isDigit)),
+          s"$key must be a comma list of positive ints, got '$raw'")
+        toks.map(_.toInt)
+      }.getOrElse(default)
     val dedupScales = scalesEnv("SPARK_GRAFT_DEDUP_SCALES", Seq(1, 2, 4, 8))
     val simScales = scalesEnv("SPARK_GRAFT_SIM_SCALES", Seq(1, 2, 4, 8))
     val widthScales = scalesEnv("SPARK_GRAFT_WIDTH_SCALES", Seq(8, 32, 64))
@@ -156,7 +161,7 @@ object ScaleCheck {
           "similarity_ann" ->
             time(graft.llm.SimilarityOps.llmSimilarityAnn(spark, dir).count()),
           // ivf pays its k-means fit per corpus (bounded sample, but
-          // nlist derives ~sqrt(8n): 128 cells at x1 → 512 at x8) — the
+          // nlist derives ~sqrt(32n): 512 cells at x1 → 2048 at x8) — the
           // one op whose index build must grow with the derived geometry
           "similarity_ivf" ->
             time(graft.llm.SimilarityOps.llmSimilarityIvf(spark, dir).count()),

@@ -167,7 +167,23 @@ object SimilarityOps {
     }
     persistedFrames.clear()
     ivfCache.clear()
+    cellRowsCache.clear()
   }
+
+  /** Per-cell occupancy of the IVF index — static index METADATA (nlist
+    * rows), computed once per (session, sfDir) and persisted: the probe
+    * prefix consumes it per query, and recomputing it would be a full
+    * corpus pass per call (review finding, round 9). */
+  private val cellRowsCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private[graft] def ivfCellRows(spark: org.apache.spark.sql.SparkSession,
+                                 sfDir: String): org.apache.spark.sql.DataFrame =
+    cellRowsCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + sfDir, {
+      val (assigned, _) = ivfIndex(spark, sfDir)
+      tracked(assigned.groupBy("cell").count()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
 
   private[graft] def ivfIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String) =
     ivfCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + sfDir, {
@@ -213,7 +229,7 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val (assigned, centers) = ivfIndex(spark, sfDir)
     val n = math.max(1L, DedupOps.embCount(spark, sfDir))
-    val cellRows = assigned.groupBy("cell").count()
+    val cellRows = ivfCellRows(spark, sfDir)
     val q = assigned.filter(col("vec_id") === 0)
       .select(col("emb").as("qv"), col("norm").as("qnorm"))
     // the "No Partition Defined" WARN this logs is accurate and accepted:

@@ -81,10 +81,11 @@ class AnnScaleSpec extends AnyFunSuite {
 
   test("×8 corpus through IVF: recall@20 >= 0.8 at <= 50% of corpus scanned") {
     // VERDICT r7 task 6: IvfTune pins recall only at the 500-row tier
-    // (nlist=64); this drives the DERIVED geometry at ×8 (n≈4025 →
-    // nlist=256, nprobe=112) through the same planted corpus. The scanned
-    // fraction is counted in ROWS of the probed cells — the true cost —
-    // not in cells, since cell populations are skewed.
+    // (nlist=128 under the round-9 sqrt(32n) rule); this drives the
+    // DERIVED geometry at ×8 (n≈4025 → nlist=512, probe = 40% row-budget
+    // prefix) through the same planted corpus. The scanned fraction is
+    // counted in ROWS of the probed cells — the true cost — not in
+    // cells, since cell populations are skewed.
     val dir = plantedX8Dir
     val exact = exactTop20(dir)
     val ivf = graft.llm.SimilarityOps.llmSimilarityIvf(spark, dir)

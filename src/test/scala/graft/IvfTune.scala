@@ -13,7 +13,7 @@ object IvfTune {
     * stays <= frac*n (>= 1 cell) — the shape a window cumsum filter
     * expresses in a DataFrame plan (cumsum is monotone, so the filter
     * keeps a prefix; no skip-the-big-cell cherry-picking). */
-  private def cumPolicy(frac: Double, cellSizes: Map[Int, Long], n: Long)
+  private[graft] def cumPolicy(frac: Double, cellSizes: Map[Int, Long], n: Long)
       : Seq[(Int, Double)] => Seq[Int] = ranked => {
     val budget = frac * n
     var cum = 0L

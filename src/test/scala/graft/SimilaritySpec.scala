@@ -59,7 +59,6 @@ class SimilaritySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val (assigned, centers) = graft.llm.SimilarityOps.ivfIndex(spark, sfDir)
     val n = assigned.count().toDouble
-    val budget = graft.llm.SimilarityOps.IvfScanBudget * n
     // sf0.001 is small: evaluate on the driver against the same persisted
     // index the operator reads (exact ground truth = brute-force cosine)
     val rows = assigned.select("vec_id", "emb", "norm", "cell").collect()
@@ -75,19 +74,16 @@ class SimilaritySpec extends AnyFunSuite {
       val exact = rows.filter(_._1 != qid)
         .sortBy { case (id, v, vn, _) => (-cos(v, vn), id) }.take(20).map(_._1).toSet
       // replicate the operator's probe policy: cosine-ranked cells, kept
-      // while the cumulative occupancy prefix fits the row budget
+      // while the cumulative occupancy prefix fits the row budget — via
+      // the SAME driver-side helper IvfTune measures with (one copy; the
+      // independent replication that pins the OPERATOR is this ranking +
+      // the DataFrame plan, not a third hand-rolled loop)
       val ranked = ctr.toSeq.map { case (c, cv) =>
         val cn = math.sqrt(cv.map(x => x * x).sum)
         (c, cv.zip(qv).map { case (a, b) => a * b }.sum / (cn * qn))
       }.sortBy { case (c, s) => (-s, c) }
-      var cum = 0L
-      var stopped = false
-      val probed = scala.collection.mutable.Set.empty[Int]
-      for ((c, _) <- ranked if !stopped) {
-        val sz = cellSize.getOrElse(c, 0).toLong
-        if (probed.isEmpty || cum + sz <= budget) { probed += c; cum += sz }
-        else stopped = true
-      }
+      val probed = IvfTune.cumPolicy(graft.llm.SimilarityOps.IvfScanBudget,
+        cellSize.map { case (c, s) => c -> s.toLong }, n.toLong)(ranked).toSet
       val got = rows.filter(r => r._1 != qid && probed(r._4))
         .sortBy { case (id, v, vn, _) => (-cos(v, vn), id) }.take(20).map(_._1).toSet
       recallSum += got.intersect(exact).size / 20.0

@@ -22,12 +22,15 @@ def load_runs(path):
                 runs.append({"detail": d["detail"]})
         elif '"metric":"total"' in line:
             t = json.loads(line)
+            if not runs:
+                continue  # truncated band file: total line without queries
             runs[-1].update(total=t["value"], calib=t["calib_sec"],
                             calib_shuffle=t["calib_shuffle_sec"],
                             streaming=t["streaming_sec"],
                             analytic=t["analytic_sec"],
                             failed=t["failed"], n=t["n_queries"])
-    return runs
+    # drop runs whose total line never arrived (crashed/truncated run)
+    return [r for r in runs if "total" in r]
 
 
 def main():
@@ -44,18 +47,23 @@ def main():
         print(f"  run{i}: total={r['total']:.1f}s streaming={r['streaming']:.1f} "
               f"analytic={r['analytic']:.1f} calib={r['calib']:.3f}/"
               f"{r['calib_shuffle']:.3f} failed={r['failed']}/{r['n']}")
-    keys = sorted(runs[0]["detail"])
+    # union of keys across runs: a mid-band binary change can add/remove
+    # queries, and runs[0] alone would silently drop the additions
+    keys = sorted({k for r in runs for k in r["detail"]})
     med = {}
     print("\nper-query median (top 25 by median):")
     for k in keys:
         vals = [r["detail"][k] for r in runs if r["detail"].get(k, -1) >= 0]
         med[k] = statistics.median(vals) if vals else -1
     for k in sorted(med, key=med.get, reverse=True)[:25]:
-        vals = [r["detail"][k] for r in runs]
+        vals = [r["detail"].get(k, -1) for r in runs]
         print(f"  {k}: med={med[k]:.2f} runs={['%.2f' % v for v in vals]}")
-    tot_med = sum(v for v in med.values() if v >= 0)
-    print(f"\nsum of per-query medians: {tot_med:.1f}s over {len(keys)} queries "
-          f"= {tot_med / len(keys):.3f} s/query")
+    good = {k: v for k, v in med.items() if v >= 0}
+    tot_med = sum(good.values())
+    n_failed = len(keys) - len(good)
+    print(f"\nsum of per-query medians: {tot_med:.1f}s over {len(good)} queries "
+          f"= {tot_med / max(1, len(good)):.3f} s/query"
+          + (f" ({n_failed} queries failed in all runs, excluded)" if n_failed else ""))
     if prior:
         print("\nvs prior run detail (>30% median move, >0.2s absolute):")
         for k in keys:
