@@ -46,9 +46,14 @@ object ScaleCheck {
     def scalesEnv(key: String, default: Seq[Int]): Seq[Int] =
       sys.env.get(key).map { raw =>
         val toks = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        require(toks.nonEmpty && toks.forall(_.forall(_.isDigit)),
+        // Validate the PARSED values, not just the character class: "0"
+        // is all-digits but propagates a zero scale into the replica
+        // corpus builders, and >Int.MaxValue digits throw from toInt with
+        // a message that contradicts the "positive ints" contract.
+        val parsed = toks.map(t => scala.util.Try(t.toInt).toOption)
+        require(toks.nonEmpty && parsed.forall(_.exists(_ > 0)),
           s"$key must be a comma list of positive ints, got '$raw'")
-        toks.map(_.toInt)
+        parsed.flatten
       }.getOrElse(default)
     val dedupScales = scalesEnv("SPARK_GRAFT_DEDUP_SCALES", Seq(1, 2, 4, 8))
     val simScales = scalesEnv("SPARK_GRAFT_SIM_SCALES", Seq(1, 2, 4, 8))

@@ -1,13 +1,22 @@
 #!/usr/bin/env python3
 """Summarize a multi-run bench band file (lines from graft.Bench runs).
 
-Usage: python3 tools/band_summary.py target/band_r9.txt [BENCH_r08.json]
+Usage: python3 tools/band_summary.py target/band_r10.txt [PRIOR]
 
-Prints per-query min/median/max across the runs, the calib pairs, and —
-when a prior BENCH_rN.json is given — the queries whose median moved
-more than 30% vs that round's detail.
+PRIOR may be:
+  - a raw band file (lines with {"metric":"queries",...}),
+  - a bench_detail.json written by graft.Bench (full per-query detail),
+  - a driver BENCH_rN.json wrapper (its 'tail' holds a TRUNCATED escaped
+    fragment of the detail line — pairs are recovered by regex and the
+    summary says how many, so "no regressions" can't be silently read
+    from an empty comparison).
+
+Prints per-query min/median/max across the runs, the calib triple, and —
+when a prior is given — the queries whose median moved more than 30% vs
+that prior's detail.
 """
 import json
+import re
 import statistics
 import sys
 
@@ -24,8 +33,17 @@ def load_runs(path):
             t = json.loads(line)
             if not runs:
                 continue  # truncated band file: total line without queries
+            if "total" in runs[-1]:
+                # ADVICE r9: a run whose queries line was lost (truncation)
+                # must NOT have its total pasted onto the PREVIOUS run's
+                # detail — drop the orphan total instead of mispairing.
+                print(f"[band_summary] WARNING: orphan total line dropped "
+                      f"(its queries line was missing): total={t['value']}",
+                      file=sys.stderr)
+                continue
             runs[-1].update(total=t["value"], calib=t["calib_sec"],
                             calib_shuffle=t["calib_shuffle_sec"],
+                            calib_io=t.get("calib_io_sec", -1.0),
                             streaming=t["streaming_sec"],
                             analytic=t["analytic_sec"],
                             failed=t["failed"], n=t["n_queries"])
@@ -33,20 +51,62 @@ def load_runs(path):
     return [r for r in runs if "total" in r]
 
 
+def load_prior(path):
+    """Return (detail_dict, source_note) or (None, reason)."""
+    text = open(path).read()
+    # Case 1: whole-file JSON (bench_detail.json or driver wrapper).
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        doc = None
+    if isinstance(doc, dict):
+        if isinstance(doc.get("detail"), dict):        # bench_detail.json
+            return doc["detail"], f"bench_detail ({len(doc['detail'])} queries)"
+        if "tail" in doc:                              # driver BENCH_rN wrapper
+            # tail is an ESCAPED, head-truncated fragment of the detail +
+            # total lines; recover what survives by regex.
+            frag = doc["tail"]
+            pairs = dict((k, float(v)) for k, v in
+                         re.findall(r'\\?"([A-Za-z0-9_]+)\\?":(-?\d+\.\d+)', frag)
+                         if k not in ("value", "calib_sec", "calib_shuffle_sec",
+                                      "calib_io_sec", "calib_nominal",
+                                      "calib_shuffle_nominal", "calib_io_nominal",
+                                      "streaming_sec", "analytic_sec",
+                                      "warmup_sec", "total_normalized",
+                                      "host_factor", "host_shuffle_factor",
+                                      "host_io_factor"))
+            if pairs:
+                return pairs, (f"driver wrapper tail — TRUNCATED, only "
+                               f"{len(pairs)} queries recovered; moves in the "
+                               f"lost head are NOT checked")
+            return None, "driver wrapper had no recoverable query pairs in tail"
+    # Case 2: raw band file — first queries line.
+    for line in text.splitlines():
+        if '"metric":"queries"' in line and 'normalized' not in line:
+            try:
+                return json.loads(line)["detail"], "raw band line"
+            except (json.JSONDecodeError, KeyError):
+                pass
+    return None, "no queries detail found in file"
+
+
 def main():
     runs = load_runs(sys.argv[1])
-    prior = None
+    prior, prior_note = (None, None)
     if len(sys.argv) > 2:
-        with open(sys.argv[2]) as f:
-            for line in f:
-                if '"metric":"queries"' in line and 'normalized' not in line:
-                    prior = json.loads(line)["detail"]
-                    break
+        prior, prior_note = load_prior(sys.argv[2])
+        if prior is None:
+            # ADVICE r9: an unloadable prior must be LOUD — a silent skip
+            # reads as "no regressions" when nothing was compared.
+            print(f"[band_summary] ERROR: prior {sys.argv[2]} unusable: "
+                  f"{prior_note}; the >30%-move check DID NOT RUN",
+                  file=sys.stderr)
     print(f"runs: {len(runs)}")
     for i, r in enumerate(runs, 1):
         print(f"  run{i}: total={r['total']:.1f}s streaming={r['streaming']:.1f} "
               f"analytic={r['analytic']:.1f} calib={r['calib']:.3f}/"
-              f"{r['calib_shuffle']:.3f} failed={r['failed']}/{r['n']}")
+              f"{r['calib_shuffle']:.3f}/{r['calib_io']:.3f} "
+              f"failed={r['failed']}/{r['n']}")
     # union of keys across runs: a mid-band binary change can add/remove
     # queries, and runs[0] alone would silently drop the additions
     keys = sorted({k for r in runs for k in r["detail"]})
@@ -65,15 +125,21 @@ def main():
           f"= {tot_med / max(1, len(good)):.3f} s/query"
           + (f" ({n_failed} queries failed in all runs, excluded)" if n_failed else ""))
     if prior:
-        print("\nvs prior run detail (>30% median move, >0.2s absolute):")
+        print(f"\nvs prior [{prior_note}] (>30% median move, >0.2s absolute):")
+        moves = 0
         for k in keys:
             if k in prior and prior[k] > 0 and med[k] > 0:
                 ratio = med[k] / prior[k]
                 if (ratio > 1.3 or ratio < 0.7) and abs(med[k] - prior[k]) > 0.2:
                     print(f"  {k}: {prior[k]:.2f} -> {med[k]:.2f} ({ratio:.2f}x)")
-        new = [k for k in keys if k not in prior]
-        if new:
-            print(f"  new queries: {new}")
+                    moves += 1
+        if moves == 0:
+            print("  (none)")
+        uncovered = [k for k in keys if k not in prior]
+        if uncovered:
+            print(f"  not in prior detail ({len(uncovered)}): "
+                  + ", ".join(uncovered[:10])
+                  + (" ..." if len(uncovered) > 10 else ""))
 
 
 if __name__ == "__main__":
