@@ -78,6 +78,27 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("count")).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Third calibration, I/O-bound (VERDICT r9 #1): a fixed parquet
+    // write+read workload. The round-9 driver bench ran 55% over the
+    // same-commit clean band while BOTH existing probes (pure-CPU,
+    // shuffle) read normal-to-fast — the episode was on the disk path,
+    // which neither probe touches. 8M rows × four 64-bit hash columns
+    // (high-entropy, so the parquet encoder can't compress the cost away)
+    // ≈ 256 MB written then fully read back (the xor folds every column,
+    // defeating column pruning). CPU share is two xxhash64 passes — small
+    // and constant, so a move in this number is a move in the I/O regime.
+    val calibIoSec: Double = {
+      val dir = graft.util.Scratch.dir("calib_io")
+      val t0 = System.nanoTime()
+      spark.range(0, 8000000L, 1, 8)
+        .selectExpr("id", "xxhash64(id, 1) AS h1", "xxhash64(id, 2) AS h2",
+          "xxhash64(id, 3) AS h3")
+        .write.mode("overwrite").parquet(s"$dir/t")
+      spark.read.parquet(s"$dir/t")
+        .selectExpr("id ^ h1 ^ h2 ^ h3 AS v")
+        .selectExpr("bit_xor(v) AS x").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // A failed query reports -1 (excluded from the total) instead of a
     // plausible-looking elapsed time — a regression that makes queries fail
     // fast must not read as a speedup.
@@ -110,16 +131,25 @@ object Bench {
     // normalized values are emitted — the raw total stays the ground truth.
     val calibNominal = 0.50
     val calibShuffleNominal = 1.15
+    val calibIoNominal = 1.60 // clean-regime r10 measurement (BASELINE.md)
     val hostFactor = math.max(calibSec / calibNominal, 1e-9)
     val hostShuffleFactor = math.max(calibShuffleSec / calibShuffleNominal, 1e-9)
+    val hostIoFactor = math.max(calibIoSec / calibIoNominal, 1e-9)
     // ADVICE r6: normalization is only honest near the recorded regime —
     // a far-off calibration (host episode, or a future edit to the
     // calibration workload itself) must be FLAGGED, not silently divided
     // through. The nominals are emitted too, so a reader can re-derive
     // the factor without BASELINE.md forensics; when abnormal, trust the
     // raw total and the calib pair, not total_normalized.
+    // Gate on all THREE probes (VERDICT r9 #1): a disk episode moves only
+    // the I/O probe, so without it a slow-write regime reads as
+    // calib_abnormal:false and a 55% total regression is unadjudicable.
+    // The I/O gate is tighter (2×) than CPU/shuffle (3×): sink/scan
+    // queries track the I/O regime almost linearly, and a 2× disk is
+    // already outside every recorded clean band.
     val calibAbnormal = hostFactor > 3.0 || hostFactor < 1.0 / 3.0 ||
-      hostShuffleFactor > 3.0 || hostShuffleFactor < 1.0 / 3.0
+      hostShuffleFactor > 3.0 || hostShuffleFactor < 1.0 / 3.0 ||
+      hostIoFactor > 2.0 || hostIoFactor < 1.0 / 2.0
     // Family subtotals: ~18-20% of the total is the four streaming ops'
     // SF-invariant checkpoint/state-commit floor — splitting it out lets
     // cross-round reads track the analytic band directly.
@@ -151,9 +181,38 @@ object Bench {
       "the *_indexed side re-runs its stored-table join per call; " +
       "llm_dedup_ngram_jaccard/llm_dedup_cluster also ride persisted frames " +
       "(no indexed twin); see BASELINE.md r8 profile"
+    // Streaming work-vs-commit split (VERDICT r9 #6): Spark's own
+    // per-batch durations, summed per op by StreamMetrics. trigger_sec
+    // covers only micro-batch execution — the per-query wall-clock above
+    // additionally carries fixture setup (writing staged drops, reading
+    // the result back), so wall − trigger ≈ fixture overhead, and
+    // commit/trigger is the checkpoint-commit share of the stream itself.
+    // The 500 ms sleep lets the async listener bus drain the final
+    // progress events before the snapshot.
+    Thread.sleep(500)
+    val streamSplit = graft.streaming.StreamMetrics.snapshot
+    val ssJson = streamSplit.toSeq.sortBy(_._1).map { case (k, s) =>
+      "\"" + k + "\":{\"batches\":" + s.batches +
+        ",\"trigger_sec\":" + f3(s.triggerMs / 1000.0) +
+        ",\"commit_sec\":" + f3(s.commitMs / 1000.0) +
+        ",\"work_sec\":" + f3(s.workMs / 1000.0) + "}"
+    }.mkString("{", ",", "}")
+    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"streaming_sec":${f3(streamingSec)},"analytic_sec":${f3(analyticSec)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"calib_io_sec":${f3(calibIoSec)},"calib_nominal":${f3(calibNominal)},"calib_shuffle_nominal":${f3(calibShuffleNominal)},"calib_io_nominal":${f3(calibIoNominal)},"calib_abnormal":$calibAbnormal,"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"host_io_factor":${f3(hostIoFactor)},"detail_file":"target/bench_detail.json","sf":"$sfDir"}"""
+    // Full-detail sidecar (VERDICT r9 #3): the driver's stdout capture
+    // keeps only the last ~2000 chars, which truncates the 157-entry
+    // detail line to a third — so every run ALSO writes the complete
+    // per-query detail + calibrations + stream split to a file the judge
+    // can read whole. Same content as the stdout lines, never truncated.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE",
+      "/root/repo/target/bench_detail.json")
+    val detailJson =
+      s"""{"sf":"$sfDir","n_queries":${results.size},"failed":$nFailed,"twin_note":"$twinNote","detail":$qs,"detail_normalized":$qsNorm,"stream_commit":$ssJson,"total":$totalLine}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"queries","sf":"$sfDir","twin_note":"$twinNote","detail":$qs}""")
     println(s"""{"metric":"queries_normalized","sf":"$sfDir","host_factor":${f3(hostFactor)},"detail":$qsNorm}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"streaming_sec":${f3(streamingSec)},"analytic_sec":${f3(analyticSec)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"calib_nominal":${f3(calibNominal)},"calib_shuffle_nominal":${f3(calibShuffleNominal)},"calib_abnormal":$calibAbnormal,"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"stream_commit","sf":"$sfDir","detail":$ssJson}""")
+    println(totalLine)
     spark.stop()
   }
 }

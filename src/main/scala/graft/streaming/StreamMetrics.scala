@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Per-operator accumulation of Structured Streaming progress metrics, so
+  * Bench can attribute each stream query's wall-clock between real work
+  * and the checkpoint/state-commit floor (VERDICT r9 #6) without a
+  * separate A/B harness run.
+  *
+  * Spark already measures the split per micro-batch: `durationMs` carries
+  * `walCommit` (offset WAL) + `commitOffsets` (commit log), and each
+  * `StateOperatorProgress` carries `commitTimeMs` (state-store commit —
+  * the RocksDB SST/changelog upload the round-9 provider A/B priced at
+  * ~1.3×). This listener sums those per operator key; "work" is then
+  * `triggerExecution − commit`, i.e. source listing + planning + addBatch.
+  *
+  * Query names are `<op-key>_<nanotime-hex>` (StreamOps.uniq), so the op
+  * key is recovered by stripping the final `_hex` token. Registration is
+  * per-SparkSession (child stream sessions get their own
+  * StreamingQueryManager) and idempotent via a weak identity set, so spec
+  * suites re-using sessions can't double-count.
+  *
+  * Listener delivery is asynchronous (Spark's listener bus); snapshots
+  * taken after `awaitTermination` of the LAST query may miss the final
+  * event by milliseconds — Bench reads the snapshot once at end-of-run,
+  * minutes after the streams finish, where that skew is noise.
+  */
+object StreamMetrics {
+  /** Accumulated split for one operator across all its micro-batches. */
+  final case class Split(batches: Int, triggerMs: Long, commitMs: Long) {
+    def workMs: Long = math.max(0L, triggerMs - commitMs)
+  }
+
+  private val acc = new java.util.concurrent.ConcurrentHashMap[String, Split]()
+
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+
+  private val listener = new StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val name = p.name
+      if (name != null && name.nonEmpty) {
+        val key = name.replaceAll("_[0-9a-f]+$", "")
+        def ms(k: String): Long = {
+          val v = p.durationMs.get(k)
+          if (v == null) 0L else v.longValue()
+        }
+        val stateCommit = p.stateOperators.map(_.commitTimeMs).sum
+        val commit = ms("walCommit") + ms("commitOffsets") + stateCommit
+        val trigger = ms("triggerExecution")
+        acc.merge(key, Split(1, trigger, commit),
+          (a, b) => Split(a.batches + b.batches, a.triggerMs + b.triggerMs,
+            a.commitMs + b.commitMs))
+      }
+    }
+  }
+
+  /** Attach the listener to this session's StreamingQueryManager (once). */
+  def ensure(ss: SparkSession): Unit =
+    if (registered.add(ss)) ss.streams.addListener(listener)
+
+  def snapshot: Map[String, Split] = {
+    val b = Map.newBuilder[String, Split]
+    acc.forEach((k, v) => b += k -> v)
+    b.result()
+  }
+
+  def reset(): Unit = acc.clear()
+}

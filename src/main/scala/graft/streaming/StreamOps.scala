@@ -68,6 +68,7 @@ object StreamOps {
     * (e.g. parallel test suites). */
   private def streamSession(spark: SparkSession, n: Int): SparkSession = {
     val ss = spark.newSession()
+    StreamMetrics.ensure(ss) // commit/work attribution (VERDICT r9 #6)
     ss.conf.set("spark.sql.shuffle.partitions", n.toString)
     val p = provider
     ss.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -123,8 +124,10 @@ object StreamOps {
 
     var cur = histDir
     var i = 0
+    StreamMetrics.ensure(spark) // foreachBatch runs on the shared session
     val q = spark.readStream.schema(stg.schema).parquet(incoming)
       .writeStream
+      .queryName(uniq("stream_file_source_upsert"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val next = dirs(i % 2); i += 1
         Upsert.upsert(spark.read.parquet(cur), batch, "o_orderkey")
@@ -447,9 +450,11 @@ object StreamOps {
     docs.filter(lit(false)).write.mode("overwrite").parquet(dirs(0))
     var cur = dirs(0)
     var i = 1
+    StreamMetrics.ensure(spark) // foreachBatch runs on the shared session
     val q = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(incoming)
       .writeStream
+      .queryName(uniq("stream_dedup_incremental"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val state = spark.read.parquet(cur)
         // one keeper per hash within the batch, then only never-seen hashes
