@@ -164,13 +164,13 @@ object Bucketing {
     // repartition on (year, spreader): repartition(l_year) alone would
     // funnel each year through ONE task — invisible at fixture scale, a
     // serialization point when a year holds terabytes. The pmod spreader
-    // gives every partition directory up to 8 parallel writers (files per
-    // dir stay bounded at 8, not one-per-shuffle-task); at 100 TB the 8
-    // becomes executor-count-sized.
+    // gives every partition directory up to WriteSpread.n parallel writers
+    // (files per dir stay bounded at n, not one-per-shuffle-task); at
+    // 100 TB the n becomes executor-count-sized (SPARK_GRAFT_WRITE_SPREAD).
     Tables(spark, sfDir, "lineitem")
       .withColumn("l_year", year(col("l_shipdate")))
       .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_year")
-      .repartition(col("l_year"), pmod(col("l_orderkey"), lit(8)))
+      .repartition(col("l_year"), pmod(col("l_orderkey"), lit(WriteSpread.n)))
       .write.mode("overwrite").format("parquet")
       .partitionBy("l_year")
       .option("path", s"$dir/$tbl").saveAsTable(tbl)

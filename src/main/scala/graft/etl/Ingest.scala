@@ -290,11 +290,11 @@ object Ingest {
     val dir = Scratch.dir("sink_orc_roundtrip")
     // (status, spreader): repartition(o_orderstatus) alone is a 3-task
     // write (one per status) — the worst funnel of this class; the pmod
-    // spreader gives each status dir up to 8 parallel writers with
-    // files/dir bounded at 8 (same rationale as Bucketing.joinDppPrune)
+    // spreader gives each status dir up to WriteSpread.n parallel writers
+    // with files/dir bounded at n (same rationale as Bucketing.joinDppPrune)
     Tables(spark, sfDir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
-      .repartition(col("o_orderstatus"), pmod(col("o_orderkey"), lit(8)))
+      .repartition(col("o_orderstatus"), pmod(col("o_orderkey"), lit(WriteSpread.n)))
       .write.mode("overwrite")
       .partitionBy("o_orderstatus")
       .option("compression", "zlib")

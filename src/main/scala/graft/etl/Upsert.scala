@@ -87,10 +87,10 @@ object Upsert {
       .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_year")
     // (o_year, spreader): repartition(o_year) alone would write each year
     // through ONE task — a serialization point when a year holds
-    // terabytes; the pmod spreader gives every partition dir up to 8
-    // parallel writers with files/dir bounded at 8 (same rationale as
-    // Bucketing.joinDppPrune)
-    orders.repartition(col("o_year"), pmod(col("o_orderkey"), lit(8)))
+    // terabytes; the pmod spreader gives every partition dir up to
+    // WriteSpread.n parallel writers with files/dir bounded at n (same
+    // rationale as Bucketing.joinDppPrune)
+    orders.repartition(col("o_year"), pmod(col("o_orderkey"), lit(WriteSpread.n)))
       .write.mode("overwrite").partitionBy("o_year").parquet(dir) // accumulated state
     val stg = Tables(spark, sfDir, "orders")
       .filter(col("o_orderdate") >= lit("2001-01-01"))
@@ -106,7 +106,7 @@ object Upsert {
         .join(stg.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
         .unionByName(stg)
         .localCheckpoint()
-      refreshed.repartition(col("o_year"), pmod(col("o_orderkey"), lit(8)))
+      refreshed.repartition(col("o_year"), pmod(col("o_orderkey"), lit(WriteSpread.n)))
         .write.mode("overwrite").partitionBy("o_year").parquet(dir)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     spark.read.parquet(dir)
