@@ -412,15 +412,30 @@ object Advanced {
         count(lit(1)).as("cnt"))
       .orderBy("o_orderstatus")
 
-  /** Approx-tier twin of agg_table_profile: approx_count_distinct (HLL++)
-    * in place of exact countDistinct. The exact plan needs an Expand that
-    * replicates every row (cols+1)× before aggregating — a 7× map-side
-    * blowup on a 100 TB scan; the HLL buffers aggregate all columns in ONE
-    * un-expanded pass (ApproxSpec asserts the Expand is gone from the
-    * physical plan) and merge map-side like any other partial aggregate.
-    * rsd 0.02 ⇒ ~2% standard error on the distinct counts; null counts and
-    * n_rows stay exact (they never needed the Expand). No DuckDB oracle —
-    * ApproxSpec pins estimates within 5% of the exact twin. */
+  /** Approx-tier twin of agg_table_profile: HLL sketches in place of
+    * exact countDistinct. The exact plan needs an Expand that replicates
+    * every row (cols+1)× before aggregating — a 7× map-side blowup on a
+    * 100 TB scan; the sketches aggregate all columns in ONE un-expanded
+    * pass (ApproxSpec asserts the Expand is gone from the physical plan)
+    * and merge map-side like any other partial aggregate.
+    *
+    * DataSketches `hll_sketch_agg` (lgConfigK 12 ⇒ ~1.6% RSE), NOT
+    * `approx_count_distinct(c, 0.02)`: the HLL++ ImperativeAggregate at
+    * rsd 0.02 flattens a 2¹²-register buffer into ~2.3k UnsafeRow slots
+    * PER COLUMN — 6 columns put ~14k slots in the codegen'd init/merge,
+    * too big to JIT, and the warm twin ran 2.2× SLOWER than the exact
+    * Expand at sf0.01 (caught by ContractSpec's twin gate, round 10).
+    * The DataSketches agg keeps each sketch as one opaque object
+    * (ObjectHashAggregate), so buffer width never touches codegen.
+    * `hll_sketch_agg` ingests int/long/string/binary only and the profile
+    * columns span date/decimal — sketch the xxhash64 surrogate instead
+    * (distinct-preserving up to ~n²/2⁶⁴ collision odds; an HLL hashes its
+    * input anyway). Null must STAY null so the sketch skips it the way
+    * approx_count_distinct does — xxhash64(null) evaluates to the seed,
+    * which would count null as a real value; hence the CASE guard.
+    * Null counts and n_rows stay exact (they never needed the Expand).
+    * No DuckDB oracle — ApproxSpec pins estimates within 5% of the exact
+    * twin. */
   val aggProfileApprox: QFn = (spark, sfDir) => {
     val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
       "o_orderpriority", "o_orderstatus", "o_totalprice")
@@ -428,7 +443,9 @@ object Advanced {
     val wide = o.agg(count(lit(1)).as("n_rows"),
       cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
-        approx_count_distinct(col(c), 0.02).as(s"dist_$c"))): _*)
+        expr(s"hll_sketch_estimate(hll_sketch_agg(" +
+          s"CASE WHEN $c IS NULL THEN NULL ELSE xxhash64($c) END, 12))")
+          .as(s"dist_$c"))): _*)
     wide.select(col("n_rows"), expr(
       "explode(arrays_zip(" +
         s"array(${cols.map(c => s"'$c'").mkString(",")}), " +

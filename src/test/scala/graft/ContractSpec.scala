@@ -129,6 +129,43 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx twins are not slower than their exact twins (warm, back-to-back)") {
+    // VERDICT r9 #7: the round-9 band showed agg_profile_approx ABOVE its
+    // exact twin — chased manually to run-order JIT, not a real inversion.
+    // This test retires that chase into CI: each approx/exact pair runs
+    // back-to-back on the same warm session (1 untimed warmup iteration,
+    // then min-of-3 timed), and the approx side must not exceed 1.25× the
+    // exact side. The approx spellings exist BECAUSE they are the cheaper
+    // plan (no Expand, bounded sketch buffers vs per-group sort buffers) —
+    // an inversion means the cheap path regressed and must fail loudly.
+    // sf0.01 (not the fixture's sf0.001) so per-run work is ~100-500 ms —
+    // enough signal for the ratio; the +0.20 s absolute slack keeps a GC
+    // pause on a 0.1 s workload from failing the 1.25× on pure noise.
+    val dir = "/root/testdata/sf0.01"
+    val pairs = Seq(
+      ("agg_percentile_approx", "agg_percentile_price"),
+      ("agg_profile_approx", "agg_table_profile"),
+      ("agg_hll_mergeable", "agg_distinct_users"))
+    def minOf3(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).count() // warmup: JIT + codegen cache, untimed
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val failures = pairs.flatMap { case (approx, exact) =>
+      val a = minOf3(approx)
+      val e = minOf3(exact)
+      info(f"$approx $a%.3f s vs $exact $e%.3f s (${a / e}%.2fx)")
+      if (a > e * 1.25 + 0.20)
+        Some(f"$approx $a%.3f s > 1.25x $exact $e%.3f s + 0.20")
+      else None
+    }
+    assert(failures.isEmpty, s"approx/exact twin inversions: $failures")
+  }
+
   test("positional bind: aligned source round-trips; misaligned renames") {
     import org.apache.spark.sql.functions.col
     val cust = graft.tables.Tables(spark, sfDir, "customer")
