@@ -532,7 +532,37 @@ object Advanced {
       .orderBy("user_id")
   }
 
+  /** Trailing-7-day distinct active users per day — the rolling-reach
+    * metric every engagement dashboard carries. A window function cannot
+    * spell this (COUNT(DISTINCT) OVER a range frame is unsupported, and a
+    * collect_set frame would buffer raw users per row); the scale-right
+    * spelling dedups to the (day, user) grain FIRST — the fact collapses
+    * from |events| to active user-days — then each active pair
+    * contributes to the ≤7 window-ends it can influence via a bounded
+    * sequence-explode (×7, the frame width, NOT the data), and one
+    * distinct-count per window_end finishes. Shuffle = 7×|user-days|,
+    * never raw events; the inner join against the observed-days frame
+    * (30 rows, broadcast) drops phantom window-ends past the horizon.
+    * At 100 TB the same plan holds: the day-grain dedup is the only
+    * full-fact shuffle, and map-side partial distinct collapses each
+    * partition's duplicates before it. (The approx tier swaps the final
+    * countDistinct for per-day HLL sketches unioned across the frame —
+    * agg_hll_mergeable shows that machinery; exact kept here for the
+    * oracle.) */
+  val windowRollingDistinct: QFn = (spark, sfDir) => {
+    val du = Tables(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day").as("window_end")).distinct()
+    du.select(explode(sequence(col("day"), date_add(col("day"), 6)))
+        .as("window_end"), col("user_id"))
+      .join(broadcast(days), Seq("window_end"))
+      .groupBy("window_end")
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+      .orderBy("window_end")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "window_rolling_distinct" -> windowRollingDistinct,
     "agg_quality_constraints" -> aggQualityConstraints,
     "agg_mode_frequent" -> aggModeFrequent,
     "agg_retention_weekly" -> aggRetentionWeekly,
@@ -557,6 +587,12 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "window_rolling_distinct" ->
+      ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id " +
+        "FROM events), days AS (SELECT DISTINCT day FROM du) " +
+        "SELECT d.day AS window_end, count(DISTINCT u.user_id) AS users_7d " +
+        "FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day " +
+        "GROUP BY 1 ORDER BY 1"),
     "agg_quality_constraints" ->
       ("WITH w AS (SELECT " +
         "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey, " +

@@ -237,6 +237,35 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Strict ordered conversion funnel view → click → purchase
+    * (README.md:102's "viewing but not buying" as the conversion metric
+    * BI actually plots): a user advances a stage only if the first-touch
+    * timestamps are in order (first click AFTER first view, first
+    * purchase AFTER first click). One map-side-combinable aggregate per
+    * user (conditional min per stage) collapses the fact to |users| rows;
+    * the ordering comparison and the stage counts then ride driver-bound
+    * frames. The naive spelling is a per-stage self-join chain (events ⋈
+    * events ⋈ events on user + time predicates) — three fact-sized
+    * shuffles and a skew trap on hot users; this is one shuffle, and the
+    * whole-row min pattern keeps it exact for first-touch ordering.
+    * Ties (same timestamp) do NOT advance — strictly-after keeps both
+    * engines' comparisons identical. */
+  val aggFunnelOrdered: QFn = (spark, sfDir) => {
+    val firsts = Tables(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    firsts.agg(
+      sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("users_view"),
+      sum(when(col("t_view").isNotNull && col("t_click") > col("t_view"),
+        1L).otherwise(0L)).as("users_view_click"),
+      sum(when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+        col("t_purchase") > col("t_click"), 1L).otherwise(0L))
+        .as("users_view_click_purchase"))
+  }
+
   /** Top-k sold categories (README.md:100 dashboard ordering). */
   val sortTopkCategories: QFn = (spark, sfDir) =>
     salesByCategoryYear(spark, sfDir)
@@ -378,6 +407,7 @@ object Queries {
     "agg_sales_by_category_year" -> aggSalesByCategoryYear,
     "agg_sales_by_category_star" -> aggSalesByCategoryStar,
     "agg_funnel_counts" -> aggFunnelCounts,
+    "agg_funnel_ordered" -> aggFunnelOrdered,
     "agg_purchase_frequency" -> aggPurchaseFrequency,
     "agg_sum_revenue" -> aggSumRevenue,
     "agg_distinct_users" -> aggDistinctUsers,
@@ -434,6 +464,18 @@ object Queries {
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "agg_funnel_counts" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    "agg_funnel_ordered" ->
+      ("WITH f AS (SELECT user_id, " +
+        "min(CASE WHEN event_type = 'view' THEN ts END) AS t_view, " +
+        "min(CASE WHEN event_type = 'click' THEN ts END) AS t_click, " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase " +
+        "FROM events GROUP BY 1) " +
+        "SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS users_view, " +
+        "CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS users_view_click, " +
+        "CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view " +
+        "AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS users_view_click_purchase " +
+        "FROM f"),
     "agg_purchase_frequency" ->
       ("SELECT user_id, count(*) AS n_purchases, " +
         "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts, " +

@@ -559,6 +559,28 @@ class PlanSpec extends AnyFunSuite {
       s"date window must reach the readers:\n${scans.mkString("\n")}")
   }
 
+  test("rolling distinct dedups to day grain BEFORE the x7 frame explode") {
+    // The scale contract of window_rolling_distinct: the sequence-explode
+    // multiplies the deduped (day, user) grain, never the raw fact — in
+    // the physical plan the Generate must sit ABOVE the day-grain
+    // distinct (a HashAggregate), and the observed-days join must
+    // broadcast (the days frame is |distinct days|, tiny at any SF).
+    val df = graft.analytics.Advanced.windowRollingDistinct(spark, sfDir)
+    df.collect() // finalize AQE so the checked plan is the executed one
+    val p = plan(df)
+    assert(p.contains("Generate explode"), s"expected the frame explode:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"days-horizon join must broadcast:\n$p")
+    // order pin: first HashAggregate (bottom-up string order puts the
+    // scan last) — check the explode's input is an aggregate, not a scan,
+    // by asserting at least one HashAggregate appears BELOW Generate in
+    // the plan tree string (deeper nodes print later/indented under it).
+    val genIdx = p.indexOf("Generate explode")
+    val aggBelow = p.indexOf("HashAggregate", genIdx)
+    assert(aggBelow > genIdx,
+      s"explode must consume the day-grain dedup aggregate, not the raw fact:\n$p")
+  }
+
   test("interval-overlap join is an equi-join on the grid cell, never a nested loop") {
     val df = graft.analytics.Temporal.joinIntervalOverlap(spark, sfDir)
     df.collect() // finalize AQE so the checked plan is the executed one
