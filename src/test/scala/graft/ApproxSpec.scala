@@ -65,6 +65,14 @@ class ApproxSpec extends AnyFunSuite {
     assert(exactPlan.contains("Expand"), "exact twin should plan an Expand (baseline)")
     assert(!approxPlan.contains("Expand"),
       s"approx profile must aggregate without the Expand blowup:\n$approxPlan")
+    // Round 10: the sketches must be DataSketches TypedImperativeAggregates
+    // (ObjectHashAggregate holds ONE opaque buffer per sketch) — the HLL++
+    // spelling flattens ~2.3k buffer slots per column into HashAggregate
+    // codegen, blows the JIT budget, and ran 2.2× the exact twin warm
+    // (ContractSpec twin gate). Pin the mechanism, not just the absence
+    // of Expand.
+    assert(approxPlan.contains("ObjectHashAggregate"),
+      s"approx profile must keep sketches as opaque objects (ObjectHashAggregate):\n$approxPlan")
   }
 
   test("union of per-day sketches equals the single-pass sketch") {
