@@ -473,6 +473,69 @@ object StreamOps {
     spark.read.parquet(cur).select("doc_id", "h").orderBy("doc_id")
   }
 
+  /** Exactly-once APPEND sink via a batch-id manifest — the idempotence
+    * pattern for sinks that cannot overwrite-swap (the staging/final flip
+    * of streamFileSourceUpsert): each micro-batch writes its own
+    * `batch_id=N` directory with mode=overwrite, and a manifest marker is
+    * created only AFTER the data write completes. A crash between write
+    * and marker leaves an uncommitted directory that the replayed epoch
+    * simply overwrites; a replay of a COMMITTED epoch (Spark re-delivers
+    * the last batch after a restart whose commit-log write raced the
+    * crash) hits the marker and no-ops. The op exercises the guard
+    * in-line: after the stream drains, batch 0's input is re-applied the
+    * way a restarted query would re-deliver it — the sink must stay
+    * byte-identical (the DuckDB oracle counts every row exactly once; a
+    * broken guard doubles half the rows and hash-mismatches). At 100 TB
+    * the per-batch directory is also the recovery unit: partial output is
+    * never visible under a committed marker, and the pattern needs no
+    * table format — plain parquet + one marker file per epoch. */
+  val streamExactlyOnceSink: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val base = Scratch.dir("stream_exactly_once_sink")
+    val incoming = s"$base/incoming"
+    val outDir = s"$base/out"
+    val manifest = java.nio.file.Paths.get(s"$base/manifest")
+    java.nio.file.Files.createDirectories(manifest)
+
+    val sel = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+    val feed = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
+      .select(sel.map(col): _*)
+    // two staged drops (one part-file each, stamped mtimes → 2 batches)
+    val now = System.currentTimeMillis()
+    feed.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .repartition(1).write.mode("overwrite").parquet(incoming)
+    val firstDrop = stampDrop(incoming, now - 120000)
+    feed.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .repartition(1).write.mode("append").parquet(incoming)
+    stampDrop(incoming, now - 60000, skip = firstDrop)
+
+    def commit(batch: DataFrame, id: Long): Unit = {
+      val marker = manifest.resolve(s"batch-$id")
+      if (!java.nio.file.Files.exists(marker)) {
+        // overwrite INTO the batch's own dir: replaying an uncommitted
+        // epoch replaces partial output instead of appending duplicates
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        java.nio.file.Files.createFile(marker) // commit record LAST
+      }
+    }
+    StreamMetrics.ensure(spark)
+    val q = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+      .writeStream
+      .queryName(uniq("stream_exactly_once_sink"))
+      .foreachBatch((b: DataFrame, id: Long) => commit(b, id))
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // simulate the restart re-delivery of a committed epoch
+    val replayPaths = firstDrop.toSeq.sorted.map(f => s"$incoming/$f")
+    commit(spark.read.schema(feed.schema).parquet(replayPaths: _*), 0L)
+    spark.read.parquet(outDir)
+      .select(sel.map(col): _*)
+      .orderBy("o_orderkey")
+  }
+
   /** Stream-static dimension enrichment — the lookup-join half of every
     * streaming ETL (the reference's funnel events gaining customer
     * attributes on the way in, README.md:85-87,99-102): the event stream
@@ -510,6 +573,7 @@ object StreamOps {
   val queries: Map[String, QFn] = Map(
     "stream_dedup_incremental" -> streamDedupIncremental,
     "stream_enrich_dim" -> streamEnrichDim,
+    "stream_exactly_once_sink" -> streamExactlyOnceSink,
     "stream_file_source_upsert" -> streamFileSourceUpsert,
     "stream_hourly_window" -> streamHourlyWindow,
     "stream_sliding_window" -> streamSlidingWindow,
@@ -528,6 +592,11 @@ object StreamOps {
         "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value " +
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // every feed row exactly once despite the replayed epoch — a broken
+    // manifest guard doubles the even-keyed half and fails the row count
+    "stream_exactly_once_sink" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderdate >= DATE '2001-01-01' ORDER BY o_orderkey"),
     "stream_file_source_upsert" ->
       ("SELECT o_orderkey, CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01' " +
         "THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice, o_orderstatus " +
