@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType, StructField, StructType}
 import graft.QFn
 import graft.tables.Tables
 import graft.util.Scratch
@@ -408,7 +409,55 @@ object Ingest {
     }
   }
 
+  /** XML lake round-trip (Spark 4's built-in XML source — the remaining
+    * text format after CSV/JSON/text): writes an orders projection as
+    * row-tagged XML, reads it back under an EXPLICIT schema, and
+    * aggregates — the result must equal the same aggregate over the
+    * parquet source, proving type fidelity through the string format
+    * (dates and doubles round-trip via their canonical text forms).
+    * Scale notes: the writer emits one file per partition and the reader
+    * parses row-tags per file split in parallel, but XML has NO predicate
+    * pushdown or column pruning — the projection happens at WRITE time
+    * (only the 4 needed columns are serialized), which is the honest
+    * 100 TB shape for a format kept only for interchange: convert to
+    * parquet at the lake boundary, never query XML in place (the same
+    * argument the reference's CSV→parquet conversion makes,
+    * README.md:49-56). Schema explicit on read: inference would re-scan
+    * the files once just to guess types the writer already knew. */
+  val sinkXmlRoundtrip: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("sink_xml_roundtrip")
+    // o_orderdate ships as a midnight TIMESTAMP — cast to DATE at write
+    // (the interchange type this column means) and pin dateFormat on
+    // BOTH sides: left as timestamp the writer renders
+    // 1998-10-03T00:00:00.000, which a DateType read rejects into null —
+    // the classic string-format round-trip trap this op exists to pin
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_orderdate"))
+      .write.mode("overwrite")
+      .option("rowTag", "order").option("rootTag", "orders")
+      .option("dateFormat", "yyyy-MM-dd")
+      .format("xml").save(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", DateType)))
+    spark.read.format("xml")
+      .option("rowTag", "order").option("dateFormat", "yyyy-MM-dd")
+      .schema(schema).load(dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("revenue"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_date"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "sink_xml_roundtrip" -> sinkXmlRoundtrip,
     "sink_jdbc_load" -> sinkJdbcLoad,
     "sink_compact_small_files" -> sinkCompactSmallFiles,
     "scan_parquet_schema_evolution" -> scanParquetSchemaEvolution,
@@ -429,6 +478,12 @@ object Ingest {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sink_xml_roundtrip" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "count(DISTINCT o_orderkey) AS n_keys, " +
+        "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue, " +
+        "strftime(max(o_orderdate), '%Y-%m-%d') AS last_date " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
     "sink_orc_roundtrip" ->
       ("SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_orders, " +
         "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue " +
