@@ -178,7 +178,36 @@ object Transforms {
       .orderBy("o_orderkey")
   }
 
+  /** Nested struct/array round-trip — the document-style shape every
+    * semi-structured lake carries (orders nested under their customer as
+    * `array<struct<...>>`): nest via collect_list(struct), persist the
+    * NESTED schema through parquet, read it back, and explode to flat
+    * rows that must equal the original flat table. Scale notes: the
+    * collect_list group is bounded by orders-per-customer (a real
+    * document group, never the whole table); sort_array makes the stored
+    * array layout deterministic; parquet stores the nested column with
+    * full columnar encoding (struct fields stay separately encoded and
+    * prunable — reading only `orders.o_orderkey` from the nested file
+    * would prune `o_totalprice`, same as flat). The explode is
+    * Generate-codegen'd, one output row per array element, no shuffle —
+    * the only shuffle in the op is the nest groupBy itself. */
+  val fnNestedRoundtrip: QFn = (spark, sfDir) => {
+    import graft.util.Scratch
+    val dir = Scratch.dir("fn_nested_roundtrip")
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(
+        struct(col("o_orderkey"), col("o_totalprice")))).as("orders"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .select(col("o_custkey"), explode(col("orders")).as("o"))
+      .select(col("o_custkey"), col("o.o_orderkey").as("o_orderkey"),
+        col("o.o_totalprice").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "fn_nested_roundtrip" -> fnNestedRoundtrip,
     "fn_global_row_number" -> fnGlobalRowNumber,
     "fn_try_cast_robust" -> fnTryCastRobust,
     "project_derive_year_month" -> projectDeriveYearMonth,
@@ -194,6 +223,10 @@ object Transforms {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // nest → parquet → unnest must reproduce the flat table exactly
+    "fn_nested_roundtrip" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_orderkey"),
     // the oracle numbers globally in one window — tiny-engine luxury the
     // distributed plan reproduces via local ranks + broadcast offsets
     "fn_global_row_number" ->
