@@ -145,6 +145,25 @@ class StreamingSpec extends AnyFunSuite {
       "every event id lands exactly once across the restart")
   }
 
+  test("manifest-guarded append sink stays exactly-once through the replayed epoch") {
+    // streamExactlyOnceSink replays batch 0 in-line after the stream
+    // drains (the restart re-delivery of a committed epoch); the manifest
+    // guard must no-op, so the sink holds every feed row exactly once. A
+    // broken guard appends the even-keyed half twice — caught here by
+    // count AND by per-key uniqueness (duplicates could also hide behind
+    // a count if the guard dropped one batch while doubling another).
+    import org.apache.spark.sql.functions._
+    val res = graft.streaming.StreamOps.streamExactlyOnceSink(spark, sfDir)
+      .cache()
+    val feed = graft.tables.Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01"))
+    try {
+      assert(res.count() == feed.count(), "sink row count != feed row count")
+      val dup = res.groupBy("o_orderkey").count().filter(col("count") > 1).count()
+      assert(dup == 0, s"$dup keys written more than once")
+    } finally res.unpersist()
+  }
+
   test("watermark dedup restores exactly-once counts after duplicate drop") {
     val res = graft.streaming.StreamOps.streamWatermarkLate(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
