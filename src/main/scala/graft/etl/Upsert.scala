@@ -281,7 +281,47 @@ object Upsert {
       .orderBy("o_orderkey")
   }
 
+  /** Incremental materialized-aggregate maintenance — the refresh pattern
+    * behind the reference's staged→final→dashboard chain (README.md:
+    * 65-72,97-102): the BI-facing aggregate table is NOT recomputed from
+    * the fact history on each load; the new batch's PARTIAL aggregates
+    * merge into the stored ones. Works because count/sum are associative:
+    * re-aggregating the union of (stored partials ∪ delta partials) by
+    * key equals the full aggregate over all rows ever seen — the DuckDB
+    * oracle checks exactly that equivalence. Refresh cost is
+    * O(delta + |agg table|), never O(fact history): at 100 TB the fact
+    * scan happens once per batch over the batch, and the merge shuffles
+    * only aggregate rows (|status × years|, KBs). The decimal sum is
+    * widened once at partial time so the merge's re-sum cannot overflow
+    * or drift; avg-style metrics would store (sum, count) pairs the same
+    * way. localCheckpoint breaks the read-from/overwrite-to-same-path
+    * cycle as in upsertPartitionOverwrite. */
+  val upsertIncrementalAgg: QFn = (spark, sfDir) => {
+    import graft.util.Scratch
+    val dir = Scratch.dir("upsert_incremental_agg")
+    val orders = Tables(spark, sfDir, "orders")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderstatus"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(28,4)")).as("rev"))
+    // stored aggregate = everything before the current load window
+    partial(orders.filter(col("o_orderdate") < lit("2001-01-01")))
+      .write.mode("overwrite").parquet(dir)
+    // incremental refresh: delta partials ∪ stored partials, re-summed
+    val delta = partial(orders.filter(col("o_orderdate") >= lit("2001-01-01")))
+    val refreshed = spark.read.parquet(dir).unionByName(delta)
+      .groupBy("o_orderstatus", "o_year")
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("rev")).as("rev"))
+      .localCheckpoint()
+    refreshed.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .select(col("o_orderstatus"), col("o_year"), col("n_orders"),
+        round(col("rev").cast("double"), 2).as("revenue"))
+      .orderBy("o_orderstatus", "o_year")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "upsert_incremental_agg" -> upsertIncrementalAgg,
     "join_scd2_asof" -> joinScd2Asof,
     "upsert_snapshot_diff" -> upsertSnapshotDiff,
     "upsert_cdc_apply" -> upsertCdcApply,
@@ -294,6 +334,12 @@ object Upsert {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // merged partials must equal the full aggregate over all rows
+    "upsert_incremental_agg" ->
+      ("SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "CAST(count(*) AS BIGINT) AS n_orders, " +
+        "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2) AS revenue " +
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
     "upsert_snapshot_diff" ->
       ("WITH oldsnap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
         "newsnap AS (SELECT o_orderkey, o_orderstatus, " +
