@@ -199,22 +199,29 @@ object Bench {
         ",\"commit_sec\":" + f3(s.commitMs / 1000.0) +
         ",\"work_sec\":" + f3(s.workMs / 1000.0) + "}"
     }.mkString("{", ",", "}")
-    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"streaming_sec":${f3(streamingSec)},"analytic_sec":${f3(analyticSec)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"calib_io_sec":${f3(calibIoSec)},"calib_nominal":${f3(calibNominal)},"calib_shuffle_nominal":${f3(calibShuffleNominal)},"calib_io_nominal":${f3(calibIoNominal)},"calib_abnormal":$calibAbnormal,"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"host_io_factor":${f3(hostIoFactor)},"detail_file":"target/bench_detail.json","sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE",
+      "/root/repo/target/bench_detail.json")
+    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"streaming_sec":${f3(streamingSec)},"analytic_sec":${f3(analyticSec)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"calib_io_sec":${f3(calibIoSec)},"calib_nominal":${f3(calibNominal)},"calib_shuffle_nominal":${f3(calibShuffleNominal)},"calib_io_nominal":${f3(calibIoNominal)},"calib_abnormal":$calibAbnormal,"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"host_io_factor":${f3(hostIoFactor)},"detail_file":"$detailPath","sf":"$sfDir"}"""
+    // stdout FIRST — it is the ground truth the driver tail-captures; a
+    // bad SPARK_GRAFT_DETAIL_FILE must not cost the whole run's results
+    // (review r10: the sidecar write used to run before any println and
+    // an unwritable path threw away 100+ s of measurements).
+    println(s"""{"metric":"queries","sf":"$sfDir","twin_note":"$twinNote","detail":$qs}""")
+    println(s"""{"metric":"queries_normalized","sf":"$sfDir","host_factor":${f3(hostFactor)},"detail":$qsNorm}""")
+    println(s"""{"metric":"stream_commit","sf":"$sfDir","detail":$ssJson}""")
+    println(totalLine)
     // Full-detail sidecar (VERDICT r9 #3): the driver's stdout capture
     // keeps only the last ~2000 chars, which truncates the 157-entry
     // detail line to a third — so every run ALSO writes the complete
     // per-query detail + calibrations + stream split to a file the judge
     // can read whole. Same content as the stdout lines, never truncated.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE",
-      "/root/repo/target/bench_detail.json")
     val detailJson =
       s"""{"sf":"$sfDir","n_queries":${results.size},"failed":$nFailed,"twin_note":"$twinNote","detail":$qs,"detail_normalized":$qsNorm,"stream_commit":$ssJson,"total":$totalLine}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"queries","sf":"$sfDir","twin_note":"$twinNote","detail":$qs}""")
-    println(s"""{"metric":"queries_normalized","sf":"$sfDir","host_factor":${f3(hostFactor)},"detail":$qsNorm}""")
-    println(s"""{"metric":"stream_commit","sf":"$sfDir","detail":$ssJson}""")
-    println(totalLine)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] sidecar write to $detailPath failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

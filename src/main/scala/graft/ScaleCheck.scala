@@ -43,18 +43,11 @@ object ScaleCheck {
     // every time wastes the wall-clock budget — an override like
     // SPARK_GRAFT_WIDTH_SCALES=64,128 runs the new octave plus one
     // overlapping recorded tier for same-host comparability.
+    // Validates the PARSED values, not just the character class: "0" is
+    // all-digits but propagates a zero scale into the replica corpus
+    // builders (shared parser: EnvKnobs).
     def scalesEnv(key: String, default: Seq[Int]): Seq[Int] =
-      sys.env.get(key).map { raw =>
-        val toks = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        // Validate the PARSED values, not just the character class: "0"
-        // is all-digits but propagates a zero scale into the replica
-        // corpus builders, and >Int.MaxValue digits throw from toInt with
-        // a message that contradicts the "positive ints" contract.
-        val parsed = toks.map(t => scala.util.Try(t.toInt).toOption)
-        require(toks.nonEmpty && parsed.forall(_.exists(_ > 0)),
-          s"$key must be a comma list of positive ints, got '$raw'")
-        parsed.flatten
-      }.getOrElse(default)
+      graft.util.EnvKnobs.positiveIntList(key, default)
     val dedupScales = scalesEnv("SPARK_GRAFT_DEDUP_SCALES", Seq(1, 2, 4, 8))
     val simScales = scalesEnv("SPARK_GRAFT_SIM_SCALES", Seq(1, 2, 4, 8))
     val widthScales = scalesEnv("SPARK_GRAFT_WIDTH_SCALES", Seq(8, 32, 64))

@@ -10,17 +10,14 @@ package graft.etl
   * gets up to N parallel writers with files/dir bounded at N.
   *
   * N is a deployment decision — 8 suits the 32-core fixture (writers per
-  * dir × |partitions| stays near core count); a 1000-executor cluster
-  * sizes it executor-count-ish. Hence the env knob rather than a literal:
+  * dir × |partitions| stays near core count; BASELINE.md round 10 records
+  * the 1/8/32 sweep that confirmed it); a 1000-executor cluster sizes it
+  * executor-count-ish. Hence the env knob rather than a literal:
   * `SPARK_GRAFT_WRITE_SPREAD=16` A/Bs the write shape without a code
-  * edit, and BASELINE.md records the quiet-disk sweep that picked the
-  * default.
-  */
+  * edit. A `def`, not an object-init `val`: a malformed knob then throws
+  * the clean IllegalArgumentException from EnvKnobs at the call site
+  * instead of an ExceptionInInitializerError + opaque NoClassDefFoundError
+  * cascade across every later query (review r10). */
 private[graft] object WriteSpread {
-  val n: Int = sys.env.get("SPARK_GRAFT_WRITE_SPREAD").map { raw =>
-    val v = scala.util.Try(raw.trim.toInt).toOption
-    require(v.exists(_ > 0),
-      s"SPARK_GRAFT_WRITE_SPREAD must be a positive int, got '$raw'")
-    v.get
-  }.getOrElse(8)
+  def n: Int = graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_WRITE_SPREAD", 8)
 }

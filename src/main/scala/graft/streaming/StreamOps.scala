@@ -482,13 +482,19 @@ object StreamOps {
     * simply overwrites; a replay of a COMMITTED epoch (Spark re-delivers
     * the last batch after a restart whose commit-log write raced the
     * crash) hits the marker and no-ops. The op exercises the guard
-    * in-line: after the stream drains, batch 0's input is re-applied the
-    * way a restarted query would re-deliver it — the sink must stay
-    * byte-identical (the DuckDB oracle counts every row exactly once; a
-    * broken guard doubles half the rows and hash-mismatches). At 100 TB
-    * the per-batch directory is also the recovery unit: partial output is
-    * never visible under a committed marker, and the pattern needs no
-    * table format — plain parquet + one marker file per epoch. */
+    * in-line: after the stream drains, batch 0 is re-applied the way a
+    * restarted query re-delivers a committed epoch — with its prices
+    * NEGATED, because re-delivered batches are recomputed and may differ
+    * (non-deterministic upstream transforms); exactly-once means the
+    * COMMITTED epoch wins. The poison makes the guard observable: since
+    * each epoch overwrites its own directory, an unpoisoned replay would
+    * be byte-idempotent with or without the marker (review r10 — the
+    * original spelling proved nothing), while a broken guard now lets
+    * the poisoned overwrite flip half the revenue signs and the DuckDB
+    * oracle hash-fails. At 100 TB the per-batch directory is also the
+    * recovery unit: partial output is never visible under a committed
+    * marker, and the pattern needs no table format — plain parquet + one
+    * marker file per epoch. */
   val streamExactlyOnceSink: QFn = (spark, sfDir) => {
     val orders = Tables(spark, sfDir, "orders")
     val base = Scratch.dir("stream_exactly_once_sink")
@@ -528,9 +534,12 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // simulate the restart re-delivery of a committed epoch
+    // simulate the restart re-delivery of a committed epoch — POISONED
+    // (negated prices): the committed directory must win, so any trace
+    // of the negation in the result means the guard is broken
     val replayPaths = firstDrop.toSeq.sorted.map(f => s"$incoming/$f")
-    commit(spark.read.schema(feed.schema).parquet(replayPaths: _*), 0L)
+    commit(spark.read.schema(feed.schema).parquet(replayPaths: _*)
+      .withColumn("o_totalprice", -col("o_totalprice")), 0L)
     spark.read.parquet(outDir)
       .select(sel.map(col): _*)
       .orderBy("o_orderkey")
@@ -592,8 +601,9 @@ object StreamOps {
         "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value " +
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
-    // every feed row exactly once despite the replayed epoch — a broken
-    // manifest guard doubles the even-keyed half and fails the row count
+    // every feed row exactly once with its ORIGINAL values despite the
+    // poisoned replayed epoch — a broken manifest guard lets the replay
+    // overwrite batch 0 with negated prices and the hash fails
     "stream_exactly_once_sink" ->
       ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
         "WHERE o_orderdate >= DATE '2001-01-01' ORDER BY o_orderkey"),

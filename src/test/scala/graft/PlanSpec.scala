@@ -561,23 +561,36 @@ class PlanSpec extends AnyFunSuite {
 
   test("rolling distinct dedups to day grain BEFORE the x7 frame explode") {
     // The scale contract of window_rolling_distinct: the sequence-explode
-    // multiplies the deduped (day, user) grain, never the raw fact — in
-    // the physical plan the Generate must sit ABOVE the day-grain
-    // distinct (a HashAggregate), and the observed-days join must
-    // broadcast (the days frame is |distinct days|, tiny at any SF).
+    // multiplies the deduped (day, user) grain, never the raw fact — the
+    // Generate's OWN child subtree must contain the day-grain distinct
+    // aggregate, and the observed-days join must broadcast. Walked
+    // structurally (review r10): a string-index check would also match
+    // the days-branch distinct that prints after Generate even when the
+    // explode wrongly consumes the raw scan.
     val df = graft.analytics.Advanced.windowRollingDistinct(spark, sfDir)
     df.collect() // finalize AQE so the checked plan is the executed one
-    val p = plan(df)
-    assert(p.contains("Generate explode"), s"expected the frame explode:\n$p")
+    val executed = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val p = executed.toString
     assert(p.contains("BroadcastHashJoin"),
       s"days-horizon join must broadcast:\n$p")
-    // order pin: first HashAggregate (bottom-up string order puts the
-    // scan last) — check the explode's input is an aggregate, not a scan,
-    // by asserting at least one HashAggregate appears BELOW Generate in
-    // the plan tree string (deeper nodes print later/indented under it).
-    val genIdx = p.indexOf("Generate explode")
-    val aggBelow = p.indexOf("HashAggregate", genIdx)
-    assert(aggBelow > genIdx,
+    // TreeNode.collect stops at AQE stage boundaries (QueryStageExec holds
+    // its subtree in .plan, not .children) — flatten through them
+    def flatten(n: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = n +: (n match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flatten(q.plan)
+      case _ => n.children.flatMap(flatten)
+    })
+    val gens = flatten(executed).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty, s"expected the frame explode:\n$p")
+    assert(gens.forall(g => flatten(g.child).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])),
       s"explode must consume the day-grain dedup aggregate, not the raw fact:\n$p")
   }
 

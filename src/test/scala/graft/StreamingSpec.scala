@@ -145,13 +145,15 @@ class StreamingSpec extends AnyFunSuite {
       "every event id lands exactly once across the restart")
   }
 
-  test("manifest-guarded append sink stays exactly-once through the replayed epoch") {
+  test("manifest-guarded append sink stays exactly-once through the poisoned replay") {
     // streamExactlyOnceSink replays batch 0 in-line after the stream
-    // drains (the restart re-delivery of a committed epoch); the manifest
-    // guard must no-op, so the sink holds every feed row exactly once. A
-    // broken guard appends the even-keyed half twice — caught here by
-    // count AND by per-key uniqueness (duplicates could also hide behind
-    // a count if the guard dropped one batch while doubling another).
+    // drains (the restart re-delivery of a committed epoch) with its
+    // prices NEGATED — re-delivered batches are recomputed and may
+    // differ; the committed epoch must win. Count + per-key uniqueness
+    // catch duplication; the value-sum equality catches the poison (the
+    // per-epoch overwrite makes an UNpoisoned replay idempotent whether
+    // or not the guard works, so only a value-visible replay can prove
+    // the marker is load-bearing — review r10).
     import org.apache.spark.sql.functions._
     val res = graft.streaming.StreamOps.streamExactlyOnceSink(spark, sfDir)
       .cache()
@@ -161,6 +163,10 @@ class StreamingSpec extends AnyFunSuite {
       assert(res.count() == feed.count(), "sink row count != feed row count")
       val dup = res.groupBy("o_orderkey").count().filter(col("count") > 1).count()
       assert(dup == 0, s"$dup keys written more than once")
+      def priceSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("o_totalprice").cast("decimal(28,4)"))).head.getDecimal(0)
+      assert(priceSum(res) == priceSum(feed),
+        "committed epoch was overwritten by the poisoned replay")
     } finally res.unpersist()
   }
 

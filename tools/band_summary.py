@@ -52,7 +52,18 @@ def load_runs(path):
 
 
 def load_prior(path):
-    """Return (detail_dict, source_note) or (None, reason)."""
+    """Return (detail_dict, source_note) or (None, reason).
+
+    Driver-wrapper tails need care: the capture keeps the LAST ~2000
+    chars of stdout, so the first line of the tail is usually a headless
+    FRAGMENT of whichever metric line got cut — and when that line is
+    queries_normalized, its values are raw/host_factor (review r10: the
+    old regex-over-everything recovery silently compared normalized prior
+    values against raw current medians, skewing every ratio by the prior
+    run's host factor). Fragments are attributed by looking at the next
+    complete line's metric and de-normalized via the parsed host_factor
+    when needed.
+    """
     text = open(path).read()
     # Case 1: whole-file JSON (bench_detail.json or driver wrapper).
     try:
@@ -63,24 +74,59 @@ def load_prior(path):
         if isinstance(doc.get("detail"), dict):        # bench_detail.json
             return doc["detail"], f"bench_detail ({len(doc['detail'])} queries)"
         if "tail" in doc:                              # driver BENCH_rN wrapper
-            # tail is an ESCAPED, head-truncated fragment of the detail +
-            # total lines; recover what survives by regex.
-            frag = doc["tail"]
-            pairs = dict((k, float(v)) for k, v in
-                         re.findall(r'\\?"([A-Za-z0-9_]+)\\?":(-?\d+\.\d+)', frag)
-                         if k not in ("value", "calib_sec", "calib_shuffle_sec",
-                                      "calib_io_sec", "calib_nominal",
-                                      "calib_shuffle_nominal", "calib_io_nominal",
-                                      "streaming_sec", "analytic_sec",
-                                      "warmup_sec", "total_normalized",
-                                      "host_factor", "host_shuffle_factor",
-                                      "host_io_factor"))
-            if pairs:
-                return pairs, (f"driver wrapper tail — TRUNCATED, only "
-                               f"{len(pairs)} queries recovered; moves in the "
-                               f"lost head are NOT checked")
+            host = None
+            if isinstance(doc.get("parsed"), dict):
+                host = doc["parsed"].get("host_factor")
+            lines = [ln.strip() for ln in doc["tail"].splitlines() if ln.strip()]
+            parsed_lines = []
+            for ln in lines:
+                if ln.startswith("{"):
+                    try:
+                        parsed_lines.append(json.loads(ln))
+                        continue
+                    except json.JSONDecodeError:
+                        pass
+                parsed_lines.append(ln)  # headless fragment (or broken json)
+            # best case: a COMPLETE raw queries line survived
+            for d2 in parsed_lines:
+                if isinstance(d2, dict) and d2.get("metric") == "queries":
+                    det = d2["detail"]
+                    return det, f"driver wrapper (full queries line, {len(det)} queries)"
+            # next: a complete normalized line -> de-normalize
+            for d2 in parsed_lines:
+                if isinstance(d2, dict) and d2.get("metric") == "queries_normalized":
+                    h = float(d2.get("host_factor") or host or 0)
+                    if h > 0:
+                        det = {k: v * h for k, v in d2["detail"].items() if v >= 0}
+                        return det, (f"driver wrapper (normalized line x "
+                                     f"host_factor {h:.3f}, {len(det)} queries)")
+            # last resort: the headless first fragment, attributed by the
+            # metric of the next complete line
+            for i, frag in enumerate(parsed_lines):
+                if isinstance(frag, str):
+                    pairs = dict((k, float(v)) for k, v in
+                                 re.findall(r'"([A-Za-z0-9_]+)":(-?\d+\.\d+)', frag))
+                    if not pairs:
+                        continue
+                    nxt = next((d2.get("metric") for d2 in parsed_lines[i + 1:]
+                                if isinstance(d2, dict)), None)
+                    if nxt == "queries_normalized":
+                        return pairs, (f"driver wrapper tail - TRUNCATED raw "
+                                       f"queries fragment, only {len(pairs)} "
+                                       f"queries recovered; moves in the lost "
+                                       f"head are NOT checked")
+                    # fragment belongs to queries_normalized
+                    if host and host > 0:
+                        pairs = {k: v * float(host) for k, v in pairs.items()}
+                        return pairs, (f"driver wrapper tail - TRUNCATED "
+                                       f"NORMALIZED fragment de-normalized by "
+                                       f"host_factor {host:.3f}, only "
+                                       f"{len(pairs)} queries recovered; moves "
+                                       f"in the lost head are NOT checked")
+                    return None, ("normalized fragment with no host_factor to "
+                                  "de-normalize - refusing a skewed comparison")
             return None, "driver wrapper had no recoverable query pairs in tail"
-    # Case 2: raw band file — first queries line.
+    # Case 2: raw band file - first queries line.
     for line in text.splitlines():
         if '"metric":"queries"' in line and 'normalized' not in line:
             try:
