@@ -266,6 +266,33 @@ object Queries {
         .as("users_view_click_purchase"))
   }
 
+  /** Fixed-bin price histogram — the distribution widget behind every
+    * dashboard (README.md:97-102): 20 equal-width bins with the bounds
+    * computed IN-PLAN (scalar min/max aggregate broadcast onto the scan,
+    * the same 1-row-cross-join anchor pattern as filter_last_3_months —
+    * no driver collect, no hardcoded bounds that rot as data grows). Two
+    * fact scans (a column-pruned full reduction for bounds, then the
+    * binning pass) and the final shuffle carries exactly 20 rows; at
+    * 100 TB swap the exact bounds for approx_percentile(0/1) or cached
+    * table stats and the shape is unchanged. The max row clamps into the
+    * last bin (least(…, 19)); all arithmetic is double-IEEE identical on
+    * both engines, so the DuckDB oracle hash-matches bin edges too. */
+  val aggHistogramPrices: QFn = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+    val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .select(least(floor((col("o_totalprice") - col("lo")) /
+          ((col("hi") - col("lo")) / 20.0)), lit(19.0)).cast("int").as("bin"),
+        col("lo"), col("hi"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("lo")) + col("bin") * (first(col("hi")) - first(col("lo"))) / 20.0, 4)
+          .as("bin_lo"))
+      .select("bin", "bin_lo", "n")
+      .orderBy("bin")
+  }
+
   /** Top-k sold categories (README.md:100 dashboard ordering). */
   val sortTopkCategories: QFn = (spark, sfDir) =>
     salesByCategoryYear(spark, sfDir)
@@ -408,6 +435,7 @@ object Queries {
     "agg_sales_by_category_star" -> aggSalesByCategoryStar,
     "agg_funnel_counts" -> aggFunnelCounts,
     "agg_funnel_ordered" -> aggFunnelOrdered,
+    "agg_histogram_prices" -> aggHistogramPrices,
     "agg_purchase_frequency" -> aggPurchaseFrequency,
     "agg_sum_revenue" -> aggSumRevenue,
     "agg_distinct_users" -> aggDistinctUsers,
@@ -476,6 +504,12 @@ object Queries {
         "CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view " +
         "AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS users_view_click_purchase " +
         "FROM f"),
+    "agg_histogram_prices" ->
+      ("WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi " +
+        "FROM orders) " +
+        "SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19.0) AS INT) AS bin, " +
+        "ROUND(lo + CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19.0) AS INT) * (hi - lo) / 20.0, 4) AS bin_lo, " +
+        "count(*) AS n FROM orders CROSS JOIN b GROUP BY 1, 2 ORDER BY 1"),
     "agg_purchase_frequency" ->
       ("SELECT user_id, count(*) AS n_purchases, " +
         "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts, " +
