@@ -409,6 +409,46 @@ object Ingest {
     }
   }
 
+  /** Corrupt-tolerant JSONL scan — the JSON twin of
+    * scan_csv_invalid_chars (README.md:32-35's MAXERROR tolerance): a
+    * lake drop mixes valid JSONL part-files with a file of malformed
+    * lines; the PERMISSIVE read routes every unparseable line into
+    * `_corrupt_record` instead of failing the job, and the result
+    * reports good rows, quarantined rows, and the revenue over the good
+    * subset. The corrupt-row COUNT is deterministic by construction (the
+    * poison file is written by this op), so the DuckDB oracle can assert
+    * it as a constant while replaying the good-subset aggregate from the
+    * source table. Schema is explicit — inference over a corrupt lake
+    * both costs a scan and can silently widen types from bad rows. At
+    * 100 TB the same plan holds: per-file parallel parse, malformed
+    * lines cost one string copy each, and the quarantine column feeds
+    * the dead-letter audit instead of killing the load. */
+  val scanJsonlCorrupt: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("scan_jsonl_corrupt")
+    val good = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    good.write.mode("overwrite").json(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt.json"),
+      Seq("{\"o_orderkey\": 1, \"o_orderstatus\"",
+        "[1, 2",
+        "not json at all",
+        "{\"o_orderkey\": }",
+        "}{").mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = StructType(good.schema.fields :+
+      StructField("_corrupt_record", StringType))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("good_rows"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("corrupt_rows"),
+        round(sum(when(col("_corrupt_record").isNull,
+          col("o_totalprice").cast("decimal(18,4)"))).cast("double"), 2)
+          .as("revenue"))
+  }
+
   /** XML lake round-trip (Spark 4's built-in XML source — the remaining
     * text format after CSV/JSON/text): writes an orders projection as
     * row-tagged XML, reads it back under an EXPLICIT schema, and
@@ -458,6 +498,7 @@ object Ingest {
 
   val queries: Map[String, QFn] = Map(
     "sink_xml_roundtrip" -> sinkXmlRoundtrip,
+    "scan_jsonl_corrupt" -> scanJsonlCorrupt,
     "sink_jdbc_load" -> sinkJdbcLoad,
     "sink_compact_small_files" -> sinkCompactSmallFiles,
     "scan_parquet_schema_evolution" -> scanParquetSchemaEvolution,
@@ -478,6 +519,13 @@ object Ingest {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the 5 corrupt lines are written by the op itself — a constant the
+    // oracle asserts while replaying the good-subset aggregate
+    "scan_jsonl_corrupt" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS good_rows, " +
+        "CAST(5 AS BIGINT) AS corrupt_rows, " +
+        "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue " +
+        "FROM orders"),
     "sink_xml_roundtrip" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "count(DISTINCT o_orderkey) AS n_keys, " +
