@@ -33,7 +33,8 @@ object Bench {
         }
       // star stats are a separate warmup so a star-only selection does not
       // pay for llm_* index materializations it never touches
-      if (selected.contains("agg_sales_by_category_star"))
+      if (selected.contains("agg_sales_by_category_star") ||
+          selected.contains("agg_histogram_approx"))
         try graft.llm.Warmup.starStats(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] star-stats warmup failed: ${e.getMessage}")
@@ -42,6 +43,13 @@ object Bench {
       // database exists before the extract runs)
       if (selected.contains("scan_jdbc_export"))
         graft.etl.Ingest.derbyUrl(spark, sfDir)
+      // Catalog registration hoisted out of the timed loop (VERDICT r10 #2):
+      // the SQL-text operators call Tables.registerAll defensively, and
+      // before memoization whichever ran first absorbed ten parquet schema
+      // resolutions into its timed row (sql_athena_style 4.3× its band
+      // median in the round-10 capture). registerAll is memoized per
+      // (session, sfDir) so the in-query calls become no-ops after this.
+      graft.tables.Tables.registerAll(spark, sfDir)
       (System.nanoTime() - w0) / 1e9
     }
     only.foreach { s =>
@@ -201,14 +209,26 @@ object Bench {
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE",
       "/root/repo/target/bench_detail.json")
-    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"streaming_sec":${f3(streamingSec)},"analytic_sec":${f3(analyticSec)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"calib_io_sec":${f3(calibIoSec)},"calib_nominal":${f3(calibNominal)},"calib_shuffle_nominal":${f3(calibShuffleNominal)},"calib_io_nominal":${f3(calibIoNominal)},"calib_abnormal":$calibAbnormal,"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"host_io_factor":${f3(hostIoFactor)},"detail_file":"$detailPath","sf":"$sfDir"}"""
+    // ADVICE r10: paths come from the environment and are interpolated into
+    // JSON — a quote/backslash/control char in SPARK_GRAFT_DETAIL_FILE or
+    // the sf dir would silently emit invalid JSON for every downstream
+    // parser. Escape per RFC 8259 before interpolation.
+    def jstr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+    val detailPathJ = jstr(detailPath)
+    val sfDirJ = jstr(sfDir)
+    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"streaming_sec":${f3(streamingSec)},"analytic_sec":${f3(analyticSec)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"calib_io_sec":${f3(calibIoSec)},"calib_nominal":${f3(calibNominal)},"calib_shuffle_nominal":${f3(calibShuffleNominal)},"calib_io_nominal":${f3(calibIoNominal)},"calib_abnormal":$calibAbnormal,"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"host_io_factor":${f3(hostIoFactor)},"detail_file":"$detailPathJ","sf":"$sfDirJ"}"""
     // stdout FIRST — it is the ground truth the driver tail-captures; a
     // bad SPARK_GRAFT_DETAIL_FILE must not cost the whole run's results
     // (review r10: the sidecar write used to run before any println and
     // an unwritable path threw away 100+ s of measurements).
-    println(s"""{"metric":"queries","sf":"$sfDir","twin_note":"$twinNote","detail":$qs}""")
-    println(s"""{"metric":"queries_normalized","sf":"$sfDir","host_factor":${f3(hostFactor)},"detail":$qsNorm}""")
-    println(s"""{"metric":"stream_commit","sf":"$sfDir","detail":$ssJson}""")
+    println(s"""{"metric":"queries","sf":"$sfDirJ","twin_note":"$twinNote","detail":$qs}""")
+    println(s"""{"metric":"queries_normalized","sf":"$sfDirJ","host_factor":${f3(hostFactor)},"detail":$qsNorm}""")
+    println(s"""{"metric":"stream_commit","sf":"$sfDirJ","detail":$ssJson}""")
     println(totalLine)
     // Full-detail sidecar (VERDICT r9 #3): the driver's stdout capture
     // keeps only the last ~2000 chars, which truncates the 157-entry
@@ -216,7 +236,7 @@ object Bench {
     // per-query detail + calibrations + stream split to a file the judge
     // can read whole. Same content as the stdout lines, never truncated.
     val detailJson =
-      s"""{"sf":"$sfDir","n_queries":${results.size},"failed":$nFailed,"twin_note":"$twinNote","detail":$qs,"detail_normalized":$qsNorm,"stream_commit":$ssJson,"total":$totalLine}"""
+      s"""{"sf":"$sfDirJ","n_queries":${results.size},"failed":$nFailed,"twin_note":"$twinNote","detail":$qs,"detail_normalized":$qsNorm,"stream_commit":$ssJson,"total":$totalLine}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>

@@ -69,7 +69,27 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Register every table as a temp view (Glue-Data-Catalog analog). */
+  // Memoization for registerAll (VERDICT r10 #2): registering all ten views
+  // costs ten parquet schema resolutions, and the two SQL-text operators
+  // (sql_athena_style, agg_grouping_sets) call registerAll inside their
+  // query body — whichever runs first in a bench absorbed the whole catalog
+  // churn into its timed row (sql_athena_style read 4.3× its band median in
+  // the round-10 driver capture). The views are immutable per (session,
+  // sfDir), so a repeat call is a pure no-op; keyed weakly on the session so
+  // short-lived spec sessions don't pin their SessionState. If the SAME
+  // session is re-pointed at a DIFFERENT sfDir (specs do this across SF
+  // tiers), the views are re-registered and the key updated.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Register every table as a temp view (Glue-Data-Catalog analog).
+    * Idempotent and memoized per (session, sfDir) — callers may invoke it
+    * defensively (each SQL-text operator still does, so Verify works on a
+    * cold session) without paying re-registration. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    if (registered.get(spark) != sfDir) {
+      names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+      registered.put(spark, sfDir)
+    }
 }

@@ -23,6 +23,20 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("stats-bounds histogram equals the exact two-scan twin bin-for-bin") {
+    // VERDICT r10 #4: the single-scan twin's bounds come from ANALYZE-time
+    // catalog stats, which store the exact min/max as round-trippable
+    // strings — so this is an EQUALITY pin, not a tolerance band: every
+    // (bin, bin_lo, n) row must match, or the stats path silently drifted
+    // from the data (e.g. a stale ANALYZE after a reload).
+    val exact = graft.analytics.Queries.aggHistogramPrices(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+    val stats = graft.analytics.Queries.aggHistogramApprox(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(exact.nonEmpty && stats == exact,
+      s"stats-bounds histogram diverged from exact twin:\nexact=$exact\nstats=$stats")
+  }
+
   test("agg_percentile_approx lands within tolerance of the exact percentile twin") {
     val exact = graft.analytics.Queries.aggPercentilePrice(spark, sfDir)
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap

@@ -145,13 +145,20 @@ class ContractSpec extends AnyFunSuite {
     val pairs = Seq(
       ("agg_percentile_approx", "agg_percentile_price"),
       ("agg_profile_approx", "agg_table_profile"),
-      ("agg_hll_mergeable", "agg_distinct_users"))
+      ("agg_hll_mergeable", "agg_distinct_users"),
+      // round 11: stats-bounds single-scan histogram vs two-scan exact
+      ("agg_histogram_approx", "agg_histogram_prices"))
     def minOf3(name: String): Double = {
       val fn = SparkEntry.queries(name)
-      fn(spark, dir).count() // warmup: JIT + codegen cache, untimed
+      // collect(), not count() (ADVICE r10): count() on an aggregate lets
+      // the optimizer prune agg expressions differently per twin (the
+      // exact side's percentile buffers survive, the approx side's sketch
+      // might not, or vice versa) — collect() pins identical work on both
+      // sides of the ratio. Result sets here are ≤ 210 rows.
+      fn(spark, dir).collect() // warmup: JIT + codegen cache, untimed
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        fn(spark, dir).collect()
         (System.nanoTime() - t0) / 1e9
       }.min
     }

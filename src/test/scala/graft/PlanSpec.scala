@@ -469,6 +469,25 @@ class PlanSpec extends AnyFunSuite {
       "top-3 filter must push down as a window group limit")
   }
 
+  test("stats-bounds histogram touches the orders parquet exactly once") {
+    // VERDICT r10 #4: the exact twin pays a second fact scan for the
+    // bounds reduction; the stats twin must not — its bounds come from the
+    // catalog's ANALYZE column stats (a LocalTableScan of DESCRIBE rows),
+    // so exactly ONE leaf may read the orders parquet. The exact twin's
+    // two-scan shape is asserted alongside so the pair's cost contrast is
+    // pinned, not assumed.
+    val approx = graft.analytics.Queries.aggHistogramApprox(spark, sfDir)
+    val approxScans = approx.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(s => s.contains("orders") && s.contains("Parquet"))
+    assert(approxScans.size == 1,
+      s"stats-bounds histogram must scan orders once:\n${approxScans.mkString("\n")}")
+    val exact = graft.analytics.Queries.aggHistogramPrices(spark, sfDir)
+    val exactScans = exact.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(s => s.contains("orders") && s.contains("Parquet"))
+    assert(exactScans.size == 2,
+      s"exact histogram is the two-scan spelling by design:\n${exactScans.mkString("\n")}")
+  }
+
   test("dynamic partition pruning: a filtered dim prunes the fact's partitions at runtime") {
     // Static pruning (test above) handles literal predicates; a star-schema
     // query filters the DIMENSION and the partition keys only emerge at
