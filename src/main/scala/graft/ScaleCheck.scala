@@ -37,7 +37,7 @@ object ScaleCheck {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
-      "dedup,sim,text,window,width,cluster").split(",").toSet
+      "dedup,sim,text,window,width,cluster,recall").split(",").toSet
     // Per-section scale-tier overrides (round 9): the width/sim curves
     // extend one octave per round and re-running the recorded lower tiers
     // every time wastes the wall-clock budget — an override like
@@ -300,6 +300,83 @@ object ScaleCheck {
           s""""cluster_sec":${f2(t)},"rounds":$rounds,"max_cluster":$maxCluster,""" +
           s""""log2_bound":$bound,"rounds_ok":${rounds <= bound}}""")
         graft.llm.DedupOps.clearCaches()
+      }
+    }
+
+    if (sections("recall")) {
+      // ---- round 11 (VERDICT r10 #5): ANN RECALL off the fixture floor.
+      // The width section proves candidate work stays flat; this section
+      // proves the derived geometry still FINDS things — recall@20 +
+      // scanned fraction for the RP-bucket ANN and the IVF path at
+      // ×16/×64 of the sf0.1 embeddings (32k / 128k vectors), with the
+      // AnnScaleSpec planting model: rotated replicas (direction-new
+      // corpus growth) + 25 perturbed copies of the vec_id-0 query
+      // (cosine ≈ 0.99, far above the ~0.4 background) whose exact
+      // top-20 is the ground truth. Planted ids start at 9·10⁸ — above
+      // any replica shift (63 × 10⁷ + base ids), so the id space stays
+      // collision-free to ×64 and beyond (the spec's 9·10⁷ base would
+      // collide with replica 9 at these scales).
+      val recallScales = scalesEnv("SPARK_GRAFT_RECALL_SCALES", Seq(16, 64))
+      val plantedBase = 900000000L
+      recallScales.foreach { scale =>
+        val d = graft.util.Scratch.dir(s"scale_recall_x$scale")
+        val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        val corpus = (0 until scale).map { r =>
+          val rot = r % 64
+          emb.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+            .withColumn("embedding",
+              expr(s"concat(slice(embedding, $rot + 1, 64 - $rot), " +
+                s"slice(embedding, 1, $rot))"))
+        }.reduce(_ unionByName _)
+        val planted = emb.filter(col("vec_id") === 0)
+          .crossJoin(spark.range(25).select(col("id").as("pid")))
+          .select((lit(plantedBase) + col("pid")).as("vec_id"),
+            expr("transform(embedding, (x, d) -> cast(x * (1.0 + 0.4 * " +
+              "(pmod(xxhash64(pid, d), 1000) / 1000.0 - 0.5)) as float))")
+              .as("embedding"),
+            lit(9).as("label"))
+        corpus.unionByName(planted)
+          .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+        val exact = graft.llm.SimilarityOps.llmSimilarityTopk(spark, d)
+          .select("vec_id").collect().map(_.getLong(0))
+        val exactPlanted = exact.count(_ >= plantedBase)
+
+        var ann: Array[Long] = null
+        val annSec = time {
+          ann = graft.llm.SimilarityOps.llmSimilarityAnn(spark, d)
+            .select("vec_id").collect().map(_.getLong(0))
+        }
+        val annRecall = ann.toSet.intersect(exact.toSet).size.toDouble / exact.length
+        val n = graft.llm.DedupOps.embCount(spark, d)
+        val bits = graft.llm.DedupOps.projBitsFor(n)
+        val radius = graft.llm.SimilarityOps.probeRadiusFor(bits, n)
+        val rpScanned =
+          graft.llm.SimilarityOps.probedBuckets(bits, radius).toDouble / (1L << bits)
+
+        val ivfIndexSec = time {
+          graft.llm.SimilarityOps.ivfIndex(spark, d)._1.count()
+        }
+        var ivf: Array[Long] = null
+        val ivfSec = time {
+          ivf = graft.llm.SimilarityOps.llmSimilarityIvf(spark, d)
+            .select("vec_id").collect().map(_.getLong(0))
+        }
+        val ivfRecall = ivf.toSet.intersect(exact.toSet).size.toDouble / exact.length
+        val (nlist, _) = graft.llm.SimilarityOps.ivfGeometry(n)
+        val (assigned, _) = graft.llm.SimilarityOps.ivfIndex(spark, d)
+        val ivfScannedRows = assigned
+          .join(graft.llm.SimilarityOps.ivfProbedCells(spark, d), Seq("cell"), "left_semi")
+          .count()
+        def r3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+        println(s"""{"metric":"scale_check_recall","scale":$scale,"vecs":$n,""" +
+          s""""exact_planted":$exactPlanted,""" +
+          s""""rp_bits":$bits,"rp_radius":$radius,"rp_scanned_frac":${r3(rpScanned)},""" +
+          s""""ann_recall":${r3(annRecall)},"ann_sec":${f2(annSec)},""" +
+          s""""ivf_nlist":$nlist,"ivf_scanned_frac":${r3(ivfScannedRows.toDouble / n)},""" +
+          s""""ivf_recall":${r3(ivfRecall)},"ivf_sec":${f2(ivfSec)},"ivf_index_sec":${f2(ivfIndexSec)}}""")
+        graft.llm.DedupOps.clearCaches()
+        graft.llm.SimilarityOps.clearCaches()
       }
     }
 

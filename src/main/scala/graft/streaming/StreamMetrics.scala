@@ -15,8 +15,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * ~1.3×). This listener sums those per operator key; "work" is then
   * `triggerExecution − commit`, i.e. source listing + planning + addBatch.
   *
-  * Query names are `<op-key>_<nanotime-hex>` (StreamOps.uniq), so the op
-  * key is recovered by stripping the final `_hex` token. Registration is
+  * Query names are `<op-key>__<nanotime-hex>` (StreamOps.uniq) — the
+  * double underscore is load-bearing: op keys are single-underscore
+  * words, so the strip rule below can only ever match the uniq suffix
+  * (ADVICE r10: with a single `_`, a future op ending in an all-hex word
+  * like `_feed`/`_dead` would silently merge into a truncated key).
+  * Registration is
   * per-SparkSession (child stream sessions get their own
   * StreamingQueryManager) and idempotent via a weak identity set, so spec
   * suites re-using sessions can't double-count.
@@ -45,7 +49,7 @@ object StreamMetrics {
       val p = e.progress
       val name = p.name
       if (name != null && name.nonEmpty) {
-        val key = name.replaceAll("_[0-9a-f]+$", "")
+        val key = name.replaceAll("__[0-9a-f]+$", "")
         def ms(k: String): Long = {
           val v = p.durationMs.get(k)
           if (v == null) 0L else v.longValue()

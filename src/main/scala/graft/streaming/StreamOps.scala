@@ -23,8 +23,13 @@ import graft.util.Scratch
   */
 object StreamOps {
 
+  // Double-underscore separator (ADVICE r10): op keys are single-
+  // underscore words, so "__" can only be the uniq suffix boundary —
+  // with a single "_" an op whose final word is all-hex (stream_x_feed,
+  // _dead, _cafe…) would be silently merged into a truncated metrics key
+  // by StreamMetrics' suffix-strip.
   private def uniq(prefix: String): String =
-    prefix + "_" + java.lang.Long.toHexString(System.nanoTime())
+    prefix + "__" + java.lang.Long.toHexString(System.nanoTime())
 
   /** State-store provider for every stateful stream: RocksDB (bundled
     * rocksdbjni), not the default HDFS-backed in-memory provider. The

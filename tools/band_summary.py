@@ -106,7 +106,19 @@ def load_prior(path):
                 if isinstance(frag, str):
                     pairs = dict((k, float(v)) for k, v in
                                  re.findall(r'"([A-Za-z0-9_]+)":(-?\d+\.\d+)', frag))
-                    if not pairs:
+                    # ADVICE r10: a tail cut INSIDE the stream_commit line
+                    # yields trigger_sec/commit_sec pairs that are NOT
+                    # per-query seconds — de-normalizing and "recovering"
+                    # them silently compares nothing. Reject fragments
+                    # carrying stream-split field names, and only accept a
+                    # fragment as a normalized-line tail when the next
+                    # complete line is the one that FOLLOWS
+                    # queries_normalized in the emit order (stream_commit);
+                    # a fragment followed directly by "total" was cut
+                    # inside stream_commit itself.
+                    split_fields = {"batches", "trigger_sec", "commit_sec",
+                                    "work_sec"}
+                    if not pairs or split_fields & pairs.keys():
                         continue
                     nxt = next((d2.get("metric") for d2 in parsed_lines[i + 1:]
                                 if isinstance(d2, dict)), None)
@@ -115,6 +127,8 @@ def load_prior(path):
                                        f"queries fragment, only {len(pairs)} "
                                        f"queries recovered; moves in the lost "
                                        f"head are NOT checked")
+                    if nxt != "stream_commit":
+                        continue  # cut inside stream_commit/total: unusable
                     # fragment belongs to queries_normalized
                     if host and host > 0:
                         pairs = {k: v * float(host) for k, v in pairs.items()}
