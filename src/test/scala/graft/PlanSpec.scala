@@ -476,16 +476,19 @@ class PlanSpec extends AnyFunSuite {
     // so exactly ONE leaf may read the orders parquet. The exact twin's
     // two-scan shape is asserted alongside so the pair's cost contrast is
     // pinned, not assumed.
+    // count FileScan lines in the plan STRING, not collectLeaves: under
+    // AQE the root is an AdaptiveSparkPlanExec with no children, so
+    // collectLeaves returns the adaptive node itself and every scan
+    // "merges" into one leaf
+    def ordersScans(df: org.apache.spark.sql.DataFrame): Int =
+      "FileScan parquet [^\n]*orders\\.parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
     val approx = graft.analytics.Queries.aggHistogramApprox(spark, sfDir)
-    val approxScans = approx.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).filter(s => s.contains("orders") && s.contains("Parquet"))
-    assert(approxScans.size == 1,
-      s"stats-bounds histogram must scan orders once:\n${approxScans.mkString("\n")}")
+    assert(ordersScans(approx) == 1,
+      s"stats-bounds histogram must scan orders once:\n${plan(approx)}")
     val exact = graft.analytics.Queries.aggHistogramPrices(spark, sfDir)
-    val exactScans = exact.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).filter(s => s.contains("orders") && s.contains("Parquet"))
-    assert(exactScans.size == 2,
-      s"exact histogram is the two-scan spelling by design:\n${exactScans.mkString("\n")}")
+    assert(ordersScans(exact) == 2,
+      s"exact histogram is the two-scan spelling by design:\n${plan(exact)}")
   }
 
   test("dynamic partition pruning: a filtered dim prunes the fact's partitions at runtime") {
