@@ -205,6 +205,8 @@ object Bench {
       "\"" + k + "\":{\"batches\":" + s.batches +
         ",\"trigger_sec\":" + f3(s.triggerMs / 1000.0) +
         ",\"commit_sec\":" + f3(s.commitMs / 1000.0) +
+        ",\"wal_sec\":" + f3(s.walMs / 1000.0) +
+        ",\"state_sec\":" + f3(s.stateMs / 1000.0) +
         ",\"work_sec\":" + f3(s.workMs / 1000.0) + "}"
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE",

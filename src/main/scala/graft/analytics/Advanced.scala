@@ -231,6 +231,37 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** Heavy-hitter point estimates from a Count-Min sketch — the third
+    * classic mergeable sketch beside HLL (distinct counts, above) and the
+    * percentile t-digest: per-partition sketches merge by counter
+    * addition inside Spark's own `count_min_sketch` aggregate (map-side
+    * combined), so the fact scan ships one eps-wide counter table per
+    * partition — O(1) state regardless of key cardinality, the property
+    * that lets a 100 TB scan answer per-key frequency questions without a
+    * per-key shuffle. The probe side is pure metadata: a deterministic
+    * 50-key candidate panel collected into ONE array row, cross-joined
+    * (1 row × 1 row, broadcast) onto the single sketch row, and answered
+    * by the native cms_estimate expression in one sketch
+    * deserialization. Re-probing new candidates later costs only this
+    * metadata join — the sketch is the reusable artifact. eps = 1e-4 →
+    * overcount ≤ 1e-4·N w.p. ≥ 0.99 per key; estimates can never
+    * undercount. No DuckDB oracle (no CMS there); ApproxSpec pins the
+    * deterministic ≥-exact bound, the eps band, and mergeability
+    * (per-type sketches merged == whole-column sketch). */
+  val aggHeavyHittersCms: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val sketch = ev.agg(expr(
+      "count_min_sketch(user_id, cast(0.0001 as double), cast(0.99 as double), 42)")
+      .as("sk"))
+    val panel = ev.filter(col("user_id") < 50).select(col("user_id")).distinct()
+      .agg(sort_array(collect_list(col("user_id"))).as("keys"))
+    sketch.crossJoin(broadcast(panel))
+      .select(col("keys"), expr("cms_estimate(sk, keys)").as("ests"))
+      .select(posexplode(col("keys")).as(Seq("i", "user_id")), col("ests"))
+      .select(col("user_id"), expr("ests[i]").as("est_cnt"))
+      .orderBy("user_id")
+  }
+
   /** Week-over-week user retention — the canonical funnel-health metric one
     * step past the reference's per-stage counts (README.md:102,160): of the
     * users active in week w, how many are also active in week w+1. One
@@ -578,6 +609,7 @@ object Advanced {
     "agg_pivot_status" -> aggPivotStatus,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_hll_mergeable" -> aggHllMergeable,
+    "agg_heavy_hitters_cms" -> aggHeavyHittersCms,
     "window_rolling_avg" -> windowRollingAvg,
     "window_rolling_range" -> windowRollingRange,
     "window_lag_lead_delta" -> windowLagLeadDelta,

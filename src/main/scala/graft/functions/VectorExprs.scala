@@ -271,6 +271,10 @@ object GraftFunctions {
     "vector_sumq" -> { exprs =>
       require(exprs.length == 1, "vector_sumq(v) takes exactly 1 argument")
       VectorSumQ(exprs.head)
+    },
+    "cms_estimate" -> { exprs =>
+      require(exprs.length == 2, "cms_estimate(sketch, keys) takes exactly 2 arguments")
+      CmsEstimate(exprs.head, exprs(1))
     })
 
   def ensure(spark: SparkSession): Unit = {

@@ -31,8 +31,15 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * minutes after the streams finish, where that skew is noise.
   */
 object StreamMetrics {
-  /** Accumulated split for one operator across all its micro-batches. */
-  final case class Split(batches: Int, triggerMs: Long, commitMs: Long) {
+  /** Accumulated split for one operator across all its micro-batches.
+    * commitMs = walMs (offset WAL + commit log — DRIVER-side fsyncs, one
+    * pair per batch regardless of stores) + stateMs (state-store commits
+    * — per store instance per batch). The two move independently: store
+    * unification cuts stateMs, while walMs is a per-batch floor only
+    * fewer/larger batches can cut — so Bench emits both (round 11). */
+  final case class Split(batches: Int, triggerMs: Long, walMs: Long,
+      stateMs: Long) {
+    def commitMs: Long = walMs + stateMs
     def workMs: Long = math.max(0L, triggerMs - commitMs)
   }
 
@@ -55,11 +62,11 @@ object StreamMetrics {
           if (v == null) 0L else v.longValue()
         }
         val stateCommit = p.stateOperators.map(_.commitTimeMs).sum
-        val commit = ms("walCommit") + ms("commitOffsets") + stateCommit
+        val wal = ms("walCommit") + ms("commitOffsets")
         val trigger = ms("triggerExecution")
-        acc.merge(key, Split(1, trigger, commit),
+        acc.merge(key, Split(1, trigger, wal, stateCommit),
           (a, b) => Split(a.batches + b.batches, a.triggerMs + b.triggerMs,
-            a.commitMs + b.commitMs))
+            a.walMs + b.walMs, a.stateMs + b.stateMs))
       }
     }
   }

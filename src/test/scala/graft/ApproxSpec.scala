@@ -23,6 +23,50 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS heavy-hitter estimates respect both Count-Min bounds vs exact counts") {
+    // Deterministic guarantee: a Count-Min estimate can NEVER undercount
+    // (counters only add). Probabilistic guarantee: overcount <= eps*N
+    // w.p. >= confidence per key — asserted with 2x slack so the ~1%
+    // per-key tail over a 50-key panel can't flake CI.
+    val est = graft.analytics.Advanced.aggHeavyHittersCms(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = graft.tables.Tables(spark, sfDir, "events")
+    val exact = ev.filter(col("user_id") < 50)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = ev.count()
+    val slack = math.max(1L, math.ceil(2 * 0.0001 * n).toLong)
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"user $k: CMS undercounted ${est(k)} < $c — impossible if correct")
+      assert(est(k) <= c + slack,
+        s"user $k: estimate ${est(k)} exceeds exact $c + 2*eps*N slack $slack")
+    }
+  }
+
+  test("merged per-type CMS sketches answer like the single-pass sketch") {
+    // Mergeability — the property that makes the sketch an index at
+    // 100 TB (build per day/partition, union at query time): sketches
+    // built per event_type, merged via counter addition, must estimate
+    // within the SAME eps band as the whole-column sketch. Merge runs on
+    // collected binaries (|event types| rows of metadata, the same shape
+    // as the HLL union test above).
+    import org.apache.spark.util.sketch.CountMinSketch
+    val ev = graft.tables.Tables(spark, sfDir, "events")
+    val parts = ev.groupBy("event_type")
+      .agg(expr("count_min_sketch(user_id, cast(0.0001 as double), cast(0.99 as double), 42)").as("sk"))
+      .collect().map(_.getAs[Array[Byte]]("sk"))
+    assert(parts.length > 1, "need >1 per-type sketch for a meaningful merge")
+    val merged = parts.map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val single = graft.analytics.Advanced.aggHeavyHittersCms(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    single.foreach { case (k, est) =>
+      assert(merged.estimateCount(java.lang.Long.valueOf(k)) == est,
+        s"user $k: merged-sketch estimate != single-pass estimate")
+    }
+  }
+
   test("stats-bounds histogram equals the exact two-scan twin bin-for-bin") {
     // VERDICT r10 #4: the single-scan twin's bounds come from ANALYZE-time
     // catalog stats, which store the exact min/max as round-trippable

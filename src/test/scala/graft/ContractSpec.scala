@@ -21,6 +21,7 @@ class ContractSpec extends AnyFunSuite {
     // here WITH its spec, never silently.
     val waived = Map(
       "agg_hll_mergeable" -> "ApproxSpec",
+      "agg_heavy_hitters_cms" -> "ApproxSpec",
       "agg_percentile_approx" -> "ApproxSpec",
       "agg_profile_approx" -> "ApproxSpec",
       "llm_dedup_minhash" -> "NearDupSpec",
