@@ -275,6 +275,29 @@ object GraftFunctions {
     "cms_estimate" -> { exprs =>
       require(exprs.length == 2, "cms_estimate(sketch, keys) takes exactly 2 arguments")
       CmsEstimate(exprs.head, exprs(1))
+    },
+    // Spark registers bloom_filter_agg in SQL but NOT the probe side —
+    // BloomFilterMightContain is normally injected only by the runtime-
+    // filter optimizer rule. Registering it by name lets a query build a
+    // bloom as an explicit, reusable ARTIFACT (a decontamination list
+    // shipped as 1 MB of bits) and probe it via a scalar subquery; the
+    // expression itself enforces that the bloom side is a constant or
+    // scalar subquery, so it cannot be misused as a per-row join.
+    "bloom_might_contain" -> { exprs =>
+      require(exprs.length == 2,
+        "bloom_might_contain(bloom, key) takes exactly 2 arguments")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs.head, exprs(1))
+    },
+    // …and the build side is equally optimizer-private (despite the name
+    // appearing in error strings, it is not on the SQL search path), so
+    // register it too: 1-arg form, Spark's default sizing (1M estimated
+    // items). The analyzer wraps a bare AggregateFunction in an
+    // AggregateExpression the same way it does for vector_avg above.
+    "bloom_filter_agg" -> { exprs =>
+      require(exprs.length == 1, "bloom_filter_agg(key) takes exactly 1 argument")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs.head)
     })
 
   def ensure(spark: SparkSession): Unit = {

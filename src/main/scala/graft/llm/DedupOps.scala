@@ -855,6 +855,34 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Decontamination behind an EXPLICIT bloom prefilter — the engine-
+    * native runtime filter (join_runtime_bloom) made into a reusable
+    * artifact: the train-side distinct grams aggregate into one bloom
+    * (`bloom_filter_agg`, ~1 MB of bits for ~1M grams at ~2% FPP), the
+    * test side probes it via the registered `bloom_might_contain` (a
+    * scalar subquery — the expression refuses anything non-constant, so
+    * the bloom is evaluated once and shipped with the plan), and only
+    * the surviving grams enter the exact semi-join that kills the false
+    * positives. Result is therefore IDENTICAL to [[llmDecontaminate]]
+    * (blooms never false-negative) and shares its full DuckDB oracle.
+    * At 100 TB the bloom is the shipping format of a decontamination
+    * list: the eval-set gram bloom is built once, broadcast to every
+    * ingest job, and cuts the semi-join's shuffle to the ~matching
+    * fraction + FPP instead of every gram of every new document —
+    * PlanSpec asserts the probe sits under the join, not above it. */
+  val llmDecontaminateBloom: QFn = (spark, sfDir) => {
+    gramIndex(spark, sfDir).createOrReplaceTempView("grams_bloom_v")
+    spark.sql(
+      """WITH tr AS (SELECT DISTINCT g FROM grams_bloom_v WHERE is_train),
+        |     bf AS (SELECT bloom_filter_agg(g) AS b FROM tr)
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM grams_bloom_v t
+        |WHERE NOT t.is_train
+        |  AND bloom_might_contain((SELECT b FROM bf), t.g)
+        |  AND t.g IN (SELECT g FROM tr)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   /** The gram index MATERIALIZED to disk as a parquet table hash-bucketed
     * on the gram hash — the durable form of [[gramIndex]]'s executor-memory
     * persist, and the artifact a 100 TB pipeline actually builds: the gram
@@ -990,6 +1018,7 @@ object DedupOps {
     "llm_dedup_incremental_batch" -> llmDedupIncrementalBatch,
     "llm_dedup_passage" -> llmDedupPassage,
     "llm_decontaminate" -> llmDecontaminate,
+    "llm_decontaminate_bloom" -> llmDecontaminateBloom,
     "llm_dedup_exact" -> llmDedupExact,
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_dedup_ngram_jaccard" -> llmDedupNgramJaccard,
@@ -1177,6 +1206,18 @@ object DedupOps {
     // Replayable without xxhash64: gram IDENTITY doesn't matter, only
     // equality — DuckDB intersects the raw 13-char substrings the Spark
     // side hashes (64-bit collisions over ~1M grams: P ≈ 1e-8, ignorable).
+    // identical result to llm_decontaminate (the bloom prefilter only
+    // removes rows the exact semi-join would drop anyway), so the oracle
+    // replays the exact-join SQL
+    "llm_decontaminate_bloom" ->
+      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, doc_id % 2 = 0 AS is_train, " +
+        "substr(t, CAST(i AS BIGINT), 13) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)), " +
+        "tr AS (SELECT DISTINCT gram FROM g WHERE is_train) " +
+        "SELECT doc_id, count(*) AS n_shared_grams " +
+        "FROM g JOIN tr USING (gram) WHERE NOT is_train " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "llm_decontaminate" ->
       ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
         "g AS (SELECT DISTINCT doc_id, doc_id % 2 = 0 AS is_train, " +

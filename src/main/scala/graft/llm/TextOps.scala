@@ -518,8 +518,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style head/middle/tail corpus split by LM perplexity — the
+    * standard pretraining-data quality partition: documents bucket by
+    * their interpolated-bigram avg NLL at the exact tercile cuts. The
+    * cuts are computed as a 1-row aggregate and BROADCAST back onto the
+    * scored frame (the filter_last_3_months in-plan-bounds pattern) —
+    * never a global ntile window, which would funnel every document
+    * through one partition at 100 TB. Exact `percentile` here so the
+    * DuckDB quantile_cont oracle agrees bit-for-bit; at scale swap for
+    * approx_percentile and the shape is unchanged. Bucket means use the
+    * decimal-sum / double-divide spelling so the 3-row aggregate is
+    * partition-order-independent. */
+  val llmPerplexityBuckets: QFn = (spark, sfDir) => {
+    // Cut on the INTEGER micro-NLL-per-token, not the rounded double:
+    // interpolated quantiles differ between engines by ~1 ulp (Spark's
+    // a+(b−a)f vs DuckDB's a(1−f)+bf), and on 4-decimal doubles dense
+    // with ties a 1-ulp cut difference moves whole tie-groups across the
+    // boundary (measured: ±2 docs per bucket). On integer micro-units the
+    // data points sit ≥1 apart, so a 1e-9 cut difference can never change
+    // membership — the comparison is engine-exact while the cut itself
+    // stays an ordinary percentile.
+    val scored = llmPerplexityScore(spark, sfDir)
+      .select(col("doc_id"), col("avg_nll"),
+        expr("nll_micro * 1000 div n_scored").as("micro_tok"))
+    val cuts = scored.agg(
+      expr("percentile(micro_tok, array(0.33333333, 0.66666667))").as("cs"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("micro_tok") <= expr("cs[0]"), "head")
+          .when(col("micro_tok") <= expr("cs[1]"), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("avg_nll").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("mean_nll"),
+        round(min(col("avg_nll")), 4).as("min_nll"),
+        round(max(col("avg_nll")), 4).as("max_nll"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, QFn] = Map(
     "llm_unigram_logprob" -> llmUnigramLogprob,
+    "llm_perplexity_buckets" -> llmPerplexityBuckets,
     "llm_perplexity_score" -> llmPerplexityScore,
     "llm_quality_filter" -> llmQualityFilter,
     "llm_length_histogram" -> llmLengthHistogram,
@@ -539,23 +579,9 @@ object TextOps {
     "llm_fingerprint" -> llmFingerprint,
   )
 
-  val oracleSql: Map[String, String] = {
-    val hitsSql = markerWords.map { case (l, ws) => l -> markerHitsSql(ws) }.toMap
-    Map(
-      "llm_unigram_logprob" ->
-        ("WITH occ AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
-          "FROM documents), " +
-          "model AS (SELECT token, count(*) AS cnt FROM occ GROUP BY token), " +
-          "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM model), " +
-          "nll AS (SELECT token, CAST(floor(ln(CAST(total_tokens AS DOUBLE) / cnt) * 1e6 + 0.5) AS BIGINT) AS nll_q " +
-          "FROM model, tot) " +
-          "SELECT doc_id, count(*) AS n_tokens, CAST(sum(nll_q) AS BIGINT) AS nll_micro, " +
-          "ROUND(CAST(sum(nll_q) AS DOUBLE) / count(*) / 1e6, 4) AS avg_nll " +
-          "FROM occ JOIN nll USING (token) GROUP BY doc_id ORDER BY doc_id"),
-      // Interpolation arithmetic spelled with the SAME op order as the
-      // Spark plan (cast-to-double divisions, double 0.7/0.3 literals).
-      "llm_perplexity_score" ->
-        ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+  // shared by llm_perplexity_score and the tercile-bucket consumer
+  private val perplexityOracleSql: String =
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
           "idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t), " +
           "occ AS (SELECT doc_id, toks[CAST(i AS INT)] AS prev, toks[CAST(i AS INT)+1] AS cur FROM idx), " +
           "uni AS (SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token), " +
@@ -573,7 +599,37 @@ object TextOps {
           "SELECT doc_id, CAST(coalesce(n_pairs, 0) + 1 AS BIGINT) AS n_scored, " +
           "CAST(coalesce(pair_micro, 0) + first_q AS BIGINT) AS nll_micro, " +
           "ROUND(CAST(coalesce(pair_micro, 0) + first_q AS DOUBLE) / (coalesce(n_pairs, 0) + 1) / 1e6, 4) AS avg_nll " +
-          "FROM fn LEFT JOIN body USING (doc_id) ORDER BY doc_id"),
+          "FROM fn LEFT JOIN body USING (doc_id) ORDER BY doc_id"
+
+  val oracleSql: Map[String, String] = {
+    val hitsSql = markerWords.map { case (l, ws) => l -> markerHitsSql(ws) }.toMap
+    Map(
+      "llm_unigram_logprob" ->
+        ("WITH occ AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+          "FROM documents), " +
+          "model AS (SELECT token, count(*) AS cnt FROM occ GROUP BY token), " +
+          "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM model), " +
+          "nll AS (SELECT token, CAST(floor(ln(CAST(total_tokens AS DOUBLE) / cnt) * 1e6 + 0.5) AS BIGINT) AS nll_q " +
+          "FROM model, tot) " +
+          "SELECT doc_id, count(*) AS n_tokens, CAST(sum(nll_q) AS BIGINT) AS nll_micro, " +
+          "ROUND(CAST(sum(nll_q) AS DOUBLE) / count(*) / 1e6, 4) AS avg_nll " +
+          "FROM occ JOIN nll USING (token) GROUP BY doc_id ORDER BY doc_id"),
+      // Interpolation arithmetic spelled with the SAME op order as the
+      // Spark plan (cast-to-double divisions, double 0.7/0.3 literals).
+      "llm_perplexity_score" -> perplexityOracleSql,
+      // buckets replay the scored CTE and cut at DuckDB's quantile_cont,
+      // which matches Spark's exact percentile interpolation (the
+      // agg_percentile_price precedent)
+      "llm_perplexity_buckets" ->
+        ("WITH scored AS (" + perplexityOracleSql + "), " +
+          "m AS (SELECT doc_id, avg_nll, (nll_micro * 1000) // n_scored AS micro_tok FROM scored), " +
+          "cuts AS (SELECT quantile_cont(micro_tok, [0.33333333, 0.66666667]) AS cs FROM m) " +
+          "SELECT CASE WHEN micro_tok <= cs[1] THEN 'head' " +
+          "WHEN micro_tok <= cs[2] THEN 'middle' ELSE 'tail' END AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n_docs, " +
+          "ROUND(CAST(SUM(CAST(avg_nll AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean_nll, " +
+          "ROUND(min(avg_nll), 4) AS min_nll, ROUND(max(avg_nll), 4) AS max_nll " +
+          "FROM m CROSS JOIN cuts GROUP BY 1 ORDER BY 1"),
       "llm_pii_scrub" ->
         ("WITH d AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) || " +
           "'@example.com or +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' AS dirty " +

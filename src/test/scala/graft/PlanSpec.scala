@@ -469,6 +469,32 @@ class PlanSpec extends AnyFunSuite {
       "top-3 filter must push down as a window group limit")
   }
 
+  test("bloom decontamination probes the filter BELOW the exact semi-join") {
+    // The bloom is only worth its bits if it cuts rows BEFORE the
+    // semi-join's shuffle: the plan must show the BloomFilterMightContain
+    // predicate in a Filter that sits under the join (on the test-side
+    // input), not as a post-join residual. Both the probe expression and
+    // the join must be present; ordering is checked structurally by
+    // asserting no Join node appears beneath the might_contain filter's
+    // subtree side — the filter's child chain reaches the scan/persisted
+    // frame directly.
+    val df = graft.llm.DedupOps.llmDecontaminateBloom(spark, sfDir)
+    val p = df.queryExecution.optimizedPlan
+    val filters = p.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.find(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          ).isDefined => f
+    }
+    assert(filters.nonEmpty, s"bloom probe not found in optimized plan:\n$p")
+    assert(filters.forall(f => f.child.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty), s"bloom probe must run below the semi-join, not above it:\n$p")
+    assert(p.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty, "exact semi-join must still be present (FP removal)")
+  }
+
   test("stats-bounds histogram touches the orders parquet exactly once") {
     // VERDICT r10 #4: the exact twin pays a second fact scan for the
     // bounds reduction; the stats twin must not — its bounds come from the
