@@ -314,6 +314,27 @@ object Advanced {
       .orderBy("o_custkey")
   }
 
+  /** Top-N per group — "each customer's 3 largest orders", the per-entity
+    * leaderboard every BI surface ships (vs sort_topk_categories' GLOBAL
+    * top-k). Spelled as the rank-filter idiom (row_number over the
+    * per-customer window, keep rank <= 3) because Spark 3.5+ rewrites
+    * exactly this shape into a WindowGroupLimit: each map task keeps only
+    * its local top-3 per key BEFORE the shuffle, so the exchange carries
+    * <= 3 rows per (task, customer) instead of the whole fact table —
+    * the map-side-combine property, applied to ranking. PlanSpec asserts
+    * the WindowGroupLimit is present; the o_orderkey tie-break makes the
+    * kept set deterministic under equal prices. */
+  val windowTopnPerGroup: QFn = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
   /** Second-moment statistics per return flag — the profiling pass behind
     * price-dispersion and quantity/price-relationship dashboards: sample
     * stddev, sample covariance, and Pearson correlation in ONE hash
@@ -603,6 +624,7 @@ object Advanced {
     "agg_profile_approx" -> aggProfileApprox,
     "window_first_last_value" -> windowFirstLastValue,
     "window_percent_rank" -> windowPercentRank,
+    "window_topn_per_group" -> windowTopnPerGroup,
     "window_zscore_anomaly" -> windowZscoreAnomaly,
     "join_null_safe" -> joinNullSafe,
     "window_ntile_decile" -> windowNtileDecile,
@@ -658,6 +680,11 @@ object Advanced {
         "ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price, " +
         "ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "window_topn_per_group" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk " +
+        "FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk"),
     "window_percent_rank" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice, " +
         "ROUND(percent_rank() OVER w, 6) AS pct_rank, " +

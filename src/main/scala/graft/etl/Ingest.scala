@@ -542,7 +542,40 @@ object Ingest {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Multiline (quoted-newline) CSV round-trip — the CSV edge every real
+    * extract with free-text columns hits (the reference's event/feedback
+    * text, README.md:85-90): embedded newlines must be quoted on write
+    * and parsed with multiLine=true on read, because the default
+    * line-split reader shreds records mid-field. Every space in the text
+    * becomes a newline (worst case: hundreds of line breaks per record),
+    * then write → read-back → aggregate fidelity proof (record count, id
+    * distinctness, char total — replace preserves length — and newline
+    * total) replayed by the oracle from the SOURCE table, so a shredded
+    * parse cannot hash-match. Scale note: multiLine parsing is per-file
+    * sequential (a record may span split boundaries, so splits can't be
+    * read independently) — at 100 TB keep text-bearing CSV files small
+    * or land them as parquet at the first hop, which is exactly the
+    * reference's conversion pipeline. */
+  val scanCsvMultiline: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("csv_multiline")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " ", "\n").as("mtext"))
+      .write.mode("overwrite").option("header", true).csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("mtext", StringType)))
+    spark.read.option("header", true).option("multiLine", true)
+      .schema(schema).csv(dir)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        sum(length(col("mtext"))).cast("long").as("total_chars"),
+        sum(size(split(col("mtext"), "\n")) - 1).cast("long")
+          .as("total_newlines"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "scan_csv_multiline" -> scanCsvMultiline,
     "scan_catalog_second_session" -> scanCatalogSecondSession,
     "sink_xml_roundtrip" -> sinkXmlRoundtrip,
     "scan_jsonl_corrupt" -> scanJsonlCorrupt,
@@ -566,6 +599,14 @@ object Ingest {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // fidelity replayed from the SOURCE table: the space→newline replace
+    // preserves length, and newline count == original space count
+    "scan_csv_multiline" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids, " +
+        "CAST(sum(length(text)) AS BIGINT) AS total_chars, " +
+        "CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS total_newlines " +
+        "FROM documents"),
     // the second session reads the same orders parquet through the
     // catalog, so the oracle replays the aggregate straight off the table
     "scan_catalog_second_session" ->

@@ -469,6 +469,16 @@ class PlanSpec extends AnyFunSuite {
       "top-3 filter must push down as a window group limit")
   }
 
+  test("per-group top-N pushes down as a WindowGroupLimit") {
+    // The rank-filter idiom must rewrite to WindowGroupLimit so each map
+    // task keeps only its local top-3 per customer BEFORE the shuffle —
+    // without it the exchange carries the whole fact table to be ranked
+    // and discarded on the reduce side.
+    val p = plan(graft.analytics.Advanced.windowTopnPerGroup(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push down as WindowGroupLimit:\n$p")
+  }
+
   test("bloom decontamination probes the filter BELOW the exact semi-join") {
     // The bloom is only worth its bits if it cuts rows BEFORE the
     // semi-join's shuffle: the plan must show the BloomFilterMightContain
