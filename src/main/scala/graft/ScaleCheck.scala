@@ -312,12 +312,15 @@ object ScaleCheck {
       // AnnScaleSpec planting model: rotated replicas (direction-new
       // corpus growth) + 25 perturbed copies of the vec_id-0 query
       // (cosine ≈ 0.99, far above the ~0.4 background) whose exact
-      // top-20 is the ground truth. Planted ids start at 9·10⁸ — above
-      // any replica shift (63 × 10⁷ + base ids), so the id space stays
-      // collision-free to ×64 and beyond (the spec's 9·10⁷ base would
-      // collide with replica 9 at these scales).
+      // top-20 is the ground truth. Planted ids start at 10¹⁰ — replica
+      // r shifts base ids by r·10⁷, so a 9·10⁸ base (the spec's 9·10⁷
+      // scaled up) would collide again at scale 90; 10¹⁰ needs scale
+      // 1000, and the require below makes the boundary loud instead of
+      // silently corrupting the recall numerators (review r11).
       val recallScales = scalesEnv("SPARK_GRAFT_RECALL_SCALES", Seq(16, 64))
-      val plantedBase = 900000000L
+      val plantedBase = 10000000000L
+      require(recallScales.forall(_ < 1000),
+        s"recall scales >= 1000 would collide replica ids with planted ids: $recallScales")
       recallScales.foreach { scale =>
         val d = graft.util.Scratch.dir(s"scale_recall_x$scale")
         val emb = spark.read.parquet(s"$base/embeddings.parquet")

@@ -238,24 +238,30 @@ object Advanced {
     * combined), so the fact scan ships one eps-wide counter table per
     * partition — O(1) state regardless of key cardinality, the property
     * that lets a 100 TB scan answer per-key frequency questions without a
-    * per-key shuffle. The probe side is pure metadata: a deterministic
-    * 50-key candidate panel collected into ONE array row, cross-joined
-    * (1 row × 1 row, broadcast) onto the single sketch row, and answered
-    * by the native cms_estimate expression in one sketch
-    * deserialization. Re-probing new candidates later costs only this
-    * metadata join — the sketch is the reusable artifact. eps = 1e-4 →
+    * per-key shuffle. The deterministic 50-key candidate panel rides the
+    * SAME single-group aggregate (collect_set over a when(), bounded by
+    * the panel size), so the whole operator is ONE fact scan; the native
+    * cms_estimate expression then answers the panel in one sketch
+    * deserialization on the 1-row result. Re-probing new candidates
+    * later costs only that metadata step — the sketch is the reusable
+    * artifact. eps = 1e-4 →
     * overcount ≤ 1e-4·N w.p. ≥ 0.99 per key; estimates can never
     * undercount. No DuckDB oracle (no CMS there); ApproxSpec pins the
     * deterministic ≥-exact bound, the eps band, and mergeability
     * (per-type sketches merged == whole-column sketch). */
   val aggHeavyHittersCms: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
-    val sketch = ev.agg(expr(
-      "count_min_sketch(user_id, cast(0.0001 as double), cast(0.99 as double), 42)")
-      .as("sk"))
-    val panel = ev.filter(col("user_id") < 50).select(col("user_id")).distinct()
-      .agg(sort_array(collect_list(col("user_id"))).as("keys"))
-    sketch.crossJoin(broadcast(panel))
+    // sketch AND candidate panel from the SAME aggregate — one fact scan
+    // (review r11: a separate filter+distinct pass paid a second full
+    // scan for 50 keys of metadata). collect_set skips the nulls the
+    // when() assigns to non-panel rows and its buffer is bounded by the
+    // panel size, so the single-group aggregate stays map-side-partial.
+    val sketchAndPanel = ev.agg(
+      expr("count_min_sketch(user_id, cast(0.0001 as double), cast(0.99 as double), 42)")
+        .as("sk"),
+      sort_array(collect_set(when(col("user_id") < 50, col("user_id"))))
+        .as("keys"))
+    sketchAndPanel
       .select(col("keys"), expr("cms_estimate(sk, keys)").as("ests"))
       .select(posexplode(col("keys")).as(Seq("i", "user_id")), col("ests"))
       .select(col("user_id"), expr("ests[i]").as("est_cnt"))

@@ -131,16 +131,13 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def starStatsTag(spark: SparkSession, sfDir: String): String =
     starStatsCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + sfDir, {
-      val tag = Scratch.pathTag(sfDir)
       Seq("lineitem", "orders", "customer", "part").foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS star_${t}_$tag")
-        spark.sql(s"CREATE TABLE star_${t}_$tag USING parquet " +
-          s"LOCATION '$sfDir/$t.parquet'")
+        val name = Tables.externalTable(spark, sfDir, t, "star")
         // row counts + per-column NDV/min/max — what the cost model's
         // join-cardinality estimates (and thus the reorder) feed on
-        spark.sql(s"ANALYZE TABLE star_${t}_$tag COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
       }
-      tag
+      Scratch.pathTag(sfDir)
     })
 
   /** The Spectrum lake⋈DW star behind the sales dashboard

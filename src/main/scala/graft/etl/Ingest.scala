@@ -506,11 +506,8 @@ object Ingest {
   private[graft] def catalogTag(spark: SparkSession, sfDir: String): String =
     catalogCache.getOrElseUpdate(
       spark.sparkContext.applicationId + "|" + sfDir, {
-        val tag = Scratch.pathTag(sfDir)
-        spark.sql(s"DROP TABLE IF EXISTS cat_orders_$tag")
-        spark.sql(s"CREATE TABLE cat_orders_$tag USING parquet " +
-          s"LOCATION '$sfDir/orders.parquet'")
-        tag
+        Tables.externalTable(spark, sfDir, "orders", "cat")
+        Scratch.pathTag(sfDir)
       })
 
   /** Catalog persistence across sessions (VERDICT r10 missing #2 — the
@@ -559,8 +556,14 @@ object Ingest {
   val scanCsvMultiline: QFn = (spark, sfDir) => {
     val dir = Scratch.dir("csv_multiline")
     Tables(spark, sfDir, "documents")
+      // sanitize pre-existing control chars FIRST (length-preserving, the
+      // scan_text_lines precaution): the oracle counts spaces in the
+      // source, so an unsanitized literal newline in a regenerated
+      // fixture would make the round-trip count newlines the oracle
+      // doesn't (review r11) — after this, newlines == spaces exactly
       .select(col("doc_id"),
-        regexp_replace(col("text"), " ", "\n").as("mtext"))
+        regexp_replace(regexp_replace(col("text"), "[\\r\\n\\t]", " "),
+          " ", "\n").as("mtext"))
       .write.mode("overwrite").option("header", true).csv(dir)
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -599,14 +602,17 @@ object Ingest {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // fidelity replayed from the SOURCE table: the space→newline replace
-    // preserves length, and newline count == original space count
+    // fidelity replayed from the SOURCE table through the same
+    // length-preserving sanitize (control chars → space), so newline
+    // count == sanitized space count under ANY fixture content
     "scan_csv_multiline" ->
-      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+      ("WITH d AS (SELECT doc_id, " +
+        "regexp_replace(text, '[\\r\\n\\t]', ' ', 'g') AS t FROM documents) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids, " +
-        "CAST(sum(length(text)) AS BIGINT) AS total_chars, " +
-        "CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS total_newlines " +
-        "FROM documents"),
+        "CAST(sum(length(t)) AS BIGINT) AS total_chars, " +
+        "CAST(sum(length(t) - length(replace(t, ' ', ''))) AS BIGINT) AS total_newlines " +
+        "FROM d"),
     // the second session reads the same orders parquet through the
     // catalog, so the oracle replays the aggregate straight off the table
     "scan_catalog_second_session" ->

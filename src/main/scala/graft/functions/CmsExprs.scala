@@ -24,7 +24,10 @@ case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def inputTypes = Seq(BinaryType, ArrayType(LongType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null key slot → null estimate (review r11: getLong on a null slot is
+  // undefined and would silently return key 0's count — a registered SQL
+  // function must not turn array(1L, NULL) into a plausible wrong number)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "cms_estimate"
   override def nullIntolerant: Boolean = true
 
@@ -33,15 +36,17 @@ case class CmsEstimate(left: Expression, right: Expression)
     val sketch = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(bytes))
     val keys = ks.asInstanceOf[ArrayData]
-    val out = new Array[Long](keys.numElements())
+    val out = new Array[Any](keys.numElements())
     var i = 0
     while (i < out.length) {
       // Number route — the same long-hash path the count_min_sketch
       // aggregate used on a bigint column, so probe and build agree
-      out(i) = sketch.estimateCount(java.lang.Long.valueOf(keys.getLong(i)))
+      out(i) =
+        if (keys.isNullAt(i)) null
+        else sketch.estimateCount(java.lang.Long.valueOf(keys.getLong(i)))
       i += 1
     }
-    ArrayData.toArrayData(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def withNewChildrenInternal(

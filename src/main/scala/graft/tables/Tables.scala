@@ -83,6 +83,22 @@ object Tables {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
+  /** Register one driver parquet table as an EXTERNAL catalog table named
+    * `<prefix>_<table>_<pathTag>` and return that name. EXTERNAL
+    * (LOCATION over the read-only testdata) so the DROP-first re-register
+    * never touches data. Shared by the CBO stats tables (star_*) and the
+    * cross-session catalog op (cat_*) — review r11: the two had grown
+    * parallel copies of this DROP/CREATE machinery. Callers own their own
+    * memoization (they cache different things: the stats builder also
+    * runs ANALYZE). */
+  def externalTable(spark: SparkSession, sfDir: String, table: String,
+      prefix: String): String = {
+    val name = s"${prefix}_${table}_${graft.util.Scratch.pathTag(sfDir)}"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$sfDir/$table.parquet'")
+    name
+  }
+
   /** Register every table as a temp view (Glue-Data-Catalog analog).
     * Idempotent and memoized per (session, sfDir) — callers may invoke it
     * defensively (each SQL-text operator still does, so Verify works on a

@@ -117,7 +117,7 @@ def load_prior(path):
                     # a fragment followed directly by "total" was cut
                     # inside stream_commit itself.
                     split_fields = {"batches", "trigger_sec", "commit_sec",
-                                    "work_sec"}
+                                    "wal_sec", "state_sec", "work_sec"}
                     if not pairs or split_fields & pairs.keys():
                         continue
                     nxt = next((d2.get("metric") for d2 in parsed_lines[i + 1:]
