@@ -22,6 +22,7 @@ object Warmup {
     timed("simIndex") { DedupOps.simIndex(spark, sfDir).count() }
     timed("embIndex") { DedupOps.embIndex(spark, sfDir).count() }
     timed("gramIndex") { DedupOps.gramIndex(spark, sfDir).count() }
+    timed("trainBloom") { DedupOps.trainBloom(spark, sfDir).count() }
     timed("ivfIndex") { SimilarityOps.ivfIndex(spark, sfDir)._1.count() }
     timed("unigramModel") { TextOps.unigramModel(spark, sfDir).count() }
     // round 6: the materialized (bucketed-table) indexes — without these,
