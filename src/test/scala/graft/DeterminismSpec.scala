@@ -38,6 +38,12 @@ class DeterminismSpec extends AnyFunSuite {
     // numbering must survive ANY range-boundary placement: the broadcast
     // offsets correct whatever layout the sampled range exchange picks
     "fn_global_row_number" -> graft.etl.Transforms.fnGlobalRowNumber,
+    // round 11: CMS counters add commutatively, so estimates must not
+    // move when partial sketches merge in a different grouping; the
+    // tercile cuts are exact percentiles (sort-defined), so bucket
+    // membership must survive any physical layout too
+    "agg_heavy_hitters_cms" -> graft.analytics.Advanced.aggHeavyHittersCms,
+    "llm_perplexity_buckets" -> graft.llm.TextOps.llmPerplexityBuckets,
   )
 
   test("hash-keyed sampling/split/CDC outputs are invariant to input partitioning") {

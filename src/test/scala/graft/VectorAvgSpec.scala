@@ -50,15 +50,30 @@ class VectorAvgSpec extends AnyFunSuite {
     // extension injects: names, arity checks, and constructed expressions.
     import org.apache.spark.sql.catalyst.expressions.Literal
     val byName = graft.functions.GraftFunctions.builders.toMap
-    assert(byName.keySet == Set("vector_dot", "vector_avg", "vector_sumq"))
+    assert(byName.keySet == Set("vector_dot", "vector_avg", "vector_sumq",
+      "cms_estimate", "bloom_might_contain", "bloom_filter_agg"))
     val lit = Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
+    val bin = Literal.create(Array[Byte](1),
+      org.apache.spark.sql.types.BinaryType)
+    val keys = Literal.create(Array(1L), org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType))
+    val one = Literal.create(1L, org.apache.spark.sql.types.LongType)
     assert(byName("vector_dot")(Seq(lit, lit)).isInstanceOf[graft.functions.VectorDot])
     assert(byName("vector_avg")(Seq(lit)).isInstanceOf[graft.functions.VectorAvg])
     assert(byName("vector_sumq")(Seq(lit)).isInstanceOf[graft.functions.VectorSumQ])
+    assert(byName("cms_estimate")(Seq(bin, keys))
+      .isInstanceOf[graft.functions.CmsEstimate])
+    assert(byName("bloom_might_contain")(Seq(bin, one))
+      .isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])
+    assert(byName("bloom_filter_agg")(Seq(one))
+      .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate])
     intercept[IllegalArgumentException](byName("vector_dot")(Seq(lit)))
     intercept[IllegalArgumentException](byName("vector_avg")(Seq(lit, lit)))
     intercept[IllegalArgumentException](byName("vector_sumq")(Seq(lit, lit)))
+    intercept[IllegalArgumentException](byName("cms_estimate")(Seq(bin)))
+    intercept[IllegalArgumentException](byName("bloom_might_contain")(Seq(bin)))
+    intercept[IllegalArgumentException](byName("bloom_filter_agg")(Seq(one, one)))
     // and the class itself applies cleanly to a fresh extensions object
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
