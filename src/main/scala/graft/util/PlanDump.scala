@@ -26,7 +26,10 @@ object PlanDump {
       "join_interval_overlap", "llm_unigram_logprob", "llm_domain_mixture",
       "sink_zorder_cluster",
       // round 9
-      "join_dpp_prune")
+      "join_dpp_prune",
+      // round 11
+      "agg_histogram_approx", "agg_heavy_hitters_cms",
+      "llm_decontaminate_bloom", "window_topn_per_group")
     picks.foreach { name =>
       println(s"\n======== $name ========")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
