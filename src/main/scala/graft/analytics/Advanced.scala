@@ -423,6 +423,36 @@ object Advanced {
       .orderBy("label")
   }
 
+  /** Blocked fuzzy entity-match (classic entity resolution over a product
+    * catalog with near-duplicate listings): part pairs whose names sit
+    * within Levenshtein distance 3, but ONLY compared inside
+    * (p_brand, p_size) blocks. Blocking is what makes fuzzy matching
+    * distributable: all-pairs edit distance is O(n²) and unshardable,
+    * while the blocked form is an EQUI-join on the block key — one
+    * shuffle, Σ|block|² comparisons (bounded by the largest block, 28
+    * rows at sf0.1, a property of the blocking-key choice that holds
+    * under scale-up because block count grows with the catalog). The
+    * per-pair distance uses Spark's BANDED levenshtein(l, r, 3): the DP
+    * short-circuits to O(threshold·len) per comparison and returns −1
+    * above the band — at the kept threshold the banded value equals the
+    * exact distance, so the DuckDB oracle (full levenshtein) hashes
+    * identically. The canonical a<b orientation halves the pair space
+    * and makes the result set deterministic. */
+  val joinFuzzyLevenshtein: QFn = (spark, sfDir) => {
+    val p = Tables(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("partkey_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("partkey_b"), col("p_name").as("name_b"))
+    val banded = levenshtein(col("name_a"), col("name_b"), 3)
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter(col("partkey_a") < col("partkey_b") && banded >= 0)
+      .select(col("p_brand"), col("p_size"), col("partkey_a"),
+        col("partkey_b"), col("name_a"), col("name_b"), banded.as("dist"))
+      .orderBy("partkey_a", "partkey_b")
+  }
+
   /** Table profiling (the ANALYZE-TABLE pass): row count, null count, and
     * exact distinct count for every column of orders in ONE scan — the
     * stats collection every optimizer and data-quality monitor runs
@@ -620,6 +650,7 @@ object Advanced {
   }
 
   val queries: Map[String, QFn] = Map(
+    "join_fuzzy_levenshtein" -> joinFuzzyLevenshtein,
     "window_rolling_distinct" -> windowRollingDistinct,
     "agg_quality_constraints" -> aggQualityConstraints,
     "agg_mode_frequent" -> aggModeFrequent,
@@ -647,6 +678,14 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "join_fuzzy_levenshtein" ->
+      ("SELECT a.p_brand, a.p_size, a.p_partkey AS partkey_a, " +
+        "b.p_partkey AS partkey_b, a.p_name AS name_a, b.p_name AS name_b, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist " +
+        "FROM part a JOIN part b ON a.p_brand = b.p_brand " +
+        "AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey " +
+        "WHERE levenshtein(a.p_name, b.p_name) <= 3 " +
+        "ORDER BY partkey_a, partkey_b"),
     "window_rolling_distinct" ->
       ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id " +
         "FROM events), days AS (SELECT DISTINCT day FROM du) " +

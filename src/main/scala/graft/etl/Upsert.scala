@@ -320,7 +320,42 @@ object Upsert {
       .orderBy("o_orderstatus", "o_year")
   }
 
+  /** Positional deletion vectors — the Iceberg v2 / Delta
+    * deletion-vector merge-on-read shape, which is how a 100 TB lake
+    * applies a 0.01% delete without rewriting a single data file: the
+    * delete phase emits only (file, row position) tombstones, and every
+    * subsequent read anti-joins the scan against that tiny side. Here the
+    * DV is built from the same scan's `_metadata.file_path` / `row_index`
+    * hidden columns (Spark's file-source row lineage — no content column
+    * participates in the delete key, so duplicate business keys can't
+    * alias), then the read path re-derives positions and drops tombstoned
+    * rows with a BROADCAST left-anti join: the DV is O(deleted rows) and
+    * ships to every executor; the fact side is never shuffled. In
+    * production the DV persists beside the data files and compaction
+    * folds it in once it crosses a size threshold; the read-path plan is
+    * exactly this one. The oracle replays the delete PREDICATE over raw
+    * content — passing proves the positional round-trip (position built →
+    * position matched) dropped precisely the predicate's rows. */
+  val upsertPositionalDelete: QFn = (spark, sfDir) => {
+    val withPos = Tables(spark, sfDir, "orders")
+      .select(col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("pos"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // the MERGE's match phase: tombstone finished orders in a key residue
+    // class — in production this frame is persisted as the DV sidecar
+    val dv = withPos
+      .filter(col("o_orderstatus") === "F" && pmod(col("o_orderkey"), lit(7)) === 3)
+      .select("f", "pos")
+    withPos.join(broadcast(dv), Seq("f", "pos"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(28,4)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "upsert_positional_delete" -> upsertPositionalDelete,
     "upsert_incremental_agg" -> upsertIncrementalAgg,
     "join_scd2_asof" -> joinScd2Asof,
     "upsert_snapshot_diff" -> upsertSnapshotDiff,
@@ -334,6 +369,13 @@ object Upsert {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // content-predicate replay of the positional tombstones: equality
+    // proves the (file, row_index) round-trip dropped exactly these rows
+    "upsert_positional_delete" ->
+      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2) AS revenue " +
+        "FROM orders WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 3) " +
+        "GROUP BY 1 ORDER BY 1"),
     // merged partials must equal the full aggregate over all rows
     "upsert_incremental_agg" ->
       ("SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year, " +

@@ -144,7 +144,35 @@ object SampleOps {
       .orderBy("source")
   }
 
+  /** Exact-k PER-STRATUM sample — the eval-set builder's contract ("20
+    * docs per language, uniformly, reproducibly"): rate-based stratified
+    * sampling gives binomial per-stratum sizes and a global exact-k gives
+    * no per-stratum guarantee; this op ranks by a Lehmer hash WITHIN each
+    * language and keeps the k smallest. The rank-filter idiom plans as
+    * TWO WindowGroupLimits (the window_topn_per_group shape): each map
+    * task keeps its local top-k per language BEFORE the exchange, so the
+    * shuffle carries ≤ k rows per (task, stratum) — per-stratum
+    * reservoir sampling as a plan property, linear at 100 TB. Multiplier
+    * 39373 (a classic Lehmer alternative) is decorrelated from every
+    * other sampling hash in this module, so stratum-sample membership is
+    * independent of split/shard/mixture membership; same mod-fold
+    * ANSI-overflow guard as the rest. */
+  val PerGroupK = 20
+
+  val llmSamplePerGroupK: QFn = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * 39373L,
+      lit(2147483647L))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PerGroupK)
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_sample_per_group_k" -> llmSamplePerGroupK,
     "llm_domain_mixture" -> llmDomainMixture,
     "llm_sample_stratified" -> llmSampleStratified,
     "llm_sample_temperature" -> llmSampleTemperature,
@@ -157,6 +185,11 @@ object SampleOps {
       .mkString(" ") + " ELSE 0 END"
 
   val oracleSql: Map[String, String] = Map(
+    "llm_sample_per_group_k" ->
+      (s"SELECT doc_id, lang, ((doc_id % 1000003) * 39373) % 2147483647 AS h, " +
+        "CAST(row_number() OVER (PARTITION BY lang " +
+        "ORDER BY ((doc_id % 1000003) * 39373) % 2147483647, doc_id) AS INT) AS rk " +
+        s"FROM documents QUALIFY rk <= $PerGroupK ORDER BY lang, rk"),
     "llm_domain_mixture" ->
       ("WITH s AS (SELECT source, sum(n_chars) AS chars FROM documents GROUP BY 1), " +
         "q AS (SELECT source, CAST(chars AS DOUBLE) / " +

@@ -29,7 +29,9 @@ object PlanDump {
       "join_dpp_prune",
       // round 11
       "agg_histogram_approx", "agg_heavy_hitters_cms",
-      "llm_decontaminate_bloom", "window_topn_per_group")
+      "llm_decontaminate_bloom", "window_topn_per_group",
+      "upsert_positional_delete", "join_fuzzy_levenshtein",
+      "llm_sample_per_group_k")
     picks.foreach { name =>
       println(s"\n======== $name ========")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")

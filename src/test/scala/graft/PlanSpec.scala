@@ -479,6 +479,42 @@ class PlanSpec extends AnyFunSuite {
       s"rank filter must push down as WindowGroupLimit:\n$p")
   }
 
+  test("per-stratum exact-k samples with a partial WindowGroupLimit") {
+    // Same discipline as the top-N test but for the sampling op: the
+    // per-language rank filter must group-limit map-side so the exchange
+    // carries ≤ k rows per (task, stratum), not the corpus.
+    val p = plan(graft.llm.SampleOps.llmSamplePerGroupK(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-stratum rank filter must push down as WindowGroupLimit:\n$p")
+  }
+
+  test("positional delete anti-joins the broadcast DV — fact side unshuffled") {
+    // The deletion-vector read path must be a broadcast LeftAnti on
+    // (file, pos): a shuffled anti-join would move the whole fact table
+    // to apply a tombstone list that is O(deleted rows). The DV side's
+    // content predicate must also reach the parquet reader.
+    val p = plan(graft.etl.Upsert.upsertPositionalDelete(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV apply must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact side must not shuffle for the DV apply:\n$p")
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      s"DV build predicate must push to the scan:\n$p")
+  }
+
+  test("fuzzy match joins on the block key with a banded levenshtein residual") {
+    // Blocking is the scale property: the pair predicate must ride an
+    // EQUI-join on (p_brand, p_size) — never a nested-loop over all
+    // pairs — and the distance must be the banded levenshtein form
+    // (threshold arg present) so each comparison is O(band·len).
+    val df = graft.analytics.Advanced.joinFuzzyLevenshtein(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy match must block into an equi-join:\n$p")
+    assert(p.contains("levenshtein") && p.contains("Some(3)"),
+      s"distance must use the banded levenshtein:\n$p")
+  }
+
   test("bloom decontamination probes the filter BELOW the exact semi-join") {
     // The bloom is only worth its bits if it cuts rows BEFORE the
     // semi-join's shuffle: the plan must show the BloomFilterMightContain
