@@ -987,6 +987,53 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Containment (asymmetric overlap) dedup — the doc-inside-doc signal
+    * symmetric Jaccard structurally misses: a 300-gram doc fully embedded
+    * in a 3000-gram doc has Jaccard ≈ 0.1 (invisible to the ≥0.5 near-dup
+    * pass) but containment |A∩B|/|A| = 1.0 — quotation farms, page
+    * wrappers around syndicated articles, and doc-plus-boilerplate
+    * composites all look exactly like this. Candidates come from
+    * RARE-GRAM BLOCKING (the posting-list/prefix-filter idiom): only
+    * 13-grams appearing in 2..5 docs generate pairs, so the candidate
+    * count is bounded by Σ_rare-grams C(df,2) ≤ rare_grams · C(5,2) —
+    * linear in corpus size by construction, where an unblocked
+    * posting-list self-join is quadratic in the head gram's df. Exact
+    * verification intersects the full per-doc gram-hash sets
+    * (array_intersect on longs, the ngram_jaccard machinery) for
+    * candidates only. Reads the SAME persisted gram index as
+    * decontaminate/passage — one linear gram pass serves all three.
+    * Both containment directions are reported; the ≥0.5 keep-gate is on
+    * the max. */
+  val llmDedupContainment: QFn = (spark, sfDir) => {
+    val grams = gramIndex(spark, sfDir).select("doc_id", "g")
+    // g is distinct per doc (array_distinct upstream), so plain count(*)
+    // per gram IS its document frequency — no distinct aggregate needed
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, 5)).select("g")
+    val posting = grams.join(rare, Seq("g"), "left_semi")
+    val cand = posting
+      .join(posting.withColumnRenamed("doc_id", "doc_b"), Seq("g"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val sets = grams.groupBy("doc_id")
+      .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("n_shared",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .filter(greatest(col("n_shared") / col("n_a"),
+        col("n_shared") / col("n_b")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        round(col("n_shared").cast("double") / col("n_a"), 4).as("cont_a"),
+        round(col("n_shared").cast("double") / col("n_b"), 4).as("cont_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composition a real
     * training-data build runs, as ONE operator with per-stage survivor
     * counts (the funnel every pipeline dashboard shows):
@@ -1035,6 +1082,7 @@ object DedupOps {
     "llm_dedup_simhash_indexed" -> llmDedupSimhashIndexed,
     "llm_dedup_incremental_batch" -> llmDedupIncrementalBatch,
     "llm_dedup_passage" -> llmDedupPassage,
+    "llm_dedup_containment" -> llmDedupContainment,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_decontaminate_bloom" -> llmDecontaminateBloom,
     "llm_dedup_exact" -> llmDedupExact,
@@ -1060,6 +1108,30 @@ object DedupOps {
         "SELECT n.doc_id, n.n_grams, CAST(coalesce(r.n_repeated, 0) AS BIGINT) AS n_repeated, " +
         "ROUND(CAST(coalesce(r.n_repeated, 0) AS DOUBLE) / n.n_grams, 4) AS dup_frac " +
         "FROM n LEFT JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id"),
+    // containment: raw-substring replay of both stages (rare-gram
+    // blocking at the SAME df band, then full-set intersection for
+    // candidates) — the hash-equality argument as above
+    "llm_dedup_containment" ->
+      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 13) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)), " +
+        "rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 5), " +
+        "pg AS (SELECT doc_id, gram FROM g WHERE gram IN (SELECT gram FROM rare)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM pg a JOIN pg b ON a.gram = b.gram AND a.doc_id < b.doc_id), " +
+        "n AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id), " +
+        "s AS (SELECT c.doc_a, c.doc_b, count(*) AS ns " +
+        "FROM cand c JOIN g ga ON ga.doc_id = c.doc_a " +
+        "JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram " +
+        "GROUP BY 1, 2) " +
+        "SELECT s.doc_a, s.doc_b, CAST(ns AS BIGINT) AS n_shared, " +
+        "na.n_g AS n_a, nb.n_g AS n_b, " +
+        "ROUND(CAST(ns AS DOUBLE) / na.n_g, 4) AS cont_a, " +
+        "ROUND(CAST(ns AS DOUBLE) / nb.n_g, 4) AS cont_b " +
+        "FROM s JOIN n na ON na.doc_id = s.doc_a " +
+        "JOIN n nb ON nb.doc_id = s.doc_b " +
+        "WHERE greatest(CAST(ns AS DOUBLE) / na.n_g, CAST(ns AS DOUBLE) / nb.n_g) >= 0.5 " +
+        "ORDER BY s.doc_a, s.doc_b"),
     "llm_dedup_exact" ->
       ("SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY lower(trim(text)) ORDER BY 1"),

@@ -98,6 +98,39 @@ class NearDupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("containment: sound vs brute force; rare-gram blocking recall measured") {
+    // Brute-force truth: all-pairs 13-gram max-containment >= 0.5, driver
+    // side. The operator must be SOUND (every reported pair is a true
+    // pair with the exact shared/size numbers — verification is exact,
+    // so any deviation means the intersect is wrong) and its rare-gram
+    // blocking must RECALL nearly all true pairs (a pair can only be
+    // missed when NO shared gram is corpus-rare; near-dups share many).
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim)
+    def grams(t: String): Set[String] =
+      (1 to math.max(t.length - 12, 1)).map(i => t.slice(i - 1, i - 1 + 13)).toSet
+    val gsets = texts.map { case (id, t) => id -> grams(t) }.toMap
+    val truth = (for {
+      (a, ga) <- gsets.toSeq; (b, gb) <- gsets.toSeq if a < b
+      ns = (ga intersect gb).size
+      if ns.toDouble / math.min(ga.size, gb.size) >= 0.5
+    } yield (a, b) -> (ns.toLong, ga.size.toLong, gb.size.toLong)).toMap
+    val got = graft.llm.DedupOps.llmDedupContainment(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // soundness: exact numbers on every reported pair
+    got.foreach { case (pair, stats) =>
+      assert(truth.get(pair).contains(stats),
+        s"pair $pair reported $stats but truth says ${truth.get(pair)}")
+    }
+    // blocking recall: df in [2,5] must keep nearly every true pair
+    val recall =
+      if (truth.isEmpty) 1.0 else got.size.toDouble / truth.size
+    assert(recall >= 0.9,
+      s"rare-gram blocking recall $recall (${got.size}/${truth.size})")
+  }
+
   test("materialized signature index reproduces the in-memory minhash pairs exactly") {
     // the bucketed sig table is a LAYOUT decision — results must be
     // byte-identical to the in-memory banded-index path
