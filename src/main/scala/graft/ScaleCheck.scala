@@ -37,7 +37,7 @@ object ScaleCheck {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
-      "dedup,sim,text,window,width,cluster,recall").split(",").toSet
+      "dedup,sim,text,window,width,cluster,recall,containment").split(",").toSet
     // Per-section scale-tier overrides (round 9): the width/sim curves
     // extend one octave per round and re-running the recorded lower tiers
     // every time wastes the wall-clock budget — an override like
@@ -134,6 +134,42 @@ object ScaleCheck {
         println(s"""{"metric":"scale_check","scale":$scale,"index_sec":${f2(tIndex)},""" +
           timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
         // release this scale's persisted indexes before the next one
+        graft.llm.DedupOps.clearCaches()
+      }
+    }
+
+    if (sections("containment")) {
+      // ---- containment path (round 11): the rare-gram blocking bound.
+      // The claim: candidate pairs per doc stays FLAT as the corpus grows,
+      // because only grams with df in [2,5] emit pairs (each contributes
+      // <= C(5,2) = 10) — rare-gram count grows linearly with the corpus,
+      // so candidates are O(n), never the posting-self-join n². The
+      // replicas' translated alphabets keep cross-replica grams distinct,
+      // exactly how fresh corpus slices behave.
+      graft.llm.DedupOps.llmDedupContainment(spark, base).count()
+      graft.llm.DedupOps.clearCaches()
+
+      dedupScales.foreach { scale =>
+        val dir = docsDir(scale, "containment")
+        val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+        val grams = graft.llm.DedupOps.gramIndex(spark, dir)
+          .select("doc_id", "g")
+        val rare = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+          .filter(col("nd").between(2, 5)).select("g")
+        val posting = grams.join(rare, Seq("g"), "left_semi")
+        val nCand = posting
+          .join(posting.withColumnRenamed("doc_id", "doc_b"), Seq("g"))
+          .filter(col("doc_id") < col("doc_b"))
+          .select(col("doc_id"), col("doc_b")).distinct().count()
+        val nRare = rare.count()
+        var nPairs = 0L
+        val t = time {
+          nPairs = graft.llm.DedupOps.llmDedupContainment(spark, dir).count()
+        }
+        println(s"""{"metric":"scale_check_containment","scale":$scale,""" +
+          s""""docs":$nDocs,"rare_grams":$nRare,"cand_pairs":$nCand,""" +
+          s""""cand_per_doc":${f2(nCand.toDouble / nDocs)},""" +
+          s""""pairs":$nPairs,"containment_sec":${f2(t)}}""")
         graft.llm.DedupOps.clearCaches()
       }
     }
