@@ -557,7 +557,41 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** Per-doc token entropy — the lexical-diversity signal of the Gopher
+    * repetition family: H = ln(n) − (1/n)·Σ c_t·ln(c_t) over the doc's
+    * own token counts. Degenerate docs (one token repeated, template
+    * spam) score near 0; diverse prose approaches ln(n_distinct). Pure
+    * per-doc arithmetic — a (doc, token) aggregate then a per-doc
+    * aggregate, both map-side-combinable; no model join, no corpus-wide
+    * state, linear at any corpus size.
+    *
+    * Determinism: the same micro-nat discipline as the perplexity ops —
+    * each ln is quantized with the half-offset grid floor(ln·1e6 + 0.5)
+    * and everything after is exact integer arithmetic: ent_scaled =
+    * n·q(ln n) − Σ c_t·q(ln c_t), so summation order cannot matter and a
+    * 1-ulp ln divergence between engines cannot flip any term (ln of an
+    * integer ≥ 2 is irrational; ln 1 = 0 exactly on both engines —
+    * DeterminismSpec walks every corpus-real c and n through ±1 ulp). */
+  val llmTokenEntropy: QFn = (spark, sfDir) => {
+    def q(x: org.apache.spark.sql.Column) =
+      floor(log(x.cast("double")) * 1e6 + 0.5).cast("long")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * q(col("c"))).as("s_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_tokens") * q(col("n_tokens")) - col("s_micro"))
+          .as("ent_scaled"),
+        round((col("n_tokens") * q(col("n_tokens")) - col("s_micro"))
+          .cast("double") / col("n_tokens") / 1e6, 4).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_token_entropy" -> llmTokenEntropy,
     "llm_unigram_logprob" -> llmUnigramLogprob,
     "llm_perplexity_buckets" -> llmPerplexityBuckets,
     "llm_perplexity_score" -> llmPerplexityScore,
@@ -604,6 +638,21 @@ object TextOps {
   val oracleSql: Map[String, String] = {
     val hitsSql = markerWords.map { case (l, ws) => l -> markerHitsSql(ws) }.toMap
     Map(
+      // same micro-nat grid as the unigram oracle; all post-ln arithmetic
+      // is integer so only the per-term ln quantization must agree
+      "llm_token_entropy" ->
+        ("WITH occ AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+          "FROM documents), " +
+          "pt AS (SELECT doc_id, token, count(*) AS c FROM occ GROUP BY 1, 2), " +
+          "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+          "count(*) AS n_distinct, " +
+          "CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s_micro " +
+          "FROM pt GROUP BY 1) " +
+          "SELECT doc_id, n_tokens, n_distinct, " +
+          "n_tokens * CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) - s_micro AS ent_scaled, " +
+          "ROUND(CAST(n_tokens * CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) - s_micro AS DOUBLE) " +
+          "/ n_tokens / 1e6, 4) AS entropy " +
+          "FROM a ORDER BY doc_id"),
       "llm_unigram_logprob" ->
         ("WITH occ AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
           "FROM documents), " +

@@ -94,6 +94,30 @@ class DeterminismSpec extends AnyFunSuite {
       s"grid boundary within 1 ulp of a true ln value: ${flips.take(5).toSeq}")
   }
 
+  test("entropy micro-nat quantization is stable under a 1-ulp ln divergence") {
+    // Same walk as the unigram test but for llm_token_entropy's ln
+    // arguments: every corpus-real within-doc token count c and every
+    // per-doc total n. These are plain integers (not ratios), so the
+    // no-boundary claim is even stronger — ln of an integer >= 2 is
+    // irrational, and c = 1 / n = 1 give ln = 0 exactly on both engines.
+    val pt = graft.tables.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val args = pt.select(col("c")).distinct().collect().map(_.getLong(0)) ++
+      pt.groupBy("doc_id").agg(sum(col("c")).as("n"))
+        .select(col("n")).distinct().collect().map(_.getLong(0))
+    assert(args.nonEmpty)
+    def q(l: Double): Long = math.floor(l * 1e6 + 0.5).toLong
+    val flips = args.distinct.flatMap { v =>
+      val l = math.log(v.toDouble)
+      val (base, up, dn) = (q(l), q(Math.nextUp(l)), q(Math.nextDown(l)))
+      if (base == up && base == dn) None else Some((v, l, base, up, dn))
+    }
+    assert(flips.isEmpty,
+      s"grid boundary within 1 ulp of a true ln value: ${flips.take(5).toSeq}")
+  }
+
   test("bigram interpolated micro-nat quantization is stable under 1-ulp ln divergence") {
     // Same claim as the unigram case, for llm_perplexity_score's
     // Jelinek-Mercer term: every interpolated probability the ACTUAL
