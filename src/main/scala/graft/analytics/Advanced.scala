@@ -423,6 +423,31 @@ object Advanced {
       .orderBy("label")
   }
 
+  /** Event-type transition matrix — the Markov flow behind funnel sankeys
+    * ("after viewing, what do users do next?"): for every consecutive
+    * event pair within a user's timeline, count (from_type → to_type)
+    * and row-normalize into transition shares. ONE user-keyed window
+    * shuffle pairs each event with its successor (the same exchange
+    * every sessionize/funnel op pays — at 100 TB a user-bucketed layout
+    * makes it exchange-free); the transition aggregate then collapses
+    * map-side to ≤ |types|² rows, and the share window runs on that tiny
+    * frame, never the fact. (ts, event_id) ordering makes the successor
+    * deterministic under timestamp ties on both engines. */
+  val aggTransitionMatrix: QFn = (spark, sfDir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wf = Window.partitionBy("from_type")
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p", round(col("n_transitions").cast("double")
+        / sum(col("n_transitions")).over(wf), 4))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Blocked fuzzy entity-match (classic entity resolution over a product
     * catalog with near-duplicate listings): part pairs whose names sit
     * within Levenshtein distance 3, but ONLY compared inside
@@ -650,6 +675,7 @@ object Advanced {
   }
 
   val queries: Map[String, QFn] = Map(
+    "agg_transition_matrix" -> aggTransitionMatrix,
     "join_fuzzy_levenshtein" -> joinFuzzyLevenshtein,
     "window_rolling_distinct" -> windowRollingDistinct,
     "agg_quality_constraints" -> aggQualityConstraints,
@@ -678,6 +704,15 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_transition_matrix" ->
+      ("WITH s AS (SELECT event_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) " +
+        "SELECT event_type AS from_type, next_type AS to_type, " +
+        "CAST(count(*) AS BIGINT) AS n_transitions, " +
+        "ROUND(CAST(count(*) AS DOUBLE) / " +
+        "CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS p " +
+        "FROM s WHERE next_type IS NOT NULL " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "join_fuzzy_levenshtein" ->
       ("SELECT a.p_brand, a.p_size, a.p_partkey AS partkey_a, " +
         "b.p_partkey AS partkey_b, a.p_name AS name_a, b.p_name AS name_b, " +
