@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, LongType, StringType, StructField, StructType}
 import graft.QFn
 import graft.tables.Tables
 import graft.util.Scratch
@@ -496,6 +496,48 @@ object Ingest {
       .orderBy("o_orderstatus")
   }
 
+  /** JSON-lines sink round-trip — the export leg of the reference's S3
+    * interchange (every downstream consumer that is NOT a SQL engine
+    * reads JSONL, not parquet): write events with a NESTED struct, an
+    * array column, and a pre-formatted timestamp string, read back with
+    * a PINNED schema, and prove fidelity by source-replayed aggregate.
+    * The traps this pins: (a) timestamps are written as formatted
+    * strings — JSON has no timestamp type and an inferred read would
+    * come back as a string anyway, so the plan makes the interchange
+    * contract explicit instead of relying on session-zone parsing;
+    * (b) the read uses an explicit schema — schema inference costs a
+    * second full pass at 100 TB and can widen types on dirty data;
+    * (c) doubles survive exactly (shortest-repr JSON serialization
+    * parses back bit-identical). Writers are per-partition parallel;
+    * at 100 TB the lake keeps parquet (the reference's own conversion)
+    * and pays JSONL only at the consumer boundary. */
+  val sinkJsonlRoundtrip: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("sink_jsonl_roundtrip")
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        struct(col("user_id"), col("value")).as("meta"),
+        array(col("user_id"), col("event_id")).as("ids"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("meta", StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("value", DoubleType)))),
+      StructField("ids", ArrayType(LongType)),
+      StructField("ts_s", StringType)))
+    spark.read.schema(schema).json(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_ids"),
+        round(sum(col("meta.value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"),
+        sum(expr("aggregate(ids, 0L, (a, x) -> a + x)")).as("id_sum"),
+        max(col("ts_s")).as("last_ts"))
+      .orderBy("event_type")
+  }
+
   // Once-per-corpus catalog registration for the persistence op below —
   // memoized exactly like the ANALYZE stats cache: the registering
   // "crawler" session runs once, every consumer session after it finds the
@@ -581,6 +623,7 @@ object Ingest {
     "scan_csv_multiline" -> scanCsvMultiline,
     "scan_catalog_second_session" -> scanCatalogSecondSession,
     "sink_xml_roundtrip" -> sinkXmlRoundtrip,
+    "sink_jsonl_roundtrip" -> sinkJsonlRoundtrip,
     "scan_jsonl_corrupt" -> scanJsonlCorrupt,
     "sink_jdbc_load" -> sinkJdbcLoad,
     "sink_compact_small_files" -> sinkCompactSmallFiles,
@@ -633,6 +676,15 @@ object Ingest {
         "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue, " +
         "strftime(max(o_orderdate), '%Y-%m-%d') AS last_date " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
+    // source-replayed aggregate (the xml/orc pattern): the struct field,
+    // array elements, and formatted timestamp all re-derive from events
+    "sink_jsonl_roundtrip" ->
+      ("SELECT event_type, count(*) AS n_events, " +
+        "count(DISTINCT event_id) AS n_ids, " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value, " +
+        "CAST(sum(user_id + event_id) AS BIGINT) AS id_sum, " +
+        "max(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS last_ts " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "sink_orc_roundtrip" ->
       ("SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_orders, " +
         "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue " +

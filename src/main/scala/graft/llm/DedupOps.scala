@@ -1034,6 +1034,46 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment dedup over the MATERIALIZED gram index — the scale-path
+    * twin of [[llmDedupContainment]], same semantics and same full DuckDB
+    * oracle: the df profile, the rare-gram posting join, and the
+    * candidate self-join all consume the table BUCKETED on g, so no
+    * stage re-derives grams and nothing exchanges on g (PlanSpec asserts
+    * both) — the per-gram df aggregate and the posting self-join run
+    * partial-per-bucket/co-located. The only shuffles left are the ones
+    * keyed on doc pairs (candidate distinct, per-doc set assembly),
+    * which any layout pays. This is the build-once/consume-many shape:
+    * at 100 TB the gram pass runs at index-build time and containment,
+    * decontamination, and passage profiling all ride the same files. */
+  val llmDedupContainmentIndexed: QFn = (spark, sfDir) => {
+    val grams = spark.table(gramTable(spark, sfDir)).select("doc_id", "g")
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, 5)).select("g")
+    val posting = grams.join(rare, Seq("g"), "left_semi")
+    val cand = posting
+      .hint("merge")
+      .join(posting.withColumnRenamed("doc_id", "doc_b"), Seq("g"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val sets = grams.groupBy("doc_id")
+      .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("n_shared",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .filter(greatest(col("n_shared") / col("n_a"),
+        col("n_shared") / col("n_b")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        round(col("n_shared").cast("double") / col("n_a"), 4).as("cont_a"),
+        round(col("n_shared").cast("double") / col("n_b"), 4).as("cont_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composition a real
     * training-data build runs, as ONE operator with per-stage survivor
     * counts (the funnel every pipeline dashboard shows):
@@ -1083,6 +1123,7 @@ object DedupOps {
     "llm_dedup_incremental_batch" -> llmDedupIncrementalBatch,
     "llm_dedup_passage" -> llmDedupPassage,
     "llm_dedup_containment" -> llmDedupContainment,
+    "llm_dedup_containment_indexed" -> llmDedupContainmentIndexed,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_decontaminate_bloom" -> llmDecontaminateBloom,
     "llm_dedup_exact" -> llmDedupExact,
@@ -1093,6 +1134,29 @@ object DedupOps {
     "llm_dedup_semantic" -> llmDedupSemantic,
     "llm_dedup_cluster" -> llmDedupCluster,
   )
+
+  // shared by the in-memory and indexed containment twins (see map below)
+  private val containmentOracleSql: String =
+    ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+      "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 13) AS gram " +
+      "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)), " +
+      "rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 5), " +
+      "pg AS (SELECT doc_id, gram FROM g WHERE gram IN (SELECT gram FROM rare)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM pg a JOIN pg b ON a.gram = b.gram AND a.doc_id < b.doc_id), " +
+      "n AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id), " +
+      "s AS (SELECT c.doc_a, c.doc_b, count(*) AS ns " +
+      "FROM cand c JOIN g ga ON ga.doc_id = c.doc_a " +
+      "JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram " +
+      "GROUP BY 1, 2) " +
+      "SELECT s.doc_a, s.doc_b, CAST(ns AS BIGINT) AS n_shared, " +
+      "na.n_g AS n_a, nb.n_g AS n_b, " +
+      "ROUND(CAST(ns AS DOUBLE) / na.n_g, 4) AS cont_a, " +
+      "ROUND(CAST(ns AS DOUBLE) / nb.n_g, 4) AS cont_b " +
+      "FROM s JOIN n na ON na.doc_id = s.doc_a " +
+      "JOIN n nb ON nb.doc_id = s.doc_b " +
+      "WHERE greatest(CAST(ns AS DOUBLE) / na.n_g, CAST(ns AS DOUBLE) / nb.n_g) >= 0.5 " +
+      "ORDER BY s.doc_a, s.doc_b")
 
   val oracleSql: Map[String, String] = Map(
     // raw-substring replay (the decontaminate/ngram_jaccard argument: only
@@ -1110,28 +1174,10 @@ object DedupOps {
         "FROM n LEFT JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id"),
     // containment: raw-substring replay of both stages (rare-gram
     // blocking at the SAME df band, then full-set intersection for
-    // candidates) — the hash-equality argument as above
-    "llm_dedup_containment" ->
-      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
-        "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 13) AS gram " +
-        "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)), " +
-        "rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 5), " +
-        "pg AS (SELECT doc_id, gram FROM g WHERE gram IN (SELECT gram FROM rare)), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM pg a JOIN pg b ON a.gram = b.gram AND a.doc_id < b.doc_id), " +
-        "n AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id), " +
-        "s AS (SELECT c.doc_a, c.doc_b, count(*) AS ns " +
-        "FROM cand c JOIN g ga ON ga.doc_id = c.doc_a " +
-        "JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram " +
-        "GROUP BY 1, 2) " +
-        "SELECT s.doc_a, s.doc_b, CAST(ns AS BIGINT) AS n_shared, " +
-        "na.n_g AS n_a, nb.n_g AS n_b, " +
-        "ROUND(CAST(ns AS DOUBLE) / na.n_g, 4) AS cont_a, " +
-        "ROUND(CAST(ns AS DOUBLE) / nb.n_g, 4) AS cont_b " +
-        "FROM s JOIN n na ON na.doc_id = s.doc_a " +
-        "JOIN n nb ON nb.doc_id = s.doc_b " +
-        "WHERE greatest(CAST(ns AS DOUBLE) / na.n_g, CAST(ns AS DOUBLE) / nb.n_g) >= 0.5 " +
-        "ORDER BY s.doc_a, s.doc_b"),
+    // candidates) — the hash-equality argument as above. The indexed twin
+    // must be result-invisible, so it shares the oracle verbatim.
+    "llm_dedup_containment" -> containmentOracleSql,
+    "llm_dedup_containment_indexed" -> containmentOracleSql,
     "llm_dedup_exact" ->
       ("SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY lower(trim(text)) ORDER BY 1"),

@@ -243,6 +243,21 @@ class PlanSpec extends AnyFunSuite {
       s"gram-keyed stages must be exchange-free:\n$p")
   }
 
+  test("indexed containment consumes the bucketed gram table with no exchange on g") {
+    val df = graft.llm.DedupOps.llmDedupContainmentIndexed(spark, sfDir)
+    df.collect() // AQE: final plan only exists after execution
+    val p = plan(df)
+    // df profile, rare-gram semi-join, and candidate self-join all read
+    // the stored g-bucketed files: no gram re-derivation, no shuffle
+    // keyed on g; only the doc-pair-keyed stages (candidate distinct,
+    // per-doc set assembly) may exchange
+    assert(p.contains("Bucketed: true"), s"scan must report bucketed reads:\n$p")
+    assert(!p.contains("xxhash64"),
+      s"grams must come from the stored index, not re-derivation:\n$p")
+    assert("""Exchange hashpartitioning\(g#""".r.findFirstIn(p).isEmpty,
+      s"gram-keyed stages must be exchange-free:\n$p")
+  }
+
   test("indexed simhash candidate join reads the bucketed table with no exchange on (chunk, cval)") {
     val df = graft.llm.DedupOps.llmDedupSimhashIndexed(spark, sfDir)
     df.collect() // AQE: final plan only exists after execution
