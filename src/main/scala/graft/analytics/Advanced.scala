@@ -423,6 +423,36 @@ object Advanced {
       .orderBy("label")
   }
 
+  /** Dyadic EWMA revenue smoothing — exponential smoothing as a BOUNDED
+    * window kernel: a true infinite EWMA is a sequential recurrence
+    * (unparallelizable within a key without prefix-scan machinery);
+    * truncating the α=1/2 kernel at 8 terms loses < 2^-8 of the weight
+    * mass and turns it into a fixed set of lags — pure window functions,
+    * ONE customer-keyed exchange, fully codegen'd. Determinism is by
+    * construction: prices become exact integer cents (decimal(18,2)
+    * recovers the 2dp value both engines stored), the dyadic weights
+    * 2^(7-j) keep numerator and the adjusted denominator exact integers
+    * (the early-history renormalization real EWMA implementations apply),
+    * and the single final division is one rational — no float summation
+    * order anywhere. The weight/lag chain is generated from one Seq
+    * shared with the oracle SQL (the markerWords pattern). */
+  val windowEwmaSmooth: QFn = (spark, sfDir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val xc = col("xc")
+    val num = Seq.tabulate(8)(j =>
+      coalesce(lag(xc, j).over(w), lit(0L)) * lit(1L << (7 - j))).reduce(_ + _)
+    val den = Seq.tabulate(8)(j =>
+      when(lag(xc, j).over(w).isNull, lit(0L)).otherwise(lit(1L << (7 - j))))
+      .reduce(_ + _)
+    Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("xc"))
+      .withColumn("ewma", round(num.cast("double") / den / 100.0, 4))
+      .select("o_custkey", "o_orderkey", "o_date", "ewma")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Event-type transition matrix — the Markov flow behind funnel sankeys
     * ("after viewing, what do users do next?"): for every consecutive
     * event pair within a user's timeline, count (from_type → to_type)
@@ -675,6 +705,7 @@ object Advanced {
   }
 
   val queries: Map[String, QFn] = Map(
+    "window_ewma_smooth" -> windowEwmaSmooth,
     "agg_transition_matrix" -> aggTransitionMatrix,
     "join_fuzzy_levenshtein" -> joinFuzzyLevenshtein,
     "window_rolling_distinct" -> windowRollingDistinct,
@@ -703,7 +734,24 @@ object Advanced {
     "join_runtime_bloom" -> joinRuntimeBloom,
   )
 
+  // lag/weight chain shared with windowEwmaSmooth — both renderings come
+  // from the same Seq.tabulate(8) so the kernel can't drift
+  private val ewmaNumSql: String = Seq.tabulate(8)(j =>
+    s"coalesce(lag(xc, $j) OVER w, 0) * ${1L << (7 - j)}").mkString(" + ")
+  private val ewmaDenSql: String = Seq.tabulate(8)(j =>
+    s"CASE WHEN lag(xc, $j) OVER w IS NULL THEN 0 ELSE ${1L << (7 - j)} END")
+    .mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "window_ewma_smooth" ->
+      ("WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc FROM orders), " +
+        "l AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, " +
+        s"($ewmaNumSql) AS num, ($ewmaDenSql) AS den " +
+        "FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) " +
+        "SELECT o_custkey, o_orderkey, o_date, " +
+        "ROUND(CAST(num AS DOUBLE) / den / 100, 4) AS ewma " +
+        "FROM l ORDER BY o_custkey, o_orderkey"),
     "agg_transition_matrix" ->
       ("WITH s AS (SELECT event_type, lead(event_type) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) " +
