@@ -53,6 +53,49 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** As-of join with a STALENESS TOLERANCE — the form production as-of
+    * consumers actually need (feature stores with TTL, trade/quote with a
+    * max-staleness cutoff): each click matches the same user's most
+    * recent purchase at-or-before it, but only if that purchase is at
+    * most 48 h old; staler matches are dropped (inner-with-tolerance
+    * semantics). Same single-shuffle union-tag + last(ignoreNulls)
+    * window plan as [[joinAsofPurchase]] — the tolerance is a residual
+    * filter AFTER match resolution, no extra exchange — and in the
+    * streaming rendering the same bound is what lets watermark state be
+    * pruned. Staleness emitted as exact integer µs (unix_micros
+    * difference) so the oracle comparison is integral. */
+  val ToleranceUs: Long = 48L * 3600 * 1000000
+
+  val joinAsofTolerance: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), lit(1).as("is_q"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"),
+        col("ts").as("p_ts"), lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("is_q"),
+        lit(null).cast("long").as("p_event_id"),
+        lit(null).cast("double").as("p_value"),
+        lit(null).cast("timestamp").as("p_ts"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_purchase_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_q") === 0 && col("last_purchase_id").isNotNull)
+      .withColumn("staleness_us",
+        unix_micros(col("ts")) - unix_micros(col("last_purchase_ts")))
+      .filter(col("staleness_us") <= ToleranceUs)
+      .select("event_id", "user_id", "ts", "last_purchase_id",
+        "last_purchase_value", "staleness_us")
+      .orderBy("event_id")
+  }
+
   /** Value bands for the range join — shared between the Spark plan and
     * the DuckDB oracle so they cannot drift. [lo, hi) half-open,
     * non-overlapping, covering the full events.value range. */
@@ -233,6 +276,7 @@ object Temporal {
   val queries: Map[String, QFn] = Map(
     "fn_date_gapfill" -> fnDateGapfill,
     "join_asof_purchase" -> joinAsofPurchase,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "join_interval_overlap" -> joinIntervalOverlap,
     "join_range_bands" -> joinRangeBands,
     "window_gaps_islands" -> windowGapsIslands,
@@ -265,6 +309,20 @@ object Temporal {
         "pd.p_value AS last_purchase_value " +
         "FROM (SELECT * FROM events WHERE event_type = 'click') e " +
         "ASOF LEFT JOIN pd ON e.user_id = pd.user_id AND e.ts >= pd.ts " +
+        "ORDER BY e.event_id"),
+    // inner ASOF + the staleness residual; integer-µs staleness so the
+    // tolerance comparison is integral on both engines
+    "join_asof_tolerance" ->
+      ("WITH p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value, " +
+        "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "pd AS (SELECT user_id, ts, p_event_id, p_value FROM p WHERE rn = 1) " +
+        "SELECT e.event_id, e.user_id, e.ts, pd.p_event_id AS last_purchase_id, " +
+        "pd.p_value AS last_purchase_value, " +
+        "epoch_us(e.ts) - epoch_us(pd.ts) AS staleness_us " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') e " +
+        "ASOF JOIN pd ON e.user_id = pd.user_id AND e.ts >= pd.ts " +
+        s"WHERE epoch_us(e.ts) - epoch_us(pd.ts) <= $ToleranceUs " +
         "ORDER BY e.event_id"),
     // independent spelling: DuckDB joins on the RAW overlap predicate (no
     // grid cells), so the bucketing rewrite is checked against the direct
