@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct character-n-gram xxhash64 set of a string, in first-occurrence
+  * order — the gram/shingle pass of every dedup index in ONE native eval:
+  * `ngram_hashes(t, n)` ≡
+  * `array_distinct(transform(sequence(1, greatest(length(t)-n+1, 1)),
+  *    i -> xxhash64(substring(t, i, n))))`.
+  *
+  * Why native: higher-order functions do not participate in whole-stage
+  * codegen — each lambda element runs through the interpreted expression
+  * evaluator, and each `substring` materializes a fresh UTF8String before
+  * `xxhash64` reads its bytes. For a 3000-char document that is ~3000
+  * boxed evaluations and ~3000 short-lived copies per row on the hottest
+  * linear pass a 100 TB dedup pipeline has. This expression walks the
+  * UTF8 byte array once to build the char→byte offset table, then hashes
+  * each window's bytes IN PLACE (`XXH64.hashUnsafeBytes` on the original
+  * base/offset — the same call Spark's own `xxhash64` makes on a string,
+  * same default seed 42), deduplicating by hash value as it goes.
+  *
+  * Exact-equivalence notes (pinned by TextHashSpec against the HOF
+  * spelling on the real corpus):
+  * - `substring(t, i, n)` counts CHARACTERS; the offset table walks
+  *   `numBytesForFirstByte` so multi-byte code points slice identically.
+  * - len < n yields ONE window covering the whole string (the HOF's
+  *   `greatest(…, 1)` + short substring), including the empty string.
+  * - dedup-by-hash equals the HOF's dedup-by-string + hash under the
+  *   64-bit collision-freeness the whole index design already assumes,
+  *   and keeps the same first-occurrence order.
+  */
+case class NgramHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, nAny: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val n = nAny.asInstanceOf[Int]
+    require(n >= 1, s"ngram_hashes: n must be >= 1, got $n")
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val numBytes = s.numBytes
+    // char index -> byte offset (one linear UTF-8 walk)
+    val nChars = s.numChars
+    val charOff = new Array[Int](nChars + 1)
+    var ci = 0
+    var b = 0
+    while (b < numBytes) {
+      charOff(ci) = b
+      b += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + b))
+      ci += 1
+    }
+    charOff(nChars) = numBytes
+    val nWin = math.max(nChars - n + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](nWin * 2)
+    val out = new Array[Long](nWin)
+    var k = 0
+    var w = 0
+    while (w < nWin) {
+      val lo = charOff(w)
+      val hi = charOff(math.min(w + n, nChars))
+      val h = XXH64.hashUnsafeBytes(base, off + lo, hi - lo, 42L)
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      w += 1
+    }
+    new GenericArrayData(if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** K-permutation MinHash signature of a hashed-shingle set in one native
+  * eval: `minhash_sig(hsh, k)` ≡
+  * `transform(sequence(0, k-1), s -> array_min(transform(hsh, h -> xxhash64(h, s))))`.
+  *
+  * The HOF spelling is the single most interpreter-heavy expression in the
+  * repo: k × |hsh| lambda evaluations per document (32 × shingle-count),
+  * each allocating boxed longs through the evaluator. This loop computes
+  * the same k minima natively. Spark's `xxhash64(h, s)` with a LONG h and
+  * an INT s (sequence yields ints) folds left from seed 42:
+  * `hashInt(s, hashLong(h, 42))` — replicated here verbatim, with the
+  * inner `hashLong(h, 42)` hoisted out of the k-loop (it does not depend
+  * on s), which alone halves the hash work. Empty input yields an array
+  * of nulls, matching `array_min(empty) = null`; TextHashSpec pins
+  * element-exact equality with the HOF rendering on the real corpus. */
+case class MinhashSig(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(hAny: Any, kAny: Any): Any = {
+    val hs = hAny.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    require(k >= 1, s"minhash_sig: k must be >= 1, got $k")
+    val m = hs.numElements()
+    if (m == 0) return new GenericArrayData(new Array[Any](k)) // nulls
+    val h42 = new Array[Long](m)
+    var i = 0
+    while (i < m) { h42(i) = XXH64.hashLong(hs.getLong(i), 42L); i += 1 }
+    val out = new Array[Long](k)
+    var s = 0
+    while (s < k) {
+      var mn = Long.MaxValue
+      i = 0
+      while (i < m) {
+        val v = XXH64.hashInt(s, h42(i))
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(s) = mn
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashSig =
+    copy(left = newLeft, right = newRight)
+}

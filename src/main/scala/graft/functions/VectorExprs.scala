@@ -272,6 +272,14 @@ object GraftFunctions {
       require(exprs.length == 1, "vector_sumq(v) takes exactly 1 argument")
       VectorSumQ(exprs.head)
     },
+    "ngram_hashes" -> { exprs =>
+      require(exprs.length == 2, "ngram_hashes(text, n) takes exactly 2 arguments")
+      NgramHashes(exprs.head, exprs(1))
+    },
+    "minhash_sig" -> { exprs =>
+      require(exprs.length == 2, "minhash_sig(hashes, k) takes exactly 2 arguments")
+      MinhashSig(exprs.head, exprs(1))
+    },
     "cms_estimate" -> { exprs =>
       require(exprs.length == 2, "cms_estimate(sketch, keys) takes exactly 2 arguments")
       CmsEstimate(exprs.head, exprs(1))

@@ -84,25 +84,16 @@ object DedupOps {
         // signature compute across all cores before the linear pass (at
         // 100 TB the file splits already provide this parallelism)
         .repartition(spark.sparkContext.defaultParallelism)
-        // Hoist the normalized text: Catalyst does not CSE inside HOF
-        // lambdas, so substring(lower(trim(text)), ...) per shingle would
-        // re-lowercase the whole document once per shingle — O(len²)/doc.
-        // Two textual uses below (length + lambda) keep CollapseProject
-        // from re-inlining the non-cheap alias.
+        // hsh: hashed 5-gram shingle set (64-bit, collision-negligible) —
+        // exact Jaccard verification intersects longs, never strings. The
+        // round-11 native ngram_hashes/minhash_sig expressions replace the
+        // HOF spelling (array_distinct∘transform∘substring∘xxhash64 and
+        // the K×|hsh| permutation lambdas): HOFs are interpreted per
+        // element, these run one tight loop per row over the original
+        // UTF8 bytes — element-exact equivalence pinned by TextHashSpec.
         .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-        .select(col("doc_id"),
-          expr("array_distinct(transform(sequence(1, greatest(length(t) - 4, 1)), " +
-            "i -> substring(t, i, 5)))").as("shingles"))
-        // hsh: hashed shingle set (64-bit, collision-negligible) — exact
-        // Jaccard verification intersects longs, never the string arrays
-        .withColumn("hsh", expr("transform(shingles, x -> xxhash64(x))"))
-        // K permutations re-hash the LONG shingle hash, not the string:
-        // one string hash per shingle total, then K cheap long mixes.
-        // (A single-fold variant maintaining all K minima in one pass was
-        // measured at parity — HOF lambda dispatch dominates, not passes.)
-        .withColumn("sig",
-          expr(s"transform(sequence(0, ${K - 1}), " +
-            "s -> array_min(transform(hsh, h -> xxhash64(h, s))))"))
+        .select(col("doc_id"), expr("ngram_hashes(t, 5)").as("hsh"))
+        .withColumn("sig", expr(s"minhash_sig(hsh, $K)"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
@@ -832,17 +823,18 @@ object DedupOps {
     * scan, everything after it shuffles only distinct grams. At 100 TB this
     * is the once-per-corpus gram index every decontamination run starts
     * from (materialized to storage instead of executor memory).
-    * Normalized text hoisted for the same no-CSE-in-lambdas reason as
-    * sigIndex — without it every 13-gram re-lowercases the whole doc. */
+    * The hoisted normalized-text alias keeps lower(trim(text)) evaluated
+    * once per doc before the native gram pass reads its bytes. */
   private[graft] def gramIndex(spark: SparkSession, sfDir: String): DataFrame =
     gramIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
       tracked(Tables(spark, sfDir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+        // native ngram_hashes (round 11) — same distinct-gram-hash set as
+        // the HOF array_distinct∘transform∘xxhash64∘substring spelling,
+        // one tight eval per row instead of ~len interpreted lambdas
         .select(col("doc_id"), (pmod(col("doc_id"), lit(2)) === 0).as("is_train"),
-          explode(expr(
-            "array_distinct(transform(sequence(1, greatest(length(t) - 12, 1)), " +
-              "i -> xxhash64(substring(t, i, 13))))")).as("g"))
+          explode(expr("ngram_hashes(t, 13)")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 

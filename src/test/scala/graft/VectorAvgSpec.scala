@@ -51,7 +51,8 @@ class VectorAvgSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val byName = graft.functions.GraftFunctions.builders.toMap
     assert(byName.keySet == Set("vector_dot", "vector_avg", "vector_sumq",
-      "cms_estimate", "bloom_might_contain", "bloom_filter_agg"))
+      "cms_estimate", "bloom_might_contain", "bloom_filter_agg",
+      "ngram_hashes", "minhash_sig"))
     val lit = Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val bin = Literal.create(Array[Byte](1),
@@ -68,6 +69,15 @@ class VectorAvgSpec extends AnyFunSuite {
       .isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])
     assert(byName("bloom_filter_agg")(Seq(one))
       .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate])
+    val str = Literal.create(org.apache.spark.unsafe.types.UTF8String.fromString("abc"),
+      org.apache.spark.sql.types.StringType)
+    val n = Literal.create(5, org.apache.spark.sql.types.IntegerType)
+    assert(byName("ngram_hashes")(Seq(str, n))
+      .isInstanceOf[graft.functions.NgramHashes])
+    assert(byName("minhash_sig")(Seq(keys, n))
+      .isInstanceOf[graft.functions.MinhashSig])
+    intercept[IllegalArgumentException](byName("ngram_hashes")(Seq(str)))
+    intercept[IllegalArgumentException](byName("minhash_sig")(Seq(keys)))
     intercept[IllegalArgumentException](byName("vector_dot")(Seq(lit)))
     intercept[IllegalArgumentException](byName("vector_avg")(Seq(lit, lit)))
     intercept[IllegalArgumentException](byName("vector_sumq")(Seq(lit, lit)))
