@@ -154,14 +154,16 @@ object TextOps {
 
   /** Document fingerprinting: char-8-gram rolling shingle hashes; the
     * min-hash is the doc signature (winnowing-style). xxhash64 has no
-    * DuckDB twin → verified by FingerprintSpec instead of the oracle. */
+    * DuckDB twin → verified by FingerprintSpec instead of the oracle.
+    * Rides the native ngram_hashes (round 11): array_min is invariant to
+    * the built-in dedup and n_shingles IS the distinct count, so the
+    * outputs are unchanged while the per-shingle lambda chain goes. */
   val llmFingerprint: QFn = (spark, sfDir) =>
     Tables(spark, sfDir, "documents")
-      .withColumn("shingles",
-        expr("transform(sequence(1, greatest(length(text) - 7, 1)), i -> xxhash64(substring(text, i, 8)))"))
+      .withColumn("hs", expr("ngram_hashes(text, 8)"))
       .select(col("doc_id"),
-        expr("array_min(shingles)").as("fp_min"),
-        expr("size(array_distinct(shingles))").as("n_shingles"))
+        expr("array_min(hs)").as("fp_min"),
+        expr("size(hs)").as("n_shingles"))
       .orderBy("doc_id")
 
   /** Repetition filter (Gopher-style repetitious-text signal): fraction of
