@@ -231,6 +231,24 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** Exact distinct users per event type via the native paged-bitmap
+    * aggregate (BitmapExprs.scala) — the EXACT-arithmetic sibling of
+    * [[aggHllMergeable]] and the alternative physical strategy to
+    * `count(DISTINCT …)`: Catalyst's distinct plan ships every distinct
+    * (group, user) pair through the first exchange, while bitmap OR is
+    * a mergeable map-side combine whose shuffle rows are one compressed
+    * bitmap per (group, map task) — bytes ∝ distinct/8, never rows. On a
+    * dense surrogate-key space (this user_id domain) that is ~1 bit per
+    * distinct key; the result is exact and partitioning-invariant, so the
+    * full DuckDB count(DISTINCT) oracle hash-matches. */
+  val aggBitmapDistinct: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    ev.groupBy("event_type")
+      .agg(expr("bitmap_distinct(user_id)").as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** Heavy-hitter point estimates from a Count-Min sketch — the third
     * classic mergeable sketch beside HLL (distinct counts, above) and the
     * percentile t-digest: per-partition sketches merge by counter
@@ -725,6 +743,7 @@ object Advanced {
     "agg_pivot_status" -> aggPivotStatus,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_hll_mergeable" -> aggHllMergeable,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_heavy_hitters_cms" -> aggHeavyHittersCms,
     "window_rolling_avg" -> windowRollingAvg,
     "window_rolling_range" -> windowRollingRange,
@@ -743,6 +762,10 @@ object Advanced {
     .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // bitmap OR is exact, so the plain distinct-count oracle hash-matches
+    "agg_bitmap_distinct" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+        "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1 ORDER BY 1"),
     "window_ewma_smooth" ->
       ("WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, " +
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc FROM orders), " +

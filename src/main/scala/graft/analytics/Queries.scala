@@ -107,6 +107,30 @@ object Queries {
       .orderBy("user_id", "day")
   }
 
+  /** Snowflake dimension chain: orders → customer → nation → region —
+    * the normalized-dim shape the reference flattens into its wide
+    * Redshift table (README.md:29,113,141). Spark keeps the dims
+    * normalized and broadcast-hash-joins the whole chain: region (5) and
+    * nation (25) fold into customer (150) without a shuffle, customer
+    * broadcasts onto the fact, so the ONLY exchange in the plan is the
+    * final 2-level rollup agg. At 100 TB the chain joins cost map-side
+    * hash probes per row — the flattening the reference pays a nightly
+    * ETL for is free at read time. */
+  val joinSnowflakeChain: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val cust = Tables(spark, sfDir, "customer")
+    val nation = Tables(spark, sfDir, "nation")
+    val region = Tables(spark, sfDir, "region")
+    orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(28,4)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** The dashboard's headline view: "product category of each year and the
     * number of times it got sold" (README.md:99-100). */
   def salesByCategoryYear(spark: SparkSession, sfDir: String): DataFrame = {
@@ -461,6 +485,7 @@ object Queries {
     "join_funnel_customer" -> joinFunnelCustomer,
     "join_federated_spectrum" -> joinFederatedSpectrum,
     "join_delete_matching" -> joinDeleteMatching,
+    "join_snowflake_chain" -> joinSnowflakeChain,
     "join_semi_exists" -> joinSemiExists,
     "join_left_behavior" -> joinLeftBehavior,
     "agg_sales_by_category_year" -> aggSalesByCategoryYear,
@@ -513,6 +538,13 @@ object Queries {
       ("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey NOT IN " +
         "(SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') " +
         "ORDER BY o_orderkey"),
+    "join_snowflake_chain" ->
+      ("SELECT r_name, n_name, count(*) AS n_orders, " +
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "join_semi_exists" ->
       ("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey IN " +
         "(SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') " +

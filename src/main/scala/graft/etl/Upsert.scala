@@ -55,6 +55,30 @@ object Upsert {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey")
 
+  /** Schema-drift merge: the staging feed grew a column the accumulated
+    * table lacks (an upstream producer shipped a new field — the exact
+    * situation the reference's crawler re-inference handles between runs,
+    * README.md:10,163). The merge is the same anti-join ∪ staging as
+    * [[incrementalUpsert]], but the union is `unionByName(allowMissing
+    * Columns = true)`: surviving old rows take NULL for the new column,
+    * staging rows carry it — no rewrite of the accumulated table, no
+    * blocking migration. At 100 TB this is the only affordable spelling:
+    * the historical petabytes are untouched (parquet readers fill missing
+    * columns with null at scan time, same as scan_parquet_schema_evolution)
+    * and only the delta carries the wider schema. */
+  val upsertMergeSchemaDrift: QFn = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val fin = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_channel",
+        when(col("o_orderkey") % 2 === 0, lit("online")).otherwise(lit("store")))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_channel")
+    fin.join(stg, Seq("o_orderkey"), "left_anti")
+      .unionByName(stg, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
   /** Historical one-time load ∪ rolling current loads (README.md:54-56,63,
     * 141 — `table/historical` and `table/current` S3 folders). */
   val historicalPlusCurrentUnion: QFn = (spark, sfDir) => {
@@ -363,6 +387,7 @@ object Upsert {
     "upsert_merge_three_way" -> upsertMergeThreeWay,
     "upsert_scd2" -> upsertScd2,
     "incremental_upsert" -> incrementalUpsert,
+    "upsert_merge_schema_drift" -> upsertMergeSchemaDrift,
     "dedup_by_key" -> dedupByKey,
     "historical_plus_current_union" -> historicalPlusCurrentUnion,
     "upsert_partition_overwrite" -> upsertPartitionOverwrite,
@@ -449,6 +474,14 @@ object Upsert {
         "SELECT * FROM (" +
         "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
         "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM stg) " +
+        "UNION ALL SELECT * FROM stg) ORDER BY o_orderkey"),
+    "upsert_merge_schema_drift" ->
+      ("WITH stg AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, " +
+        "o_orderstatus, CASE WHEN o_orderkey % 2 = 0 THEN 'online' ELSE 'store' END " +
+        "AS o_channel FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') " +
+        "SELECT * FROM (" +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(NULL AS VARCHAR) AS o_channel " +
+        "FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM stg) " +
         "UNION ALL SELECT * FROM stg) ORDER BY o_orderkey"),
     "dedup_by_key" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +

@@ -280,6 +280,10 @@ object GraftFunctions {
       require(exprs.length == 2, "minhash_sig(hashes, k) takes exactly 2 arguments")
       MinhashSig(exprs.head, exprs(1))
     },
+    "bitmap_distinct" -> { exprs =>
+      require(exprs.length == 1, "bitmap_distinct(key) takes exactly 1 argument")
+      BitmapDistinct(exprs.head)
+    },
     "cms_estimate" -> { exprs =>
       require(exprs.length == 2, "cms_estimate(sketch, keys) takes exactly 2 arguments")
       CmsEstimate(exprs.head, exprs(1))

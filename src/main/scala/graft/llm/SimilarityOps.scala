@@ -398,7 +398,90 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Deterministic distributed k-means over the embedding corpus — the
+    * clustering step a curation pipeline runs before mixture balancing or
+    * SemDeDup-style pruning (cluster first, act within clusters). Lloyd's
+    * algorithm, Spark-shaped: per iteration ONE corpus pass — centroids
+    * ride into the scan as literals (a k×dim broadcast, no join), each row
+    * picks argmin ‖v−c‖² via the native vector_dot inside a k-element HOF
+    * (‖v‖² is constant per row, so the comparison key is ‖c‖² − 2·v·c),
+    * and the update is a k-group map-side-combined aggregate whose shuffle
+    * carries k×(dim+1) values per map task. Unlike MLlib's KMeans (used to
+    * train the IVF cells, where geometry is all that matters), every step
+    * here is partitioning-INVARIANT: centroid updates accumulate through
+    * the exact integer vector_sumq (micro-unit quantized), per-row
+    * distances quantized to integer micro-units before the sum, argmin
+    * ties break to the lowest cell index, dominant-label ties to the
+    * lowest label — the same corpus on 4 or 400 executors yields the SAME
+    * clusters bit-for-bit (DeterminismSpec pins it). Seeds: the k
+    * lowest-vec_id vectors (a k-row driver collect of index metadata, not
+    * data). KMeansSpec pins assignment-consistency (each vector sits in
+    * its nearest final centroid's cell) and monotone non-increasing
+    * quantized inertia across iterations. */
+  val llmClusterKmeans: QFn = (spark, sfDir) => {
+    val k = 8
+    val iters = 4
+    val e = DedupOps.embIndex(spark, sfDir)
+    val seed = e.orderBy("vec_id").limit(k)
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
+    var cents = seed
+    var assigned: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assignCells(e, cents)
+      val upd = assigned.groupBy("cell")
+        .agg(expr("vector_sumq(emb)").as("s"), count(lit(1)).as("n"))
+        .collect().map { r =>
+          val s = r.getSeq[Long](1)
+          r.getInt(0) -> s.map(_ / 1e6 / r.getLong(2)).toArray
+        }.toMap
+      // an emptied cell keeps its previous centroid (deterministic; no
+      // reseeding randomness)
+      cents = Array.tabulate(k)(i => upd.getOrElse(i, cents(i)))
+    }
+    // report against the FINAL centroids (the loop's last `assigned` is
+    // one update behind them)
+    assigned = assignCells(e, cents)
+    val byCell = assigned
+      .withColumn("dist_q", expr("CAST(floor(dist2 * 1e6 + 0.5) AS BIGINT)"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("nl"),
+        sum(col("dist_q")).as("dq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(col("nl").desc, col("label"))
+    byCell
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cell")
+      .agg(sum(col("nl")).as("n_vecs"),
+        max(when(col("rn") === 1, col("label"))).as("dom_label"),
+        round(sum(col("dq")).cast("double") / 1e6 / sum(col("nl")), 4)
+          .as("avg_dist2"))
+      .orderBy("cell")
+  }
+
+  /** KMeansSpec's window into the per-iteration state. */
+  private[graft] def assignCellsForTest(e: org.apache.spark.sql.DataFrame,
+      cents: Array[Array[Double]]): org.apache.spark.sql.DataFrame =
+    assignCells(e, cents)
+
+  /** One Lloyd assignment pass: centroids as literal arrays folded into
+    * the scan; argmin of ‖c‖²−2·v·c (ties → lowest index), plus the full
+    * ‖v−c‖² for inertia reporting. */
+  private def assignCells(e: org.apache.spark.sql.DataFrame,
+      cents: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
+    val centsCol = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    val cnorms = array(cents.map(c => lit(c.map(x => x * x).sum)): _*)
+    e.withColumn("cents", centsCol).withColumn("cnorms", cnorms)
+      .withColumn("keys", expr(
+        "zip_with(cnorms, transform(cents, c -> vector_dot(emb, c)), " +
+          "(q, d) -> q - 2 * d)"))
+      .withColumn("cell",
+        (expr("array_position(keys, array_min(keys))") - 1).cast("int"))
+      .withColumn("vnorm", expr("vector_dot(emb, emb)"))
+      .withColumn("dist2", expr("vnorm + keys[cell]"))
+      .drop("cents", "cnorms", "keys", "vnorm")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_cluster_kmeans" -> llmClusterKmeans,
     "llm_embedding_quantize" -> llmEmbeddingQuantize,
     "llm_embedding_centroid" -> llmEmbeddingCentroid,
     "llm_knn_classify" -> llmKnnClassify,

@@ -32,6 +32,7 @@ class ContractSpec extends AnyFunSuite {
       "llm_dedup_simhash_indexed" -> "FingerprintSpec (byte-equality vs in-memory)",
       "llm_fingerprint" -> "FingerprintSpec",
       "llm_similarity_ivf" -> "SimilaritySpec",
+      "llm_cluster_kmeans" -> "KMeansSpec",
     )
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val unexplained = unoracled -- waived.keySet

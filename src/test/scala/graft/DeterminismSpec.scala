@@ -44,6 +44,11 @@ class DeterminismSpec extends AnyFunSuite {
     // membership must survive any physical layout too
     "agg_heavy_hitters_cms" -> graft.analytics.Advanced.aggHeavyHittersCms,
     "llm_perplexity_buckets" -> graft.llm.TextOps.llmPerplexityBuckets,
+    // round 11: bitmap OR and the integer-quantized Lloyd loop are both
+    // built to be layout-proof — bitmap pages merge commutatively, and
+    // kmeans accumulates centroids/inertia through vector_sumq micro-units
+    "agg_bitmap_distinct" -> graft.analytics.Advanced.aggBitmapDistinct,
+    "llm_cluster_kmeans" -> graft.llm.SimilarityOps.llmClusterKmeans,
   )
 
   test("hash-keyed sampling/split/CDC outputs are invariant to input partitioning") {

@@ -52,7 +52,7 @@ class VectorAvgSpec extends AnyFunSuite {
     val byName = graft.functions.GraftFunctions.builders.toMap
     assert(byName.keySet == Set("vector_dot", "vector_avg", "vector_sumq",
       "cms_estimate", "bloom_might_contain", "bloom_filter_agg",
-      "ngram_hashes", "minhash_sig"))
+      "ngram_hashes", "minhash_sig", "bitmap_distinct"))
     val lit = Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val bin = Literal.create(Array[Byte](1),
@@ -83,10 +83,39 @@ class VectorAvgSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](byName("vector_sumq")(Seq(lit, lit)))
     intercept[IllegalArgumentException](byName("cms_estimate")(Seq(bin)))
     intercept[IllegalArgumentException](byName("bloom_might_contain")(Seq(bin)))
+    assert(byName("bitmap_distinct")(Seq(one))
+      .isInstanceOf[graft.functions.BitmapDistinct])
     intercept[IllegalArgumentException](byName("bloom_filter_agg")(Seq(one, one)))
+    intercept[IllegalArgumentException](byName("bitmap_distinct")(Seq(one, one)))
     // and the class itself applies cleanly to a fresh extensions object
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("bitmap_distinct is exact, partition-invariant, null-skipping, and " +
+      "correct on sparse/negative/page-boundary keys") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensure(spark)
+    // page boundaries (4095/4096), negatives (floor-shift paging), a far
+    // page (2^40), and duplicates — the cases a lazy >> would corrupt
+    val keys = Seq(0L, 1L, 4095L, 4096L, -1L, -4096L, -4097L,
+      1L << 40, (1L << 40) + 1, 7L, 7L, 7L, -1L)
+    val expected = keys.distinct.size.toLong
+    def cnt(parts: Int): Long = keys.toDF("k").repartition(parts)
+      .agg(expr("bitmap_distinct(k)")).collect().head.getLong(0)
+    assert(cnt(1) == expected && cnt(13) == expected)
+    val withNull = (keys.map(Option(_)) :+ (None: Option[Long])).toDF("k")
+    assert(withNull.repartition(5).agg(expr("bitmap_distinct(k)"))
+      .collect().head.getLong(0) == expected)
+    // and it equals count(DISTINCT) on the real fixture, per group
+    val ev = graft.tables.Tables(spark, sfDir, "events")
+    val native = ev.groupBy("event_type")
+      .agg(expr("bitmap_distinct(user_id)").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty && native == exact)
   }
 
   test("vector_sumq is EXACTLY partition-invariant (integer sums, no float drift)") {
