@@ -131,3 +131,92 @@ case class MinhashSig(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): MinhashSig =
     copy(left = newLeft, right = newRight)
 }
+
+/** Winnowing fingerprints of a document (Schleimer/Wilkerson/Aiken 2003,
+  * the MOSS algorithm): hash every character n-gram, slide a window of w
+  * consecutive gram hashes, select each window's minimum (rightmost on
+  * ties — the "robust" variant), return the DISTINCT selected values
+  * sorted ascending. `winnow_fps(t, n, w)` ≡ the HOF rendering
+  * `array_sort(array_distinct(transform(sequence(1, nWin-w+1),
+  *    j -> array_min(slice(hs, j, w)))))` over the position-preserving
+  * gram-hash sequence — TextHashSpec pins the equivalence.
+  *
+  * The guarantee that makes this the substring-dedup primitive: any two
+  * documents sharing a literal run of ≥ w+n−1 characters contain a fully
+  * aligned gram window, hence select at least one COMMON fingerprint —
+  * while only ~2/(w+1) of positions are kept (≈8.5× smaller posting
+  * index than full gram inversion at w=16). Native for the same reason
+  * as ngram_hashes: the HOF spelling is O(chars·w) interpreted lambda
+  * evaluations; this is one UTF-8 walk + an O(chars) monotonic-deque
+  * sliding minimum. Shorter docs than one window yield their single
+  * global minimum (matching the HOF's one whole-array window).
+  */
+case class WinnowFps(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, nAny: Any, wAny: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val n = nAny.asInstanceOf[Int]
+    val w = wAny.asInstanceOf[Int]
+    require(n >= 1 && w >= 1, s"winnow_fps: n and w must be >= 1, got ($n, $w)")
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val numBytes = s.numBytes
+    val nChars = s.numChars
+    val charOff = new Array[Int](nChars + 1)
+    var ci = 0
+    var b = 0
+    while (b < numBytes) {
+      charOff(ci) = b
+      b += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + b))
+      ci += 1
+    }
+    charOff(nChars) = numBytes
+    val nWin = math.max(nChars - n + 1, 1)
+    val hs = new Array[Long](nWin)
+    var g = 0
+    while (g < nWin) {
+      val lo = charOff(g)
+      val hi = charOff(math.min(g + n, nChars))
+      hs(g) = XXH64.hashUnsafeBytes(base, off + lo, hi - lo, 42L)
+      g += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (nWin <= w) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < nWin) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      selected.add(mn)
+    } else {
+      // monotonic deque of indices; back-pop on >= keeps the RIGHTMOST
+      // minimum per window (robust winnowing's tie rule)
+      val deque = new Array[Int](nWin)
+      var head = 0
+      var tail = 0 // deque occupies [head, tail)
+      var i = 0
+      while (i < nWin) {
+        while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) selected.add(hs(deque(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): WinnowFps =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

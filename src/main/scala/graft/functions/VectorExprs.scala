@@ -280,6 +280,10 @@ object GraftFunctions {
       require(exprs.length == 2, "minhash_sig(hashes, k) takes exactly 2 arguments")
       MinhashSig(exprs.head, exprs(1))
     },
+    "winnow_fps" -> { exprs =>
+      require(exprs.length == 3, "winnow_fps(text, n, w) takes exactly 3 arguments")
+      WinnowFps(exprs.head, exprs(1), exprs(2))
+    },
     "bitmap_distinct" -> { exprs =>
       require(exprs.length == 1, "bitmap_distinct(key) takes exactly 1 argument")
       BitmapDistinct(exprs.head)

@@ -1066,6 +1066,47 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Substring-level (span) dedup via WINNOWING fingerprints
+    * (Schleimer/Wilkerson/Aiken 2003, the MOSS idiom — and the spirit of
+    * suffix-array substring dedup à la Lee et al. 2022, expressed as a
+    * bounded-index equi-join instead of a suffix array): documents that
+    * EMBED the same literal run ≥ w+n−1 = 23 chars, even when their
+    * overall gram sets are dissimilar (Jaccard and MinHash both miss a
+    * paragraph pasted into an otherwise-unrelated page; containment
+    * needs one side mostly-contained — a shared boilerplate block
+    * triggers neither). The native winnow_fps expression selects each
+    * 16-window's min gram hash (~2/(w+1) ≈ 12% of positions), so the
+    * posting index is ~8.5× smaller than full gram inversion while the
+    * shared-run guarantee holds by construction (TextHashSpec pins it).
+    * Candidates come from the same rare-fp blocking as containment
+    * (fps in 2..5 docs → pairs bounded by rare_fps·C(5,2), linear in
+    * corpus size); pairs are ranked by shared-rare-fp count with the
+    * estimated shared-span chars (n_fp·(w+1)/2 — the winnow density
+    * inverted). no_oracle (xxhash64 winnowing not expressible in
+    * DuckDB); NearDupSpec plants spliced spans and brute-checks
+    * soundness. */
+  val llmDedupSpan: QFn = (spark, sfDir) =>
+    spanPairs(Tables(spark, sfDir, "documents").select("doc_id", "text"))
+
+  /** Core of [[llmDedupSpan]] over any (doc_id, text) frame — NearDupSpec
+    * replays it on corpora with planted spliced spans. */
+  private[graft] def spanPairs(docs: DataFrame): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id"), explode(expr("winnow_fps(t, 8, 16)")).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, 5)).select("fp")
+    val posting = fps.join(rare, Seq("fp"), "left_semi")
+    posting
+      .join(posting.withColumnRenamed("doc_id", "doc_b"), Seq("fp"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= 2)
+      .withColumn("est_span_chars", col("n_shared_fp") * 17 / 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composition a real
     * training-data build runs, as ONE operator with per-stage survivor
     * counts (the funnel every pipeline dashboard shows):
@@ -1116,6 +1157,7 @@ object DedupOps {
     "llm_dedup_passage" -> llmDedupPassage,
     "llm_dedup_containment" -> llmDedupContainment,
     "llm_dedup_containment_indexed" -> llmDedupContainmentIndexed,
+    "llm_dedup_span" -> llmDedupSpan,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_decontaminate_bloom" -> llmDecontaminateBloom,
     "llm_dedup_exact" -> llmDedupExact,

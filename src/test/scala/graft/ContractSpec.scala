@@ -33,6 +33,7 @@ class ContractSpec extends AnyFunSuite {
       "llm_fingerprint" -> "FingerprintSpec",
       "llm_similarity_ivf" -> "SimilaritySpec",
       "llm_cluster_kmeans" -> "KMeansSpec",
+      "llm_dedup_span" -> "TextHashSpec (winnow guarantee) + NearDupSpec (planted spans)",
     )
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val unexplained = unoracled -- waived.keySet

@@ -131,6 +131,38 @@ class NearDupSpec extends AnyFunSuite {
       s"rare-gram blocking recall $recall (${got.size}/${truth.size})")
   }
 
+  test("span dedup finds planted spliced spans and is gram-sound on the corpus") {
+    // splice the same 120-char slice of doc 0's text into two otherwise
+    // UNRELATED synthetic docs: MinHash/Jaccard-invisible (the rest of
+    // each doc differs), but span dedup must pair them
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim)
+    val donor = texts.map(_._2).maxBy(_.length)
+    val span = donor.slice(0, math.min(120, donor.length))
+    val fillerA = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    val fillerB = "uno dos tres cuatro cinco seis siete ocho nueve " * 6
+    val planted = Seq((9001L, fillerA + span + fillerA),
+      (9002L, fillerB + span + fillerB),
+      (9003L, fillerA.replace('a', 'q') + fillerB.replace('o', 'x')))
+    val df = spark.createDataFrame(
+      texts.toSeq.map { case (id, t) => (id, t) } ++ planted)
+      .toDF("doc_id", "text")
+    val pairs = graft.llm.DedupOps.spanPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((9001L, 9002L)),
+      s"planted spliced pair not found; got ${pairs.keys.take(20)}")
+    // soundness on every reported pair: winnowed fps are a subset of the
+    // 8-gram hash sets, so a pair sharing k rare fps shares >= k distinct
+    // 8-grams — brute-check that lower bound
+    val all = (texts.toSeq ++ planted.map { case (id, t) => id -> t.toLowerCase.trim }).toMap
+    def grams8(t: String): Set[String] =
+      (1 to math.max(t.length - 7, 1)).map(i => t.slice(i - 1, i - 1 + 8)).toSet
+    pairs.foreach { case ((a, b), k) =>
+      val shared = (grams8(all(a)) intersect grams8(all(b))).size
+      assert(shared >= k, s"pair ($a,$b): $k shared fps but only $shared shared 8-grams")
+    }
+  }
+
   test("materialized signature index reproduces the in-memory minhash pairs exactly") {
     // the bucketed sig table is a LAYOUT decision — results must be
     // byte-identical to the in-memory banded-index path

@@ -48,6 +48,45 @@ class TextHashSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("winnow_fps(t, 8, 16) equals the HOF window-min spelling") {
+    // precompute the position-preserving gram sequence once per row —
+    // winnowing windows over it, min per window, distinct, sorted. Ties
+    // inside a window pick a POSITION natively (rightmost) but the same
+    // VALUE either way, so value-set equality is exact.
+    val native = collectArrays("winnow_fps(t, 8, 16)")
+    val hof = docs
+      .withColumn("ghs", expr(
+        "transform(sequence(1, greatest(length(t) - 7, 1)), " +
+          "i -> xxhash64(substring(t, i, 8)))"))
+      .select(col("doc_id"), expr(
+        "array_sort(array_distinct(transform(" +
+          "sequence(1, greatest(size(ghs) - 15, 1)), " +
+          "j -> array_min(slice(ghs, j, 16)))))").as("a"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == hof.keySet && native.nonEmpty)
+    native.foreach { case (id, a) =>
+      assert(a == hof(id), s"winnow mismatch for doc $id")
+    }
+  }
+
+  test("winnowing guarantee: a shared run of >= w+n-1 chars shares a fingerprint") {
+    // two unrelated texts spliced with the same 60-char segment MUST share
+    // at least one selected fingerprint (w=16, n=8 → guarantee at 23);
+    // two fully unrelated texts of this shape share none
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly often"
+    val rows = Seq(
+      ("a" * 40) + shared + ("b" * 40),
+      ("c" * 40) + shared + ("d" * 40),
+      ("e" * 40) + "completely different middle content here with no overlap" + ("f" * 40))
+    val df = spark.createDataFrame(rows.zipWithIndex.map(_.swap))
+      .toDF("id", "t")
+    val fps = df.select(col("id"), expr("winnow_fps(t, 8, 16)").as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(0) & fps(1)).nonEmpty, "shared 60-char run selected no common fp")
+    assert((fps(0) & fps(2)).isEmpty && (fps(1) & fps(2)).isEmpty,
+      "unrelated docs share fingerprints")
+  }
+
   test("edge cases: short, empty, multi-byte, duplicate-heavy strings") {
     val rows = Seq("", "ab", "abcde", "aaaaaaaaaa", "héllo wörld — ünïcode",
       "xyxyxyxyxyxyxy", "日本語のテキストです")

@@ -52,7 +52,7 @@ class VectorAvgSpec extends AnyFunSuite {
     val byName = graft.functions.GraftFunctions.builders.toMap
     assert(byName.keySet == Set("vector_dot", "vector_avg", "vector_sumq",
       "cms_estimate", "bloom_might_contain", "bloom_filter_agg",
-      "ngram_hashes", "minhash_sig", "bitmap_distinct"))
+      "ngram_hashes", "minhash_sig", "bitmap_distinct", "winnow_fps"))
     val lit = Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val bin = Literal.create(Array[Byte](1),
@@ -86,7 +86,10 @@ class VectorAvgSpec extends AnyFunSuite {
     assert(byName("bitmap_distinct")(Seq(one))
       .isInstanceOf[graft.functions.BitmapDistinct])
     intercept[IllegalArgumentException](byName("bloom_filter_agg")(Seq(one, one)))
+    assert(byName("winnow_fps")(Seq(str, n, n))
+      .isInstanceOf[graft.functions.WinnowFps])
     intercept[IllegalArgumentException](byName("bitmap_distinct")(Seq(one, one)))
+    intercept[IllegalArgumentException](byName("winnow_fps")(Seq(str, n)))
     // and the class itself applies cleanly to a fresh extensions object
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
