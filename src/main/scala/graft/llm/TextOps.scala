@@ -152,6 +152,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE merge-rule induction (Sennrich et al. 2016) — training the
+    * tokenizer itself as a pipeline step. The Spark shape matters more
+    * than the loop: the ONLY corpus-scale pass is the word-frequency
+    * aggregate (at 100 TB, that one explode+count is the job); every
+    * merge iteration then runs on the VOCAB table (distinct words ×
+    * symbol arrays — thousands of rows regardless of corpus size), so
+    * training cost is O(corpus + merges·vocab), not O(merges·corpus).
+    * Per iteration: adjacent symbol pairs explode from each word
+    * (zip-of-shifted-slices), counts weight by word frequency
+    * (map-side-combined sum), the argmax pair collects as ONE row
+    * (ties → lexicographically smallest, so induction is deterministic
+    * and partitioning-invariant — counts are exact integer sums), and
+    * the merge applies as a left-to-right array fold (the standard BPE
+    * greedy application). Each round's vocab persists and the prior
+    * unpersists, so lineage stays one hop. Output = the learned merge
+    * table, the artifact a tokenizer ships. no_oracle (iterative);
+    * BpeSpec pins equality with a single-threaded reference
+    * implementation on the real corpus. */
+  val llmBpeTrain: QFn = (spark, sfDir) => {
+    val nMerges = 10
+    var vocab = Tables(spark, sfDir, "documents")
+      .select(explode(tokens).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // split(w, '') under limit −1 can emit a trailing '' — drop empties
+      // so symbols are exactly the characters
+      .select(col("cnt"), expr("filter(split(w, ''), s -> s <> '')").as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = vocab.select(col("cnt"), explode(expr(
+        "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1), " +
+          "(a, b) -> struct(a AS l, b AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((step, l, r, n))
+        val merged = vocab.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), x))))
+              .otherwise(concat(acc, array(x)))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        merged.count() // materialize before releasing the parent
+        vocab.unpersist()
+        vocab = merged
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count")
+  }
+
   /** Document fingerprinting: char-8-gram rolling shingle hashes; the
     * min-hash is the doc signature (winnowing-style). xxhash64 has no
     * DuckDB twin → verified by FingerprintSpec instead of the oracle.
@@ -613,6 +676,7 @@ object TextOps {
     "llm_quality_score" -> llmQualityScore,
     "llm_lang_id" -> llmLangId,
     "llm_fingerprint" -> llmFingerprint,
+    "llm_bpe_train" -> llmBpeTrain,
   )
 
   // shared by llm_perplexity_score and the tercile-bucket consumer

@@ -199,6 +199,40 @@ object StreamOps {
       .orderBy("hour", "event_type")
   }
 
+  /** Windowed TOP-K — the live-leaderboard shape (top event types per
+    * hour on a dashboard): the STREAM maintains only the per-(window,
+    * type) counts (bounded state: windows × |types| rows, exactly the
+    * tumbling-agg store), and the rank is computed over the compact
+    * result table at read time — where a 100 TB pipeline computes it
+    * too, because ranking inside the stream would re-sort every window
+    * on every trigger for no smaller state. Ties break (cnt desc, type
+    * asc), so the leaderboard is deterministic and the batch-twin DuckDB
+    * oracle hash-matches. */
+  val streamTopkWindowed: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val base = Scratch.dir("stream_topk_windowed")
+    ev.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+    val name = uniq("stream_topk_windowed")
+    val ss = streamSession(spark, 4)
+    val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour").orderBy(col("cnt").desc, col("event_type"))
+    ss.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("count").as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .orderBy("hour", "rnk")
+  }
+
   /** Sliding windows — the trend-smoothing shape tumbling can't express
     * (a 1-hour window advancing every 15 minutes: each event lands in 4
     * overlapping windows), completing the streaming window trio alongside
@@ -626,6 +660,7 @@ object StreamOps {
     "stream_file_source_upsert" -> streamFileSourceUpsert,
     "stream_hourly_window" -> streamHourlyWindow,
     "stream_sliding_window" -> streamSlidingWindow,
+    "stream_topk_windowed" -> streamTopkWindowed,
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_session_state" -> streamSessionState,
     "stream_stream_join" -> streamStreamJoin,
@@ -654,6 +689,12 @@ object StreamOps {
     "stream_hourly_window" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +
         "event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "stream_topk_windowed" ->
+      ("WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +
+        "event_type, count(*) AS cnt FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT hour, event_type, cnt, CAST(row_number() OVER " +
+        "(PARTITION BY hour ORDER BY cnt DESC, event_type) AS INT) AS rnk FROM c) " +
+        "SELECT hour, event_type, cnt, rnk FROM r WHERE rnk <= 2 ORDER BY hour, rnk"),
     "stream_sliding_window" ->
       ("WITH e AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b, " +
         "event_type FROM events), " +

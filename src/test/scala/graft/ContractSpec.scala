@@ -34,6 +34,7 @@ class ContractSpec extends AnyFunSuite {
       "llm_similarity_ivf" -> "SimilaritySpec",
       "llm_cluster_kmeans" -> "KMeansSpec",
       "llm_dedup_span" -> "TextHashSpec (winnow guarantee) + NearDupSpec (planted spans)",
+      "llm_bpe_train" -> "BpeSpec (single-threaded reference equality)",
     )
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val unexplained = unoracled -- waived.keySet
