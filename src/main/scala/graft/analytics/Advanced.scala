@@ -231,6 +231,39 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** Revenue-concentration (Gini) report per market segment — the
+    * "how top-heavy is this segment" KPI behind whale dashboards:
+    * G = 2·Σrᵢxᵢ / (n·Σxᵢ) − (n+1)/n over customers ranked ascending by
+    * revenue. Everything before the final division is EXACT: per-customer
+    * revenue is a decimal sum, ranks are row_number with a custkey
+    * tie-break, and Σr·x accumulates decimal×int products — so the one
+    * double expression at the end evaluates identically in DuckDB and the
+    * full oracle hash-matches. The rank window partitions by segment
+    * (customer-dimension scale, ~n_cust/5 per partition — dimension-sized,
+    * never fact-sized; at 100 TB the per-segment sort is a range exchange
+    * over customers, not orders). */
+  val aggGiniRevenue: QFn = (spark, sfDir) => {
+    val rev = Tables(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val cust = Tables(spark, sfDir, "customer")
+    val seg = rev.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"), col("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment").orderBy(col("rev"), col("o_custkey"))
+    seg.withColumn("r", row_number().over(w))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev")).as("sx"),
+        sum(col("rev") * col("r")).as("srx"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        round(col("sx").cast("double"), 2).as("total_revenue"),
+        round(lit(2.0) * col("srx").cast("double")
+            / (col("n_customers") * col("sx").cast("double"))
+          - (col("n_customers") + 1) / col("n_customers"), 6).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Exact distinct users per event type via the native paged-bitmap
     * aggregate (BitmapExprs.scala) — the EXACT-arithmetic sibling of
     * [[aggHllMergeable]] and the alternative physical strategy to
@@ -744,6 +777,7 @@ object Advanced {
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_hll_mergeable" -> aggHllMergeable,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
+    "agg_gini_revenue" -> aggGiniRevenue,
     "agg_heavy_hitters_cms" -> aggHeavyHittersCms,
     "window_rolling_avg" -> windowRollingAvg,
     "window_rolling_range" -> windowRollingRange,
@@ -762,6 +796,18 @@ object Advanced {
     .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // exact decimal rank-sums; the single double division replays in DuckDB
+    "agg_gini_revenue" ->
+      ("WITH rev AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "seg AS (SELECT c_mktsegment, o_custkey, rev, CAST(row_number() OVER " +
+        "(PARTITION BY c_mktsegment ORDER BY rev, o_custkey) AS BIGINT) AS r " +
+        "FROM rev JOIN customer ON o_custkey = c_custkey) " +
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, " +
+        "ROUND(CAST(sum(rev) AS DOUBLE), 2) AS total_revenue, " +
+        "ROUND(2.0 * CAST(sum(rev * r) AS DOUBLE) / (count(*) * CAST(sum(rev) AS DOUBLE)) " +
+        "- (count(*) + 1) / count(*), 6) AS gini " +
+        "FROM seg GROUP BY 1 ORDER BY 1"),
     // bitmap OR is exact, so the plain distinct-count oracle hash-matches
     "agg_bitmap_distinct" ->
       ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +

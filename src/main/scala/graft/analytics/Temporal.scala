@@ -273,7 +273,37 @@ object Temporal {
       .orderBy("user_id", "streak_start")
   }
 
+  /** Time-to-convert funnel lag (README.md:99-102's funnel, with the WHEN
+    * added): per user, first view → first purchase at-or-after it; the
+    * per-segment report is converter counts + p50/p90 lag. Lags are EXACT
+    * integer microseconds (unix_micros difference — no float time math),
+    * so the only doubles are the final interpolated percentiles, computed
+    * by the same linear rule in Spark (`percentile`) and DuckDB
+    * (`quantile_cont`). Two first-event aggregates (map-side combined) +
+    * one broadcast dim join; the percentile shuffle carries one lag per
+    * converter, grouped 5 ways. */
+  val aggConversionLag: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+    val firstBuy = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") >= col("first_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("first_buy"),
+        first(col("first_view")).as("fv"))
+    val cust = Tables(spark, sfDir, "customer")
+    firstBuy
+      .withColumn("lag_us", unix_micros(col("first_buy")) - unix_micros(col("fv")))
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lag_us, 0.5)") / 1e6, 3).as("p50_lag_s"),
+        round(expr("percentile(lag_us, 0.9)") / 1e6, 3).as("p90_lag_s"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "agg_conversion_lag" -> aggConversionLag,
     "fn_date_gapfill" -> fnDateGapfill,
     "join_asof_purchase" -> joinAsofPurchase,
     "join_asof_tolerance" -> joinAsofTolerance,
@@ -288,6 +318,17 @@ object Temporal {
     bands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "agg_conversion_lag" ->
+      ("WITH fv AS (SELECT user_id, min(ts) AS first_view FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "fb AS (SELECT e.user_id, min(e.ts) AS first_buy, min(fv.first_view) AS fvt " +
+        "FROM events e JOIN fv ON e.user_id = fv.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view GROUP BY 1), " +
+        "l AS (SELECT user_id, epoch_us(first_buy) - epoch_us(fvt) AS lag_us FROM fb) " +
+        "SELECT c_mktsegment, count(*) AS n_converted, " +
+        "ROUND(quantile_cont(lag_us, 0.5) / 1e6, 3) AS p50_lag_s, " +
+        "ROUND(quantile_cont(lag_us, 0.9) / 1e6, 3) AS p90_lag_s " +
+        "FROM l JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1"),
     "fn_date_gapfill" ->
       ("WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'), " +

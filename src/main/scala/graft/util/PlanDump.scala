@@ -31,7 +31,10 @@ object PlanDump {
       "agg_histogram_approx", "agg_heavy_hitters_cms",
       "llm_decontaminate_bloom", "window_topn_per_group",
       "upsert_positional_delete", "join_fuzzy_levenshtein",
-      "llm_sample_per_group_k")
+      "llm_sample_per_group_k",
+      // round 11, second wave
+      "join_snowflake_chain", "agg_bitmap_distinct", "llm_dedup_span",
+      "agg_gini_revenue", "agg_conversion_lag")
     picks.foreach { name =>
       println(s"\n======== $name ========")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -713,4 +713,40 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"),
       s"expected a hash/merge join on the day cell:\n$p")
   }
+
+  test("snowflake chain broadcasts all three dims — the only hash exchange is the rollup") {
+    val df = graft.analytics.Queries.joinSnowflakeChain(spark, sfDir)
+    df.collect()
+    // AQE's executedPlan prints Final AND Initial plans — count in the
+    // final section only
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 3,
+      s"expected exactly 3 broadcast joins in the dim chain:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no fact-side shuffle join allowed:\n$p")
+    // fact rows cross exactly one hash exchange (the 2-key rollup); the
+    // final orderBy adds a rangepartitioning over 25 aggregated rows
+    assert(p.sliding("hashpartitioning".length).count(_ == "hashpartitioning") == 1,
+      s"expected one aggregation exchange:\n$p")
+  }
+
+  test("bitmap distinct aggregates map-side as an ObjectHashAggregate (no Expand)") {
+    val df = graft.analytics.Advanced.aggBitmapDistinct(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed-imperative bitmap agg must plan as ObjectHashAggregate:\n$p")
+    assert(p.toLowerCase.contains("partial_bitmap"),
+      s"bitmap buffers must combine map-side (partial aggregate):\n$p")
+    assert(!p.contains("Expand"),
+      s"the bitmap path must not fall back to count-distinct's Expand:\n$p")
+  }
+
+  test("span dedup posting self-join is an equi-join on the fingerprint") {
+    val df = graft.llm.DedupOps.llmDedupSpan(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"posting join must stay an equi-join on fp:\n$p")
+  }
 }
