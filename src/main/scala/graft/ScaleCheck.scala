@@ -37,7 +37,7 @@ object ScaleCheck {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
-      "dedup,sim,text,window,width,cluster,recall,containment").split(",").toSet
+      "dedup,sim,text,window,width,cluster,recall,containment,span").split(",").toSet
     // Per-section scale-tier overrides (round 9): the width/sim curves
     // extend one octave per round and re-running the recorded lower tiers
     // every time wastes the wall-clock budget — an override like
@@ -171,6 +171,45 @@ object ScaleCheck {
           s""""cand_per_doc":${f2(nCand.toDouble / nDocs)},""" +
           s""""pairs":$nPairs,"containment_sec":${f2(t)}}""")
         graft.llm.DedupOps.clearCaches()
+      }
+    }
+
+    if (sections("span")) {
+      // ---- span-dedup path (round 11): winnowing's two scale claims.
+      // (1) SELECTIVITY: the winnow index keeps ~2/(w+1) of gram
+      //     positions (≈12% at w=16) — measured as fps/doc vs grams/doc.
+      // (2) BLOCKING: like containment, only fps with df in [2,5] emit
+      //     pairs, so candidates/doc stays flat as replicas multiply
+      //     (translated alphabets keep cross-replica runs distinct, the
+      //     fresh-slice behavior).
+      graft.llm.DedupOps.llmDedupSpan(spark, base).count() // warm
+
+      dedupScales.foreach { scale =>
+        val dir = docsDir(scale, "span")
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val nDocs = docs.count()
+        val fps = docs
+          .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+          .select(col("doc_id"), explode(expr("winnow_fps(t, 8, 16)")).as("fp"))
+        val nFps = fps.count()
+        val nGrams = docs
+          .select(explode(expr("ngram_hashes(lower(trim(text)), 8)"))).count()
+        val rare = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+          .filter(col("nd").between(2, 5)).select("fp")
+        val posting = fps.join(rare, Seq("fp"), "left_semi")
+        val nCand = posting
+          .join(posting.withColumnRenamed("doc_id", "doc_b"), Seq("fp"))
+          .filter(col("doc_id") < col("doc_b"))
+          .select(col("doc_id"), col("doc_b")).distinct().count()
+        var nPairs = 0L
+        val t = time {
+          nPairs = graft.llm.DedupOps.llmDedupSpan(spark, dir).count()
+        }
+        println(s"""{"metric":"scale_check_span","scale":$scale,""" +
+          s""""docs":$nDocs,"fps_per_doc":${f2(nFps.toDouble / nDocs)},""" +
+          s""""keep_frac":${f2(nFps.toDouble / nGrams)},""" +
+          s""""cand_pairs":$nCand,"cand_per_doc":${f2(nCand.toDouble / nDocs)},""" +
+          s""""pairs":$nPairs,"span_sec":${f2(t)}}""")
       }
     }
 

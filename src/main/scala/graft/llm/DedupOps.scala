@@ -75,6 +75,7 @@ object DedupOps {
     embTableCache.clear()
     sigTableCache.clear()
     simTableCache.clear()
+    spanTableCache.clear()
   }
 
   private[graft] def sigIndex(spark: SparkSession, sfDir: String): DataFrame =
@@ -1103,7 +1104,63 @@ object DedupOps {
       .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_fp"))
       .filter(col("n_shared_fp") >= 2)
-      .withColumn("est_span_chars", col("n_shared_fp") * 17 / 2)
+      .withColumn("est_span_chars", expr("n_shared_fp * 17 div 2"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val spanTableCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Materialized winnow-fp posting table, bucketed on fp — the span
+    * family's build-once artifact (companion to gramTable/sigTable): the
+    * winnow pass runs once at index-build time; every consumer join on fp
+    * is then exchange-free. */
+  private[graft] def spanTable(spark: SparkSession, sfDir: String): String =
+    spanTableCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      val suffix = graft.util.Scratch.pathTag(sfDir)
+      val tbl = s"span_bkt_$suffix"
+      val dir = graft.util.Scratch.dir(s"span_index_$suffix")
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+        .select(col("doc_id"), explode(expr("winnow_fps(t, 8, 16)")).as("fp"))
+        .repartition(16, col("fp"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "fp").sortBy("fp")
+        .option("path", s"$dir/$tbl").saveAsTable(tbl)
+      tbl
+    })
+
+  /** Span-index build + profile: posting rows and distinct fingerprints —
+    * the density numbers a pipeline records per build (fps/doc ≈ 12% of
+    * gram positions is the winnow selectivity claim, measured per corpus
+    * by ScaleCheck's span section). The distinct count runs
+    * partial-per-bucket with no exchange on fp. xxhash64-based →
+    * no DuckDB oracle; NearDupSpec asserts profile equality with the
+    * in-memory winnow pass. */
+  val llmSpanIndexBuild: QFn = (spark, sfDir) =>
+    spark.table(spanTable(spark, sfDir))
+      .agg(count(lit(1)).as("n_fp_rows"),
+        countDistinct(col("fp")).as("n_distinct_fps"))
+
+  /** Span dedup over the MATERIALIZED winnow index — byte-identical
+    * results to [[llmDedupSpan]] (NearDupSpec asserts): the df profile,
+    * rare-fp posting filter, and candidate self-join all read the
+    * fp-bucketed table, so no stage re-derives fingerprints and nothing
+    * exchanges on fp (PlanSpec asserts); only the doc-pair aggregate
+    * shuffles. */
+  val llmDedupSpanIndexed: QFn = (spark, sfDir) => {
+    val fps = spark.table(spanTable(spark, sfDir))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, 5)).select("fp")
+    val posting = fps.join(rare, Seq("fp"), "left_semi")
+    posting
+      .hint("merge")
+      .join(posting.withColumnRenamed("doc_id", "doc_b"), Seq("fp"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= 2)
+      .withColumn("est_span_chars", expr("n_shared_fp * 17 div 2"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1158,6 +1215,8 @@ object DedupOps {
     "llm_dedup_containment" -> llmDedupContainment,
     "llm_dedup_containment_indexed" -> llmDedupContainmentIndexed,
     "llm_dedup_span" -> llmDedupSpan,
+    "llm_span_index_build" -> llmSpanIndexBuild,
+    "llm_dedup_span_indexed" -> llmDedupSpanIndexed,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_decontaminate_bloom" -> llmDecontaminateBloom,
     "llm_dedup_exact" -> llmDedupExact,

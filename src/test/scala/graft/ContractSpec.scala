@@ -34,6 +34,8 @@ class ContractSpec extends AnyFunSuite {
       "llm_similarity_ivf" -> "SimilaritySpec",
       "llm_cluster_kmeans" -> "KMeansSpec",
       "llm_dedup_span" -> "TextHashSpec (winnow guarantee) + NearDupSpec (planted spans)",
+      "llm_span_index_build" -> "NearDupSpec (profile vs in-memory winnow pass)",
+      "llm_dedup_span_indexed" -> "NearDupSpec (byte-equality vs in-memory)",
       "llm_bpe_train" -> "BpeSpec (single-threaded reference equality)",
     )
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -163,6 +163,22 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized span index reproduces the in-memory span pairs and fp profile") {
+    val mem = graft.llm.DedupOps.llmDedupSpan(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val idx = graft.llm.DedupOps.llmDedupSpanIndexed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(idx.toSeq == mem.toSeq && mem.nonEmpty)
+    // build profile vs the in-memory winnow pass
+    val fps = docs
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id"), explode(expr("winnow_fps(t, 8, 16)")).as("fp"))
+    val expRows = fps.count()
+    val expDistinct = fps.select("fp").distinct().count()
+    val prof = graft.llm.DedupOps.llmSpanIndexBuild(spark, sfDir).collect().head
+    assert((prof.getLong(0), prof.getLong(1)) == (expRows, expDistinct))
+  }
+
   test("materialized signature index reproduces the in-memory minhash pairs exactly") {
     // the bucketed sig table is a LAYOUT decision — results must be
     // byte-identical to the in-memory banded-index path

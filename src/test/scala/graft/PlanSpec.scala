@@ -749,4 +749,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"posting join must stay an equi-join on fp:\n$p")
   }
+
+  test("indexed span dedup consumes the bucketed fp table with no exchange on fp") {
+    val df = graft.llm.DedupOps.llmDedupSpanIndexed(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Bucketed: true"), s"expected bucketed scans:\n$p")
+    assert(!p.contains("hashpartitioning(fp"),
+      s"no exchange may be keyed on fp — bucketing must co-locate:\n$p")
+  }
 }
