@@ -34,5 +34,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (round 11): at the 193-query bench surface the single
+  // local[32] JVM holds every persisted index + the run's accumulated
+  // broadcasts; under the old 8g cap storage eviction + full-GC storms
+  // randomly taxed whichever heavy query ran during the storm (the
+  // containment pair measured 26-33 s at 8g vs its 5-6 s band at 24g,
+  // same code). -Xmx only caps, it does not reserve.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

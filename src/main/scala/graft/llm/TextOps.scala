@@ -181,9 +181,13 @@ object TextOps {
       .select(col("cnt"), expr("filter(split(w, ''), s -> s <> '')").as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var prev: org.apache.spark.sql.DataFrame = null
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
+      // this pair-count job is also what materializes `vocab` into its
+      // cache — so the PREVIOUS round's frame can be released right after,
+      // with no extra count() job per round (one job per merge, not two)
       val top = vocab.select(col("cnt"), explode(expr(
         "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1), " +
           "(a, b) -> struct(a AS l, b AS r))")).as("p"))
@@ -191,6 +195,7 @@ object TextOps {
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
+      if (prev != null) prev.unpersist()
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, n) =
@@ -204,12 +209,12 @@ object TextOps {
                 array(concat(element_at(acc, -1), x))))
               .otherwise(concat(acc, array(x)))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        merged.count() // materialize before releasing the parent
-        vocab.unpersist()
+        prev = vocab
         vocab = merged
         step += 1
       }
     }
+    if (prev != null) prev.unpersist()
     vocab.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count")

@@ -34,6 +34,7 @@ object Warmup {
     timed("embTable") { DedupOps.embTable(spark, sfDir) }
     timed("sigTable") { DedupOps.sigTable(spark, sfDir) }
     timed("simTable") { DedupOps.simTable(spark, sfDir) }
+    timed("spanTable") { DedupOps.spanTable(spark, sfDir) }
   }
 
   /** The star catalog tables + ANALYZE statistics — the same
