@@ -171,6 +171,22 @@ object TextOps {
     * BpeSpec pins equality with a single-threaded reference
     * implementation on the real corpus. */
   val llmBpeTrain: QFn = (spark, sfDir) => {
+    import spark.implicits._
+    bpeMerges(spark, sfDir).toDF("step", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** The learned merge table, once per (session, sfDir) — consumed by
+    * [[llmBpeTrain]] (emits it) and [[llmBpeApply]] (applies it), same
+    * share-the-model pattern as unigramModel/bigramModel. */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
+  private[graft] def bpeMerges(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[(Int, String, String, Long)] =
+    bpeCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + sfDir, trainBpe(spark, sfDir))
+
+  private def trainBpe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[(Int, String, String, Long)] = {
     val nMerges = 10
     var vocab = Tables(spark, sfDir, "documents")
       .select(explode(tokens).as("w"))
@@ -216,8 +232,45 @@ object TextOps {
     }
     if (prev != null) prev.unpersist()
     vocab.unpersist()
-    import spark.implicits._
-    merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count")
+    merges.toSeq
+  }
+
+  /** Apply the learned BPE merges — the tokenizer's ENCODE side, closing
+    * the train→apply pair: per document, the subword count and the
+    * chars-per-token compression the tokenizer achieves. The Spark shape
+    * is the dictionary-encode idiom: merges fold over the DISTINCT-WORD
+    * table only (a 10-deep chain of left-to-right array folds on
+    * vocab-sized data), and the per-word subword counts broadcast back
+    * onto the corpus through the token explode — the 100 TB corpus never
+    * re-tokenizes a word twice. Deterministic end to end (the merge
+    * table is deterministic, the fold is order-fixed); no_oracle
+    * (consumes the iterative model), BpeSpec applies the reference
+    * merges in-process and pins per-doc equality. */
+  val llmBpeApply: QFn = (spark, sfDir) => {
+    val merges = bpeMerges(spark, sfDir)
+    val charsCol = expr("filter(split(w, ''), s -> s <> '')")
+    val folded = merges.foldLeft(charsCol) { case (c, (_, l, r, _)) =>
+      aggregate(c, array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), x))))
+          .otherwise(concat(acc, array(x))))
+    }
+    val docs = Tables(spark, sfDir, "documents")
+    val wordCost = docs.select(explode(tokens).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .select(col("w"), size(folded).as("n_sub"), length(col("w")).as("n_chars_w"))
+    docs.select(col("doc_id"), explode(tokens).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wordCost), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"),
+        round(sum(col("n_chars_w")).cast("double") / sum(col("n_sub")), 4)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
   }
 
   /** Document fingerprinting: char-8-gram rolling shingle hashes; the
@@ -682,6 +735,7 @@ object TextOps {
     "llm_lang_id" -> llmLangId,
     "llm_fingerprint" -> llmFingerprint,
     "llm_bpe_train" -> llmBpeTrain,
+    "llm_bpe_apply" -> llmBpeApply,
   )
 
   // shared by llm_perplexity_score and the tercile-bucket consumer

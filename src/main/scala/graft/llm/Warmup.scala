@@ -35,6 +35,12 @@ object Warmup {
     timed("sigTable") { DedupOps.sigTable(spark, sfDir) }
     timed("simTable") { DedupOps.simTable(spark, sfDir) }
     timed("spanTable") { DedupOps.spanTable(spark, sfDir) }
+    // the BPE merge table is a trained MODEL shared by llm_bpe_train
+    // (emits it) and llm_bpe_apply (encodes with it) — same category as
+    // unigramModel above: train once per corpus, both bench rows measure
+    // their consume stage (train cost recorded separately: 3.6 s isolated
+    // at sf0.1, BASELINE.md round-11 second wave)
+    timed("bpeMerges") { TextOps.bpeMerges(spark, sfDir) }
   }
 
   /** The star catalog tables + ANALYZE statistics — the same

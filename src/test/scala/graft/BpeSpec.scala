@@ -67,4 +67,35 @@ class BpeSpec extends AnyFunSuite {
     // frequent pairs); what IS invariant: every learned pair was the
     // round's argmax, which the sequence equality above already pins.
   }
+
+  test("bpe apply: per-doc subword counts equal the reference encoder") {
+    val docs = graft.tables.Tables(spark, sfDir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq)
+    val words = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, o) => w -> o.length.toLong }
+    val merges = refBpe(words, 10)
+    def encode(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (_, l, r, _) =>
+        var acc = Vector.empty[String]
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc = acc.init :+ (l + x)
+          else acc = acc :+ x
+        }
+        syms = acc
+      }
+      syms
+    }
+    val subCount = words.keys.map(w => w -> encode(w).length.toLong).toMap
+    val expected = docs.map { case (id, ws) =>
+      id -> (ws.length.toLong, ws.map(subCount).sum)
+    }.toMap
+    val got = graft.llm.TextOps.llmBpeApply(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected && got.nonEmpty)
+    // every merge can only shrink or keep a word's token count, and a
+    // word never encodes below 1 token
+    assert(subCount.forall { case (w, n) => n >= 1 && n <= w.length })
+  }
 }

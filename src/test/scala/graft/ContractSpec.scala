@@ -37,6 +37,7 @@ class ContractSpec extends AnyFunSuite {
       "llm_span_index_build" -> "NearDupSpec (profile vs in-memory winnow pass)",
       "llm_dedup_span_indexed" -> "NearDupSpec (byte-equality vs in-memory)",
       "llm_bpe_train" -> "BpeSpec (single-threaded reference equality)",
+      "llm_bpe_apply" -> "BpeSpec (per-doc counts vs reference encoder)",
     )
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val unexplained = unoracled -- waived.keySet
