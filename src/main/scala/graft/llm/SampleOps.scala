@@ -171,7 +171,42 @@ object SampleOps {
       .orderBy("lang", "rk")
   }
 
+  /** Leakage-safe train/val/test split — the hash split with the eval
+    * contamination rule applied: any val/test document with an
+    * exact-verified near-dup (5-gram Jaccard ≥ 0.5, the corpus's
+    * verified-pair graph) in TRAIN is reassigned to train, because an
+    * eval set containing near-copies of training docs inflates every
+    * metric it was built to measure. Composition, not new machinery:
+    * the split rule is [[llmTrainTestSplit]]'s Lehmer gate verbatim and
+    * the pair graph is the shared [[DedupOps.verifiedPairs]] (built once
+    * per corpus, reused by jaccard/cluster/pipeline) — the reassignment
+    * itself is one semi-join against train partners, linear in the pair
+    * count at any corpus size. Full DuckDB oracle: split CASE + the
+    * jaccard-pair CTE replayed on raw substrings. */
+  val llmSplitDecontaminated: QFn = (spark, sfDir) => {
+    val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * 16807L,
+      lit(2147483647L)) % 100
+    val split = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+          .as("split"))
+    val pairs = DedupOps.verifiedPairs(spark, sfDir)
+    val edges = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("p"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("p")))
+    val trainPartners = edges
+      .join(split.filter(col("split") === "train")
+        .select(col("doc_id").as("p")), Seq("p"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("leaky", lit(1))
+    split.join(trainPartners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        when(col("split") =!= "train" && col("leaky") === 1, "train")
+          .otherwise(col("split")).as("final_split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_split_decontaminated" -> llmSplitDecontaminated,
     "llm_sample_per_group_k" -> llmSamplePerGroupK,
     "llm_domain_mixture" -> llmDomainMixture,
     "llm_sample_stratified" -> llmSampleStratified,
@@ -216,6 +251,27 @@ object SampleOps {
         "max(r.thr) AS thr FROM documents d JOIN r ON d.source = r.source " +
         "WHERE ((d.doc_id % 1000003) * 1103515245 + 12345) % 10000 < r.thr " +
         "GROUP BY d.source ORDER BY d.source"),
+    "llm_split_decontaminated" ->
+      ("WITH s AS (SELECT doc_id, CASE WHEN ((doc_id % 1000003) * 16807) % 2147483647 % 100 < 90 THEN 'train' " +
+        "WHEN ((doc_id % 1000003) * 16807) % 2147483647 % 100 < 95 THEN 'val' ELSE 'test' END AS split " +
+        "FROM documents), " +
+        "d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 5) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)), " +
+        "n AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pr AS (SELECT doc_a, doc_b FROM c JOIN n na ON na.doc_id = doc_a " +
+        "JOIN n nb ON nb.doc_id = doc_b " +
+        "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5), " +
+        "e AS (SELECT doc_a AS doc_id, doc_b AS p FROM pr " +
+        "UNION ALL SELECT doc_b, doc_a FROM pr), " +
+        "leaky AS (SELECT DISTINCT e.doc_id FROM e " +
+        "JOIN s ts ON e.p = ts.doc_id AND ts.split = 'train') " +
+        "SELECT s.doc_id, s.split, " +
+        "CASE WHEN s.split <> 'train' AND s.doc_id IN (SELECT doc_id FROM leaky) " +
+        "THEN 'train' ELSE s.split END AS final_split " +
+        "FROM s ORDER BY s.doc_id"),
     "llm_train_test_split" ->
       ("SELECT doc_id, CAST(((doc_id % 1000003) * 16807) % 2147483647 % 100 AS INT) AS bucket, " +
         "CASE WHEN ((doc_id % 1000003) * 16807) % 2147483647 % 100 < 90 THEN 'train' " +
