@@ -37,7 +37,7 @@ object ScaleCheck {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
-      "dedup,sim,text,window,width,cluster,recall,containment,span").split(",").toSet
+      "dedup,sim,text,window,width,cluster,recall,containment,span,kmeans").split(",").toSet
     // Per-section scale-tier overrides (round 9): the width/sim curves
     // extend one octave per round and re-running the recorded lower tiers
     // every time wastes the wall-clock budget — an override like
@@ -374,6 +374,37 @@ object ScaleCheck {
         println(s"""{"metric":"scale_check_cluster","scale":$scale,""" +
           s""""cluster_sec":${f2(t)},"rounds":$rounds,"max_cluster":$maxCluster,""" +
           s""""log2_bound":$bound,"rounds_ok":${rounds <= bound}}""")
+        graft.llm.DedupOps.clearCaches()
+      }
+    }
+
+    if (sections("kmeans")) {
+      // ---- round 11: Lloyd cost model check. Per iteration the work is
+      // ONE corpus pass (argmin against k literal centroids) + a k-group
+      // aggregate, so wall-clock per ITERATION should grow ~linearly with
+      // the corpus and the iteration count is fixed — kmeans_sec/scale
+      // should be ~flat. Also pins that the cell histogram stays
+      // non-degenerate as replicas multiply (rotated replicas add new
+      // directions; a collapsed clustering would funnel them into one
+      // cell).
+      graft.llm.SimilarityOps.llmClusterKmeans(spark, base).count() // warm
+      graft.llm.SimilarityOps.clearCaches()
+      graft.llm.DedupOps.clearCaches()
+      simScales.foreach { scale =>
+        val dir = embDir(scale, "kmeans_emb")
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        var cells = 0L
+        var maxShare = 0.0
+        val t = time {
+          val out = graft.llm.SimilarityOps.llmClusterKmeans(spark, dir)
+            .collect()
+          cells = out.length.toLong
+          maxShare = out.map(_.getLong(1)).max.toDouble / n
+        }
+        println(s"""{"metric":"scale_check_kmeans","scale":$scale,""" +
+          s""""vecs":$n,"kmeans_sec":${f2(t)},"sec_per_scale":${f2(t / scale)},""" +
+          s""""cells":$cells,"max_cell_share":${f2(maxShare)}}""")
+        graft.llm.SimilarityOps.clearCaches()
         graft.llm.DedupOps.clearCaches()
       }
     }
