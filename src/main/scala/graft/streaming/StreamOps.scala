@@ -369,9 +369,10 @@ object StreamOps {
   /** Stage `drops` as mtime-ordered file drops under `base`/src and run the
     * sessionizer stream over them (one micro-batch per drop). Shared by the
     * registered operator and StreamingSpec's synthetic idle-user case. */
-  private[graft] def runSessionState(spark: SparkSession, drops: Seq[DataFrame],
-                                     base: String): DataFrame = {
-    import spark.implicits._
+  /** Stage each frame of `drops` as one mtime-ordered part-file under
+    * `base`/src, so `maxFilesPerTrigger=1` delivers exactly one
+    * micro-batch per drop in drop order. */
+  private def stageDrops(drops: Seq[DataFrame], base: String): Unit = {
     val now = System.currentTimeMillis()
     var stamped = Set.empty[String]
     drops.zipWithIndex.foreach { case (d, i) =>
@@ -384,6 +385,12 @@ object StreamOps {
       stamped = stamped ++
         stampDrop(s"$base/src", now - (drops.length - i).toLong * 60000, skip = stamped)
     }
+  }
+
+  private[graft] def runSessionState(spark: SparkSession, drops: Seq[DataFrame],
+                                     base: String): DataFrame = {
+    import spark.implicits._
+    stageDrops(drops, base)
     val name = uniq("stream_session_state")
     val ss = streamSession(spark, 4)
     val q = ss.readStream.schema(drops.head.schema)
@@ -438,6 +445,51 @@ object StreamOps {
     runSessionState(spark, Seq(
       ev.filter(col("ts_us") < unix_micros(to_timestamp(lit(split)))),
       ev.filter(col("ts_us") >= unix_micros(to_timestamp(lit(split))))), base)
+  }
+
+  /** ENGINE-NATIVE streaming sessionization — the session_window aggregate
+    * run as a stream (the built-in complement of the custom-state
+    * [[streamSessionState]]): same two time-split drops, so sessions
+    * straddling the micro-batch boundary exercise the engine's session
+    * MERGE state (adjacent windows within gap coalesce across batches —
+    * the machinery flatMapGroupsWithState hand-rolls). Append mode emits a
+    * session only once its window can no longer grow: window end
+    * (last event + gap) at or below the final watermark (max event time −
+    * 1 h delay, ms floor — AvailableNow runs a closing no-data batch after
+    * the last data batch, so the final watermark reflects ALL drops; the
+    * batch-replay oracle applies exactly that rule). State per key is the
+    * open session windows within the watermark horizon — bounded, store-
+    * partitioned, the same scale contract as the custom-state op with
+    * zero user code. */
+  val streamSessionWindow: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val base = Scratch.dir("stream_session_window")
+    val split = "2024-01-16"
+    stageDrops(Seq(
+      ev.filter(col("ts") < lit(split)),
+      ev.filter(col("ts") >= lit(split))), base)
+    val name = uniq("stream_session_window")
+    val ss = streamSession(spark, 4)
+    val q = ss.readStream.schema(ev.select("user_id", "ts", "value").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .withWatermark("ts", sessionWmDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        round(col("sum_dec").cast("double"), 2).as("sum_value"))
+      .orderBy("user_id", "session_start")
   }
 
   /** Stream-stream interval join: views joined to the same user's purchases
@@ -663,6 +715,7 @@ object StreamOps {
     "stream_topk_windowed" -> streamTopkWindowed,
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_session_state" -> streamSessionState,
+    "stream_session_window" -> streamSessionWindow,
     "stream_stream_join" -> streamStreamJoin,
   )
 
@@ -716,6 +769,25 @@ object StreamOps {
     // strictly passed session_end + gap (ms floor and strict < mirror the
     // state store's timeout clock exactly). Only sessions still alive
     // within the watermark horizon stay unemitted.
+    // native session_window batch replay: same session construction as
+    // window_session_native, emitted iff the window end (last + gap)
+    // cleared the final ms-floored watermark (the engine's clock; the
+    // closing no-data batch makes the final watermark reflect all drops)
+    "stream_session_window" ->
+      ("WITH g AS (SELECT user_id, ts, value, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS ns " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g), " +
+        "a AS (SELECT user_id, min(ts) AS session_start, " +
+        "max(ts) + INTERVAL 30 MINUTE AS session_end, CAST(count(*) AS BIGINT) AS n_events, " +
+        "ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value " +
+        "FROM s GROUP BY user_id, sid), " +
+        "wm AS (SELECT (max(epoch_us(ts)) // 1000) - 3600000 AS wm_ms FROM events) " +
+        "SELECT user_id, session_start, session_end, n_events, sum_value FROM a, wm " +
+        "WHERE (epoch_us(session_end) // 1000) < wm_ms " +
+        "ORDER BY user_id, session_start"),
     "stream_session_state" ->
       ("WITH g AS (SELECT user_id, ts, event_id, value, " +
         "CASE WHEN lag(ts) OVER w IS NULL " +
