@@ -22,6 +22,8 @@ object Warmup {
     timed("simIndex") { DedupOps.simIndex(spark, sfDir).count() }
     timed("embIndex") { DedupOps.embIndex(spark, sfDir).count() }
     timed("gramIndex") { DedupOps.gramIndex(spark, sfDir).count() }
+    timed("gramSets") { DedupOps.gramSets(spark, sfDir).count() }
+    timed("rarePosting") { DedupOps.rarePosting(spark, sfDir).count() }
     timed("trainBloom") { DedupOps.trainBloom(spark, sfDir).count() }
     timed("ivfIndex") { SimilarityOps.ivfIndex(spark, sfDir)._1.count() }
     timed("unigramModel") { TextOps.unigramModel(spark, sfDir).count() }
