@@ -72,6 +72,7 @@ object DedupOps {
     gramIndexCache.clear()
     gramSetsCache.clear()
     rarePostingCache.clear()
+    spanPostingCache.clear()
     bloomCache.clear()
     gramTableCache.clear()
     embTableCache.clear()
@@ -1122,17 +1123,32 @@ object DedupOps {
     * DuckDB); NearDupSpec plants spliced spans and brute-checks
     * soundness. */
   val llmDedupSpan: QFn = (spark, sfDir) =>
-    spanPairs(Tables(spark, sfDir, "documents").select("doc_id", "text"))
+    spanPairsFromPosting(spanPosting(spark, sfDir))
 
-  /** Core of [[llmDedupSpan]] over any (doc_id, text) frame — NearDupSpec
-    * replays it on corpora with planted spliced spans. */
-  private[graft] def spanPairs(docs: DataFrame): DataFrame = {
+  /** Rare-fp winnow posting, persisted once per corpus — the same
+    * double-subtree fix as [[rarePosting]]: a self-join of an un-persisted
+    * posting would re-run the winnow explode and the df aggregate on BOTH
+    * sides per call. */
+  private val spanPostingCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def spanPosting(spark: SparkSession, sfDir: String): DataFrame =
+    spanPostingCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      tracked(rareSpanPosting(
+        Tables(spark, sfDir, "documents").select("doc_id", "text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  private def rareSpanPosting(docs: DataFrame): DataFrame = {
     val fps = docs
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .select(col("doc_id"), explode(expr("winnow_fps(t, 8, 16)")).as("fp"))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, 5)).select("fp")
-    val posting = fps.join(rare, Seq("fp"), "left_semi")
+    fps.join(rare, Seq("fp"), "left_semi")
+  }
+
+  private def spanPairsFromPosting(posting: DataFrame): DataFrame =
     posting
       .join(posting.withColumnRenamed("doc_id", "doc_b"), Seq("fp"))
       .filter(col("doc_id") < col("doc_b"))
@@ -1141,7 +1157,12 @@ object DedupOps {
       .filter(col("n_shared_fp") >= 2)
       .withColumn("est_span_chars", expr("n_shared_fp * 17 div 2"))
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** Core of [[llmDedupSpan]] over any (doc_id, text) frame — NearDupSpec
+    * replays it on corpora with planted spliced spans (uncached; spec
+    * corpora are synthetic one-shots). */
+  private[graft] def spanPairs(docs: DataFrame): DataFrame =
+    spanPairsFromPosting(rareSpanPosting(docs))
 
   private val spanTableCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
