@@ -464,14 +464,22 @@ object StreamOps {
   val streamSessionWindow: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
       .select(col("user_id"), col("ts"), col("value"))
-    val base = Scratch.dir("stream_session_window")
     val split = "2024-01-16"
-    stageDrops(Seq(
+    runSessionWindow(spark, Seq(
       ev.filter(col("ts") < lit(split)),
-      ev.filter(col("ts") >= lit(split))), base)
+      ev.filter(col("ts") >= lit(split))),
+      Scratch.dir("stream_session_window"))
+  }
+
+  /** Stage `drops` and run the native session_window stream over them —
+    * shared by the registered operator and StreamingSpec's planted
+    * cross-batch-merge case. */
+  private[graft] def runSessionWindow(spark: SparkSession, drops: Seq[DataFrame],
+                                      base: String): DataFrame = {
+    stageDrops(drops, base)
     val name = uniq("stream_session_window")
     val ss = streamSession(spark, 4)
-    val q = ss.readStream.schema(ev.select("user_id", "ts", "value").schema)
+    val q = ss.readStream.schema(drops.head.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
       .withWatermark("ts", sessionWmDelay)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))

@@ -58,6 +58,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == expected)
   }
 
+  test("native session_window merges sessions ACROSS the micro-batch boundary") {
+    // plant a session whose events split across the two drops inside one
+    // gap: the engine must MERGE the open window from batch 1 with batch
+    // 2's continuation into a single emitted session. A user whose drops
+    // never straddle closes normally; a far-future lone event drives the
+    // final watermark past both sessions so they emit.
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val drop1 = Seq(
+      (1L, ts("2024-01-15 23:40:00"), 1.0), // session A, part 1
+      (1L, ts("2024-01-15 23:55:00"), 2.0),
+      (2L, ts("2024-01-15 10:00:00"), 5.0)) // unrelated, closes in drop 1
+    val drop2 = Seq(
+      (1L, ts("2024-01-16 00:10:00"), 3.0), // session A, part 2 (15 min gap)
+      (9L, ts("2024-01-20 00:00:00"), 0.0)) // watermark driver
+    val base = graft.util.Scratch.dir("spec_session_window_merge")
+    val out = graft.streaming.StreamOps.runSessionWindow(spark,
+      Seq(drop1.toDF("user_id", "ts", "value"), drop2.toDF("user_id", "ts", "value")),
+      base).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    // user 1's straddling events MUST surface as ONE 3-event session
+    // spanning the boundary — two sessions (one per batch) means the
+    // merge never happened
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.length == 1, s"expected one merged session for user 1, got $u1")
+    assert(u1.head._2 == ts("2024-01-15 23:40:00") &&
+      u1.head._3 == ts("2024-01-16 00:40:00") && // last event + 30 min gap
+      u1.head._4 == 3L && u1.head._5 == 6.0, s"merged session wrong: ${u1.head}")
+    // user 2's session closed within batch 1 and emits unmerged
+    assert(out.count(_._1 == 2L) == 1)
+  }
+
   test("idle user's state flushes on EventTimeTimeout; a later event opens a fresh session") {
     import spark.implicits._
     def ev(uid: Long, hhmm: String, id: Long): (Long, java.sql.Timestamp, Long, Long, Double) = {
