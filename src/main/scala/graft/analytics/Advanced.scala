@@ -231,6 +231,49 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** LISTAGG/STRING_AGG export — the "one delimited cell per group" shape
+    * warehouse feeds and legacy report extracts demand (order-priority
+    * codes per status, alphabetized). Spark has no string_agg; the
+    * composition is collect_list → array_sort → array_join, which keeps
+    * the concat ORDER deterministic (an unsorted listagg is
+    * partition-order-dependent — the oracle would flap). collect_list's
+    * buffer is bounded by the group's DISTINCT value count here (the
+    * distinct folds in before aggregation), so the cell can't grow with
+    * fact rows — the guard a 100 TB listagg needs. */
+  val fnStringAggExport: QFn = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+    o.select("o_orderstatus", "o_orderpriority").distinct()
+      .groupBy("o_orderstatus")
+      .agg(array_join(array_sort(collect_list(col("o_orderpriority"))), "|")
+          .as("priorities"),
+        count(lit(1)).as("n_distinct"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Robust location/spread per segment: MEDIAN + MAD (median absolute
+    * deviation) — the outlier-immune twin of mean/stddev (one whale order
+    * moves a mean arbitrarily; it moves a median by at most one rank).
+    * Two-phase by construction (MAD needs the median first): a 5-row
+    * median frame broadcasts back onto the fact for the deviation pass —
+    * two fact scans, like the exact histogram, and the same remedy at
+    * 100 TB (approx quantiles or t-digest). Exact interpolated
+    * percentiles pair with DuckDB's quantile_cont (the
+    * agg_percentile_price precedent), deviations stay pure doubles. */
+  val aggMedianMad: QFn = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+    val cust = Tables(spark, sfDir, "customer")
+    val seg = o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+    val med = seg.groupBy("c_mktsegment")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    seg.join(broadcast(med), Seq("c_mktsegment"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(first(col("med")), 4).as("median_price"),
+        round(expr("percentile(abs(o_totalprice - med), 0.5)"), 4).as("mad"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Revenue-concentration (Gini) report per market segment — the
     * "how top-heavy is this segment" KPI behind whale dashboards:
     * G = 2·Σrᵢxᵢ / (n·Σxᵢ) − (n+1)/n over customers ranked ascending by
@@ -778,6 +821,8 @@ object Advanced {
     "agg_hll_mergeable" -> aggHllMergeable,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_gini_revenue" -> aggGiniRevenue,
+    "fn_string_agg_export" -> fnStringAggExport,
+    "agg_median_mad" -> aggMedianMad,
     "agg_heavy_hitters_cms" -> aggHeavyHittersCms,
     "window_rolling_avg" -> windowRollingAvg,
     "window_rolling_range" -> windowRollingRange,
@@ -796,6 +841,21 @@ object Advanced {
     .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "fn_string_agg_export" ->
+      ("SELECT o_orderstatus, string_agg(o_orderpriority, '|' ORDER BY o_orderpriority) " +
+        "AS priorities, CAST(count(*) AS BIGINT) AS n_distinct " +
+        "FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "agg_median_mad" ->
+      ("WITH seg AS (SELECT c_mktsegment, o_totalprice FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey), " +
+        "med AS (SELECT c_mktsegment, quantile_cont(o_totalprice, 0.5) AS med " +
+        "FROM seg GROUP BY 1) " +
+        "SELECT seg.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "ROUND(min(med), 4) AS median_price, " +
+        "ROUND(quantile_cont(abs(o_totalprice - med), 0.5), 4) AS mad " +
+        "FROM seg JOIN med ON seg.c_mktsegment = med.c_mktsegment " +
+        "GROUP BY 1 ORDER BY 1"),
     // exact decimal rank-sums; the single double division replays in DuckDB
     "agg_gini_revenue" ->
       ("WITH rev AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev " +
