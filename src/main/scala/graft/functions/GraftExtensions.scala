@@ -10,11 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * changes. Embedded callers (this repo's Verify/Bench/tests) get the same
   * registrations through [[GraftFunctions.ensure]] instead. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[VectorDot].getCanonicalName, name),
         builder))
     }
+    // count(DISTINCT <integral>) → bitmap_distinct (exact; see the rule's
+    // scope guards). Opt out per session with
+    // spark.graft.bitmapDistinct.enabled=false.
+    ext.injectOptimizerRule(_ => BitmapDistinctRewrite)
+  }
 }
