@@ -31,6 +31,48 @@ object Advanced {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy("o_orderpriority")
 
+  /** UNPIVOT — the INVERSE of [[aggPivotStatus]] and the missing half of
+    * the reshaping pair: the wide per-status count table melts back into
+    * long (priority, status, n) rows. Spark's native `unpivot` (the SQL
+    * `stack`) plans as an Expand — one pass, rows × |value columns|,
+    * no shuffle beyond what the wide input already had: the cheap
+    * direction of reshaping (pivot needs an aggregate; melt is a
+    * projection). Round-trip composition is the oracle's shape: pivot
+    * then unpivot must reproduce the plain GROUP BY counts. */
+  val fnUnpivotLong: QFn = (spark, sfDir) => {
+    val wide = Tables(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "o_orderstatus", "n_orders")
+      .filter(col("n_orders") > 0)
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  /** Ratio-to-report window — each status's share of its priority's
+    * revenue (the percent-of-total column every report adds): a window
+    * SUM over the group partition, then the row/total division. Numerator
+    * and denominator are the SAME exact decimal aggregate (partition sums
+    * of decimal), so the one double division replays identically in
+    * DuckDB — the Gini discipline applied to a window. The window
+    * partitions on the 5×3 aggregated report, never the fact table. */
+  val windowRatioShare: QFn = (spark, sfDir) => {
+    val rep = Tables(spark, sfDir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")
+    rep.select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("rev").cast("double"), 2).as("revenue"),
+        round(col("rev").cast("double") / sum(col("rev")).over(w).cast("double"), 6)
+          .as("share"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
   /** Explicit GROUPING SETS — the general form behind rollup/cube
     * (agg_rollup_sales/agg_cube_funnel): only the margins the dashboard
     * needs, still ONE multi-grouping hash aggregate, no union of scans.
@@ -823,6 +865,8 @@ object Advanced {
     "agg_gini_revenue" -> aggGiniRevenue,
     "fn_string_agg_export" -> fnStringAggExport,
     "agg_median_mad" -> aggMedianMad,
+    "fn_unpivot_long" -> fnUnpivotLong,
+    "window_ratio_share" -> windowRatioShare,
     "agg_heavy_hitters_cms" -> aggHeavyHittersCms,
     "window_rolling_avg" -> windowRollingAvg,
     "window_rolling_range" -> windowRollingRange,
@@ -841,6 +885,20 @@ object Advanced {
     .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // pivot→unpivot round trip ≡ the plain GROUP BY (zero-count cells
+    // introduced by the pivot are filtered back out)
+    "fn_unpivot_long" ->
+      ("SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders " +
+        "FROM orders GROUP BY 1, 2 HAVING count(*) > 0 ORDER BY 1, 2"),
+    "window_ratio_share" ->
+      ("WITH rep AS (SELECT o_orderpriority, o_orderstatus, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev " +
+        "FROM orders GROUP BY 1, 2) " +
+        "SELECT o_orderpriority, o_orderstatus, " +
+        "ROUND(CAST(rev AS DOUBLE), 2) AS revenue, " +
+        "ROUND(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER " +
+        "(PARTITION BY o_orderpriority) AS DOUBLE), 6) AS share " +
+        "FROM rep ORDER BY 1, 2"),
     "fn_string_agg_export" ->
       ("SELECT o_orderstatus, string_agg(o_orderpriority, '|' ORDER BY o_orderpriority) " +
         "AS priorities, CAST(count(*) AS BIGINT) AS n_distinct " +
