@@ -71,6 +71,37 @@ object Bucketing {
     * table, which is what the oracle checks. ZOrderSpec measures the
     * locality win (box rows live in a strict subset of files vs all files
     * under a round-robin layout). */
+  /** 1-D sort-on-write — the simpler sibling of [[sinkZorderCluster]] and
+    * the single most common lakehouse layout decision (Delta's OPTIMIZE
+    * ... ZORDER collapses to exactly this for one column; "liquid
+    * clustering" at one key): `repartitionByRange(date)` +
+    * `sortWithinPartitions(date)` makes every output file cover a
+    * disjoint date run, so parquet min/max footer stats let a date-range
+    * scan skip every non-overlapping file — data skipping bought at
+    * write time with zero read-side machinery. The range exchange samples
+    * boundaries, so files stay size-balanced even when dates skew (unlike
+    * partitionBy(day)'s one-dir-per-day smallfile spray — the layout trap
+    * this op exists to replace; at 100 TB the file count is chosen, not
+    * data-dependent). SortedRunsSpec measures the locality: the Q1 query
+    * touches a strict subset of sorted files vs nearly all round-robin
+    * files. Output = the read-back quarterly report (layout-invariant;
+    * full DuckDB oracle). */
+  val sinkSortedRuns: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir(s"sorted_runs_${graft.util.Scratch.pathTag(sfDir)}")
+    Tables(spark, sfDir, "orders")
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1996-04-01"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(28,4)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   val sinkZorderCluster: QFn = (spark, sfDir) => {
     val dir = Scratch.dir(s"zorder_${graft.util.Scratch.pathTag(sfDir)}")
     val o = Tables(spark, sfDir, "orders")
@@ -223,11 +254,19 @@ object Bucketing {
   val queries: Map[String, QFn] = Map(
     "sink_bucketed_colocated" -> sinkBucketedColocated,
     "sink_zorder_cluster" -> sinkZorderCluster,
+    "sink_sorted_runs" -> sinkSortedRuns,
     "sink_partitioned_bucketed" -> sinkPartitionedBucketed,
     "join_dpp_prune" -> joinDppPrune,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // layout-invariance: the sorted-run read-back must equal the raw slice
+    "sink_sorted_runs" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2) AS revenue " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+        "GROUP BY 1 ORDER BY 1"),
     "sink_bucketed_colocated" ->
       ("SELECT o_orderkey, o_orderstatus, count(*) AS n_lines, " +
         "ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty " +
