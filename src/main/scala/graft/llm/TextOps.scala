@@ -38,6 +38,8 @@ object TextOps {
     persistedFrames.clear()
     unigramCache.clear()
     bigramCache.clear()
+    perplexityScoredCache.clear()
+    bpeCache.clear()
   }
 
   private[graft] def unigramModel(spark: org.apache.spark.sql.SparkSession,
@@ -608,7 +610,25 @@ object TextOps {
     * both sides (CAST-to-double divisions, 0.7/0.3 double literals), so
     * the doubles entering ln are bit-identical and a 1-ulp ln divergence
     * cannot cross the shifted boundary. */
-  val llmPerplexityScore: QFn = (spark, sfDir) => {
+  val llmPerplexityScore: QFn = (spark, sfDir) =>
+    perplexityScored(spark, sfDir)
+      .select("doc_id", "n_scored", "nll_micro", "avg_nll")
+      .orderBy("doc_id")
+
+  /** Per-doc interpolated-bigram NLL scores, persisted once per corpus —
+    * the verifiedPairs policy applied to the scoring pipeline: both
+    * consumers (llm_perplexity_score emits it, llm_perplexity_buckets
+    * cuts terciles over it) previously re-derived the whole occurrence
+    * join per REFERENCE — the buckets op touched it twice per call (cut
+    * aggregate + bucket join), the round-11 bench's wandering
+    * perplexity_buckets row. */
+  private val perplexityScoredCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private[graft] def perplexityScored(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    perplexityScoredCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + sfDir, {
     val docs = Tables(spark, sfDir, "documents").withColumn("toks", tokens)
     val uni = unigramModel(spark, sfDir)
     val total = uni.agg(sum(col("cnt")).as("total_tokens"))
@@ -632,14 +652,16 @@ object TextOps {
       .select(col("doc_id"),
         floor(log(col("total_tokens").cast("double") / col("cnt")) * 1e6 + 0.5)
           .cast("long").as("first_q"))
-    firstNll.join(body, Seq("doc_id"), "left")
+    val m = firstNll.join(body, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (coalesce(col("n_pairs"), lit(0L)) + 1L).as("n_scored"),
         (coalesce(col("pair_micro"), lit(0L)) + col("first_q")).as("nll_micro"))
       .withColumn("avg_nll",
         round(col("nll_micro").cast("double") / col("n_scored") / 1e6, 4))
-      .orderBy("doc_id")
-  }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.synchronized { persistedFrames += m }
+    m
+  })
 
   /** CCNet-style head/middle/tail corpus split by LM perplexity — the
     * standard pretraining-data quality partition: documents bucket by
@@ -661,7 +683,7 @@ object TextOps {
     // data points sit ≥1 apart, so a 1e-9 cut difference can never change
     // membership — the comparison is engine-exact while the cut itself
     // stays an ordinary percentile.
-    val scored = llmPerplexityScore(spark, sfDir)
+    val scored = perplexityScored(spark, sfDir)
       .select(col("doc_id"), col("avg_nll"),
         expr("nll_micro * 1000 div n_scored").as("micro_tok"))
     val cuts = scored.agg(
