@@ -28,6 +28,7 @@ object Warmup {
     timed("trainBloom") { DedupOps.trainBloom(spark, sfDir).count() }
     timed("ivfIndex") { SimilarityOps.ivfIndex(spark, sfDir)._1.count() }
     timed("unigramModel") { TextOps.unigramModel(spark, sfDir).count() }
+    timed("perplexityScored") { TextOps.perplexityScored(spark, sfDir).count() }
     // round 6: the materialized (bucketed-table) indexes — without these,
     // whichever *_indexed consumer the map happens to run first would be
     // timed WITH its table build; after warmup every llm_*_index_build /
