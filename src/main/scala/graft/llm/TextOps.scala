@@ -157,119 +157,173 @@ object TextOps {
   /** BPE merge-rule induction (Sennrich et al. 2016) — training the
     * tokenizer itself as a pipeline step. The Spark shape matters more
     * than the loop: the ONLY corpus-scale pass is the word-frequency
-    * aggregate (at 100 TB, that one explode+count is the job); every
-    * merge iteration then runs on the VOCAB table (distinct words ×
-    * symbol arrays — thousands of rows regardless of corpus size), so
-    * training cost is O(corpus + merges·vocab), not O(merges·corpus).
-    * Per iteration: adjacent symbol pairs explode from each word
-    * (zip-of-shifted-slices), counts weight by word frequency
-    * (map-side-combined sum), the argmax pair collects as ONE row
-    * (ties → lexicographically smallest, so induction is deterministic
-    * and partitioning-invariant — counts are exact integer sums), and
-    * the merge applies as a left-to-right array fold (the standard BPE
-    * greedy application). Each round's vocab persists and the prior
-    * unpersists, so lineage stays one hop. Output = the learned merge
-    * table, the artifact a tokenizer ships. no_oracle (iterative);
-    * BpeSpec pins equality with a single-threaded reference
-    * implementation on the real corpus. */
+    * aggregate (at 100 TB, that one explode+count is the job). The
+    * merge induction itself runs on the COLLECTED word-frequency table:
+    * distinct words grow ~Heaps-law sublinearly in corpus size (58k at
+    * sf0.1; real web corpora land in the low millions after the same
+    * whitespace normalization), so the vocab fits any driver while the
+    * corpus never could — the same collect bound every production BPE
+    * trainer (sentencepiece, HF tokenizers) accepts. Per merge the
+    * trainer is INCREMENTAL (VERDICT r11 #2 — the previous shape ran
+    * one Spark job per merge, capping realistic merge counts): pair
+    * counts live in a hash map, a pair→words inverted index recounts
+    * only the words containing the chosen pair, and each affected word
+    * re-merges via the standard greedy left-to-right fold. Argmax ties
+    * break to the lexicographically smallest (l, r); counts are exact
+    * integer sums — induction is deterministic and, trivially now,
+    * partitioning-invariant. Cost: O(corpus) for the one distributed
+    * pass + O(touched pair occurrences) for ALL merges together, so
+    * 1000 merges cost barely more than 10 (the spec pins the sequence
+    * against a naive full-recount reference at the full merge count).
+    * Output = the learned merge table, the artifact a tokenizer ships.
+    * no_oracle (iterative); BpeSpec pins equality with a
+    * single-threaded reference implementation on the real corpus. */
   val llmBpeTrain: QFn = (spark, sfDir) => {
     import spark.implicits._
     bpeMerges(spark, sfDir).toDF("step", "merge_left", "merge_right", "pair_count")
   }
 
-  /** The learned merge table, once per (session, sfDir) — consumed by
-    * [[llmBpeTrain]] (emits it) and [[llmBpeApply]] (applies it), same
-    * share-the-model pattern as unigramModel/bigramModel. */
+  /** Trained BPE artifacts: the merge table plus each vocab word's final
+    * subword count — the trainer's end-state symbol arrays ARE the fully
+    * encoded vocab, so the encode side gets its dictionary for free. */
+  private[graft] case class BpeModel(
+      merges: Seq[(Int, String, String, Long)],
+      wordCost: Seq[(String, Int)])
+
+  /** The learned model, once per (session, sfDir) — consumed by
+    * [[llmBpeTrain]] (emits the merge table) and [[llmBpeApply]]
+    * (broadcasts the word-cost dictionary), same share-the-model
+    * pattern as unigramModel/bigramModel. */
   private val bpeCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
-  private[graft] def bpeMerges(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): Seq[(Int, String, String, Long)] =
+    scala.collection.concurrent.TrieMap.empty[String, BpeModel]
+  private[graft] def bpeModel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): BpeModel =
     bpeCache.getOrElseUpdate(
       spark.sparkContext.applicationId + "|" + sfDir, trainBpe(spark, sfDir))
+  private[graft] def bpeMerges(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[(Int, String, String, Long)] =
+    bpeModel(spark, sfDir).merges
+
+  private[graft] val bpeNumMerges = 1000
 
   private def trainBpe(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): Seq[(Int, String, String, Long)] = {
-    val nMerges = 10
-    var vocab = Tables(spark, sfDir, "documents")
+      sfDir: String): BpeModel = {
+    import scala.collection.mutable
+    // The one corpus-scale pass: word frequencies (map-side-combined).
+    // Sorted by word for a deterministic collected layout; the merge
+    // sequence itself depends only on the exact counts, not the order.
+    val words: Array[(String, Long)] = Tables(spark, sfDir, "documents")
       .select(explode(tokens).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      // split(w, '') under limit −1 can emit a trailing '' — drop empties
-      // so symbols are exactly the characters
-      .select(col("cnt"), expr("filter(split(w, ''), s -> s <> '')").as("syms"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var prev: org.apache.spark.sql.DataFrame = null
-    var step = 1
-    var exhausted = false
-    while (step <= nMerges && !exhausted) {
-      // this pair-count job is also what materializes `vocab` into its
-      // cache — so the PREVIOUS round's frame can be released right after,
-      // with no extra count() job per round (one job per merge, not two)
-      val top = vocab.select(col("cnt"), explode(expr(
-        "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1), " +
-          "(a, b) -> struct(a AS l, b AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (prev != null) prev.unpersist()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, n) =
-          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((step, l, r, n))
-        val merged = vocab.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(element_at(acc, -1), x))))
-              .otherwise(concat(acc, array(x)))))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        prev = vocab
-        vocab = merged
-        step += 1
+      .orderBy("w")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = words.length
+    val freq = words.map(_._2)
+    val syms: Array[mutable.ArrayBuffer[String]] = words.map { case (w, _) =>
+      val b = new mutable.ArrayBuffer[String](w.length)
+      w.foreach(c => b += c.toString)
+      b
+    }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // pair → ids of words that contained it at some point; entries go
+    // stale after merges rewrite a word (never removed), which is safe:
+    // a stale id just fails the adjacency pre-check below and is skipped.
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addPairs(i: Int, sign: Long): Unit = {
+      val s = syms(i); var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freq(i)
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
       }
     }
-    if (prev != null) prev.unpersist()
-    vocab.unpersist()
-    merges.toSeq
+    var i = 0
+    while (i < n) { addPairs(i, 1L); i += 1 }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= bpeNumMerges && counts.nonEmpty) {
+      // argmax by (count desc, l asc, r asc) — a linear scan of the live
+      // pair map (tens of thousands of entries; trivially cheap per step)
+      var bl: String = null; var br: String = null; var bn = -1L
+      counts.foreach { case ((l, r), c) =>
+        if (c > bn || (c == bn && (l < bl || (l == bl && r < br)))) {
+          bl = l; br = r; bn = c
+        }
+      }
+      merges += ((step, bl, br, bn))
+      val ids = where.getOrElse((bl, br), mutable.Set.empty).toArray
+      java.util.Arrays.sort(ids)
+      var k = 0
+      while (k < ids.length) {
+        val id = ids(k)
+        val s = syms(id)
+        // adjacency pre-check: stale index entries (word rewritten since)
+        // must not pay the subtract/re-add cycle
+        var has = false; var j = 0
+        while (!has && j < s.length - 1) {
+          if (s(j) == bl && s(j + 1) == br) has = true
+          j += 1
+        }
+        if (has) {
+          addPairs(id, -1L)
+          // greedy left-to-right fold — EXACTLY the reference semantics:
+          // merge when the accumulated tail is the raw l and the next
+          // symbol is r ("aaa" under (a,a) → [aa, a], not [a, aa])
+          val acc = new mutable.ArrayBuffer[String](s.length)
+          s.foreach { x =>
+            if (acc.nonEmpty && acc.last == bl && x == br)
+              acc(acc.length - 1) = bl + br
+            else acc += x
+          }
+          syms(id) = acc
+          addPairs(id, 1L)
+        }
+        k += 1
+      }
+      // the fold leaves no (l, r) adjacency behind (l+r ≠ l since r is
+      // non-empty), so the pair's count is provably 0 now — but a LATER
+      // merge can recreate it, so only the index entry is dropped
+      where.remove((bl, br))
+      step += 1
+    }
+    BpeModel(merges.toSeq,
+      words.indices.map(i => (words(i)._1, syms(i).length)))
   }
 
   /** Apply the learned BPE merges — the tokenizer's ENCODE side, closing
     * the train→apply pair: per document, the subword count and the
     * chars-per-token compression the tokenizer achieves. The Spark shape
-    * is the dictionary-encode idiom: merges fold over the DISTINCT-WORD
-    * table only (a 10-deep chain of left-to-right array folds on
-    * vocab-sized data), and the per-word subword counts broadcast back
-    * onto the corpus through the token explode — the 100 TB corpus never
-    * re-tokenizes a word twice. Deterministic end to end (the merge
-    * table is deterministic, the fold is order-fixed); no_oracle
-    * (consumes the iterative model), BpeSpec applies the reference
-    * merges in-process and pins per-doc equality. */
+    * is the dictionary-encode idiom, now with the dictionary FREE: the
+    * trainer's end-state symbol arrays are the fully merged encoding of
+    * every vocab word, so the word→subword-count table ships straight
+    * out of the cached model as a broadcast (vocab-sized — the same
+    * Heaps-law bound the trainer's collect rides) and the per-word
+    * costs join back onto the corpus through the token explode. The
+    * 100 TB corpus never re-tokenizes a word twice, and no re-encode
+    * pass runs at ANY merge count (the previous shape folded one array
+    * lambda per merge — an expression tree linear in merges, untenable
+    * at the 1000-merge default). A production encoder meeting words
+    * outside the training vocab would mapPartitions-encode the misses;
+    * here train and apply share one corpus, so the dictionary is total.
+    * Deterministic end to end; no_oracle (consumes the iterative
+    * model), BpeSpec applies the reference merges in-process and pins
+    * per-doc equality at the full merge count. */
   val llmBpeApply: QFn = (spark, sfDir) => {
-    val merges = bpeMerges(spark, sfDir)
-    val charsCol = expr("filter(split(w, ''), s -> s <> '')")
-    val folded = merges.foldLeft(charsCol) { case (c, (_, l, r, _)) =>
-      aggregate(c, array().cast("array<string>"),
-        (acc, x) => when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(concat(element_at(acc, -1), x))))
-          .otherwise(concat(acc, array(x))))
-    }
+    import spark.implicits._
+    val model = bpeModel(spark, sfDir)
+    val wordCost = model.wordCost
+      .map { case (w, nSub) => (w, nSub, w.length) }
+      .toDF("w", "n_sub", "n_chars_w")
     val docs = Tables(spark, sfDir, "documents")
-    val wordCost = docs.select(explode(tokens).as("w"))
-      .filter(length(col("w")) > 0)
-      .distinct()
-      .select(col("w"), size(folded).as("n_sub"), length(col("w")).as("n_chars_w"))
     docs.select(col("doc_id"), explode(tokens).as("w"))
       .filter(length(col("w")) > 0)
       .join(broadcast(wordCost), Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
-        sum(col("n_sub")).as("n_bpe_tokens"),
+        sum(col("n_sub")).cast("long").as("n_bpe_tokens"),
         round(sum(col("n_chars_w")).cast("double") / sum(col("n_sub")), 4)
           .as("chars_per_token"))
       .orderBy("doc_id")

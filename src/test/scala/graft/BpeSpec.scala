@@ -55,7 +55,11 @@ class BpeSpec extends AnyFunSuite {
       .flatMap(_.getAs[String]("text").toLowerCase.trim.split("\\s+"))
       .filter(_.nonEmpty)
       .groupBy(identity).map { case (w, o) => w -> o.length.toLong }
-    val expected = refBpe(words, 10)
+    // full production merge count (VERDICT r11 #2): the naive
+    // full-recount reference here is the independent check on the
+    // incremental trainer — a stale-index or count-bookkeeping bug in
+    // the fast path shifts some later merge and breaks sequence equality
+    val expected = refBpe(words, graft.llm.TextOps.bpeNumMerges)
     val got = graft.llm.TextOps.llmBpeTrain(spark, sfDir)
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
@@ -74,16 +78,22 @@ class BpeSpec extends AnyFunSuite {
         r.getAs[String]("text").toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq)
     val words = docs.flatMap(_._2).groupBy(identity)
       .map { case (w, o) => w -> o.length.toLong }
-    val merges = refBpe(words, 10)
+    val merges = refBpe(words, graft.llm.TextOps.bpeNumMerges)
     def encode(w: String): Vector[String] = {
       var syms = w.map(_.toString).toVector
       merges.foreach { case (_, l, r, _) =>
-        var acc = Vector.empty[String]
-        syms.foreach { x =>
-          if (acc.nonEmpty && acc.last == l && x == r) acc = acc.init :+ (l + x)
-          else acc = acc :+ x
+        // adjacency of (l, r) in the symbol array requires l+r to be a
+        // substring of the raw word (symbols are contiguous slices), so
+        // skipping non-containing words is pure speedup, not semantics —
+        // needed now that the merge count is 1000, not 10
+        if (syms.length > 1 && w.contains(l + r)) {
+          var acc = Vector.empty[String]
+          syms.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == r) acc = acc.init :+ (l + x)
+            else acc = acc :+ x
+          }
+          syms = acc
         }
-        syms = acc
       }
       syms
     }
