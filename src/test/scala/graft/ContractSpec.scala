@@ -24,6 +24,7 @@ class ContractSpec extends AnyFunSuite {
       "agg_heavy_hitters_cms" -> "ApproxSpec",
       "agg_percentile_approx" -> "ApproxSpec",
       "agg_profile_approx" -> "ApproxSpec",
+      "agg_median_mad_approx" -> "ApproxSpec (<=1% vs exact twin)",
       "llm_dedup_minhash" -> "NearDupSpec",
       "llm_dedup_minhash_indexed" -> "NearDupSpec (byte-equality vs in-memory)",
       "llm_sig_index_build" -> "NearDupSpec (profile equality)",
@@ -180,7 +181,9 @@ class ContractSpec extends AnyFunSuite {
       ("agg_profile_approx", "agg_table_profile"),
       ("agg_hll_mergeable", "agg_distinct_users"),
       // round 11: stats-bounds single-scan histogram vs two-scan exact
-      ("agg_histogram_approx", "agg_histogram_prices"))
+      ("agg_histogram_approx", "agg_histogram_prices"),
+      // round 13: stats-median single-scan MAD vs two-scan exact
+      ("agg_median_mad_approx", "agg_median_mad"))
     def minOf3(name: String): Double = {
       val fn = SparkEntry.queries(name)
       // collect(), not count() (ADVICE r10): count() on an aggregate lets

@@ -578,6 +578,22 @@ class PlanSpec extends AnyFunSuite {
       s"exact histogram is the two-scan spelling by design:\n${plan(exact)}")
   }
 
+  test("stats-median MAD twin touches the orders parquet exactly once") {
+    // VERDICT r11 #5: same contract as the histogram pair — the exact
+    // median+MAD pays a second fact scan to learn the median before the
+    // deviation pass; the approx twin broadcasts the segment-stats
+    // artifact instead, so exactly ONE leaf may read the orders parquet.
+    def ordersScans(df: org.apache.spark.sql.DataFrame): Int =
+      "FileScan parquet [^\n]*orders\\.parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    val approx = graft.analytics.Advanced.aggMedianMadApprox(spark, sfDir)
+    assert(ordersScans(approx) == 1,
+      s"stats-median MAD twin must scan orders once:\n${plan(approx)}")
+    val exact = graft.analytics.Advanced.aggMedianMad(spark, sfDir)
+    assert(ordersScans(exact) == 2,
+      s"exact median+MAD is the two-scan spelling by design:\n${plan(exact)}")
+  }
+
   test("dynamic partition pruning: a filtered dim prunes the fact's partitions at runtime") {
     // Static pruning (test above) handles literal predicates; a star-schema
     // query filters the DIMENSION and the partition keys only emerge at
