@@ -317,7 +317,7 @@ object Queries {
     * greatest(…, 1e-12) floor keeps a degenerate hi == lo corpus from
     * dividing by zero (every row then lands in bin 0 at bin_lo = lo on
     * both engines, instead of riding NaN-ordering coincidences). */
-  private def histogramFromBounds(o: DataFrame, bounds: DataFrame): DataFrame =
+  private[graft] def histogramFromBounds(o: DataFrame, bounds: DataFrame): DataFrame =
     o.crossJoin(broadcast(bounds))
       .select(least(floor((col("o_totalprice") - col("lo")) /
           greatest((col("hi") - col("lo")) / 20.0, lit(1e-12))), lit(19.0))

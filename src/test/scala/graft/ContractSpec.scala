@@ -1,6 +1,14 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.Tag
+
+/** Wall-clock-sensitive tests (VERDICT r11 #6): a loaded machine can
+  * invert a warm twin-timing ratio on pure scheduling noise, so these
+  * are excludable with `testOnly * -- -l graft.NoisyHost` without
+  * touching the functional surface. Everything else in CI is
+  * timing-free and must stay green on any host. */
+object NoisyHost extends Tag("graft.NoisyHost")
 
 /** Driver-contract sanity: oracle keys ⊆ query keys, flagship entry
   * returns rows, positional-bind trap behaves as documented. */
@@ -163,7 +171,8 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("approx twins are not slower than their exact twins (warm, back-to-back)") {
+  test("approx twins are not slower than their exact twins (warm, back-to-back)",
+      NoisyHost) {
     // VERDICT r9 #7: the round-9 band showed agg_profile_approx ABOVE its
     // exact twin — chased manually to run-order JIT, not a real inversion.
     // This test retires that chase into CI: each approx/exact pair runs

@@ -145,4 +145,53 @@ class DeterminismSpec extends AnyFunSuite {
     assert(flips.isEmpty,
       s"grid boundary within 1 ulp of an interpolated ln: ${flips.take(5).toSeq}")
   }
+
+  test("histogram binning survives adversarial bounds (VERDICT r11 #3)") {
+    // Walks the shared histogramFromBounds tail (both twins ride it)
+    // through the bounds a real corpus will eventually produce:
+    //   (a) degenerate hi == lo — the greatest(…, 1e-12) floor must land
+    //       every row in bin 0 at bin_lo = lo, not ride NaN/Inf ordering;
+    //   (b) values EXACTLY on bin edges with a width whose /20 is not a
+    //       representable double — floor() must stay in [0, 19] and the
+    //       per-bin counts must be invariant to input partitioning (the
+    //       arithmetic is per-row IEEE, so any partitioning dependence
+    //       here means a nondeterministic expression crept into the tail);
+    //   (c) the max row clamps into bin 19 (least(…, 19)), never bin 20.
+    // Cross-engine bit-identity on REAL corpora is the driver oracle's
+    // job (green at all three tiers); this pin covers the corners no
+    // corpus tier happens to exercise.
+    import spark.implicits._
+    def hist(vals: Seq[Double], parts: Int): Seq[(Int, Double, Long)] = {
+      val o = spark.createDataset(vals).repartition(parts)
+        .toDF("o_totalprice")
+      val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      graft.analytics.Queries.histogramFromBounds(o, bounds)
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+    }
+    // (a) degenerate: all rows identical
+    val degen = hist(Seq.fill(37)(123.456), 5)
+    assert(degen == Seq((0, 123.456, 37L)),
+      s"degenerate bounds must collapse to bin 0 at bin_lo = lo: $degen")
+    // (b)+(c): edges of a non-representable width (0.7/20 is inexact) plus
+    // values straddling each edge by 1 ulp
+    val lo = 0.1; val hi = 0.8
+    val edges = (0 to 20).map(k => lo + k * (hi - lo) / 20.0)
+    val adversarial = edges ++ edges.map(Math.nextUp) ++
+      edges.map(Math.nextDown) ++ Seq(lo, hi)
+    val inRange = adversarial.filter(v => v >= lo && v <= hi)
+    val h1 = hist(inRange, 3)
+    val h13 = hist(inRange, 13)
+    assert(h1 == h13, s"binning moved under repartitioning:\n$h1\n$h13")
+    assert(h1.map(_._1).forall(b => b >= 0 && b <= 19), s"bin out of range: $h1")
+    assert(h1.map(_._3).sum == inRange.length,
+      s"rows lost/duplicated across bins: $h1")
+    assert(h1.exists { case (b, _, n) => b == 19 && n >= 1 },
+      s"max row must clamp into bin 19: $h1")
+    // bin_lo must be the bit-exact lo + bin*(hi-lo)/20 replay
+    h1.foreach { case (b, blo, _) =>
+      assert(blo == lo + b * (hi - lo) / 20.0,
+        s"bin_lo drifted from the closed form at bin $b: $blo")
+    }
+  }
 }
