@@ -51,9 +51,17 @@ object ScaleCheck {
     val dedupScales = scalesEnv("SPARK_GRAFT_DEDUP_SCALES", Seq(1, 2, 4, 8))
     val simScales = scalesEnv("SPARK_GRAFT_SIM_SCALES", Seq(1, 2, 4, 8))
     val widthScales = scalesEnv("SPARK_GRAFT_WIDTH_SCALES", Seq(8, 32, 64))
+    // Shuffle parallelism decoupled from the thread count (round 13): at
+    // the ×64 pipeline tier the verification join shuffles ~100 GB of
+    // shingle arrays — 32 partitions means ~3 GB each, past the in-memory
+    // sort budget, and the stage spills. On a real cluster shuffle
+    // partitions follow data volume (or AQE's advisory size splits them);
+    // the override lets a big-tier run express exactly that without
+    // changing the plan.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -134,6 +142,50 @@ object ScaleCheck {
         println(s"""{"metric":"scale_check","scale":$scale,"index_sec":${f2(tIndex)},""" +
           timed.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",") + "}")
         // release this scale's persisted indexes before the next one
+        graft.llm.DedupOps.clearCaches()
+      }
+    }
+
+    if (sections("pipeline64")) {
+      // ---- round 13 (VERDICT r11 #9): the END-TO-END corpus funnel one
+      // octave past where its member families were proven individually
+      // (dedup section runs the same op at ×1-8). The claim under test:
+      // the composite stays linear when the shared-index funnel runs at
+      // ×64 (320k docs) — each stage is semi/anti joins on doc_id plus
+      // the verified-pair index build, so pipeline_sec should track
+      // index_sec, and the per-stage survivor counts expose a broken
+      // blocking bound as a survivor anomaly (e.g. neardup dropping a
+      // superlinear share), not just a time bump.
+      val pipelineScales = scalesEnv("SPARK_GRAFT_PIPELINE_SCALES", Seq(8, 64))
+      graft.llm.DedupOps.llmPipelineCleanCorpus(spark, base).count() // JIT, untimed
+      graft.llm.DedupOps.clearCaches()
+      pipelineScales.foreach { scale =>
+        val dir = docsDir(scale, "pipeline")
+        val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+        // the one expensive shared index the funnel rides (stage 3
+        // consumes the exact-verified near-dup pair set)
+        val tIndex = time {
+          graft.llm.DedupOps.verifiedPairs(spark, dir).count()
+        }
+        var stages: Array[(Int, String, Long)] = null
+        val t = time {
+          stages = graft.llm.DedupOps.llmPipelineCleanCorpus(spark, dir)
+            .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        }
+        // attribution counters, AFTER the timed blocks (sigIndex is
+        // already cached, so these re-run only the banding join / read
+        // the persisted pair frame): candidate and verified pair counts
+        // decompose any index_sec growth into "more pairs" (banding
+        // collisions — a design problem) vs "same pairs, slower"
+        // (constant-factor/memory pressure — a capacity problem)
+        val nCand = graft.llm.DedupOps.minhashCandidates(spark, dir).count()
+        val nVerified = graft.llm.DedupOps.llmDedupNgramJaccard(spark, dir).count()
+        println(s"""{"metric":"scale_check_pipeline","scale":$scale,""" +
+          s""""docs":$nDocs,"index_sec":${f2(tIndex)},"pipeline_sec":${f2(t)},""" +
+          s""""cand_pairs":$nCand,"verified_pairs":$nVerified,""" +
+          s""""stages":{""" +
+          stages.sortBy(_._1).map { case (_, n, c) => s""""$n":$c""" }
+            .mkString(",") + "}}")
         graft.llm.DedupOps.clearCaches()
       }
     }

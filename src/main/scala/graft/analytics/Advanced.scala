@@ -317,6 +317,26 @@ object Advanced {
       .orderBy("c_mktsegment")
   }
 
+  /** Per-flag least-squares fit of extended price on quantity — the
+    * trend-line behind every scatter widget, as ONE mergeable aggregate
+    * pass (regr_* are moment sketches: sums/cross-sums combine map-side,
+    * so the shuffle carries 5 numbers per group at any corpus size — the
+    * same scale shape as agg_stats_moments, which pins corr/covar; this
+    * adds the fitted line and its R²). Rounds follow the stats-moments
+    * precedent: both engines accumulate doubles in different orders, so
+    * the contract is agreement at the rounded precision, which the full
+    * oracle hash-checks at all tiers. */
+  val aggRegressionFit: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)").as("n"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+          .as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+      .orderBy("l_returnflag")
+
   /** Per-segment median-price statistics, once per (session, sfDir) —
     * the ANALYZE-category artifact [[aggMedianMadApprox]] broadcasts.
     * Same cost class as the star catalog's column stats: one offline
@@ -915,6 +935,7 @@ object Advanced {
     "fn_string_agg_export" -> fnStringAggExport,
     "agg_median_mad" -> aggMedianMad,
     "agg_median_mad_approx" -> aggMedianMadApprox,
+    "agg_regression_fit" -> aggRegressionFit,
     "fn_unpivot_long" -> fnUnpivotLong,
     "window_ratio_share" -> windowRatioShare,
     "agg_heavy_hitters_cms" -> aggHeavyHittersCms,
@@ -954,6 +975,12 @@ object Advanced {
         "AS priorities, CAST(count(*) AS BIGINT) AS n_distinct " +
         "FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) " +
         "GROUP BY 1 ORDER BY 1"),
+    "agg_regression_fit" ->
+      ("SELECT l_returnflag, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n, " +
+        "ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope, " +
+        "ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept, " +
+        "ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2 " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "agg_median_mad" ->
       ("WITH seg AS (SELECT c_mktsegment, o_totalprice FROM orders " +
         "JOIN customer ON o_custkey = c_custkey), " +

@@ -410,6 +410,26 @@ object Queries {
     * BI queries are SQL text against the Data Catalog; here the catalog is
     * temp views and the engine is spark.sql — parser → analyzer → Catalyst,
     * same plan as the DataFrame form. */
+  /** LATERAL correlated subquery — the SQL-surface spelling of
+    * top-n-per-group (every BI tool's "top 3 orders per customer" drill):
+    * a per-row subquery with ORDER BY + LIMIT, the shape analysts write
+    * when they don't know window functions. Spark's decorrelator rewrites
+    * it — no per-customer subquery execution ever happens; the plan is
+    * the same single-shuffle ranked-window shape as window_topn_per_group
+    * (at 100 TB the difference between "runs the subquery n_customers
+    * times" and "one shuffle" is the whole feature). Same SQL text runs
+    * verbatim in DuckDB — full oracle. */
+  val joinLateralTopn: QFn = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
   val sqlAthenaStyle: QFn = (spark, sfDir) => {
     Tables.registerAll(spark, sfDir)
     spark.sql(
@@ -501,6 +521,7 @@ object Queries {
     "agg_cube_funnel" -> aggCubeFunnel,
     "agg_percentile_price" -> aggPercentilePrice,
     "sql_athena_style" -> sqlAthenaStyle,
+    "join_lateral_topn" -> joinLateralTopn,
     "agg_skew_salted" -> aggSkewSalted,
     "window_dedup_latest" -> windowDedupLatest,
     "window_funnel_order" -> windowFunnelOrder,
@@ -612,6 +633,13 @@ object Queries {
       ("SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS cnt " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
+    "join_lateral_topn" ->
+      ("SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice " +
+        "FROM customer c, " +
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t " +
+        "ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"),
     "sql_athena_style" ->
       ("SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_orders, " +
         "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue " +

@@ -302,7 +302,31 @@ object Temporal {
       .orderBy("c_mktsegment")
   }
 
+  /** Daily OHLC resample of the event value stream — the time-series
+    * downsampling every monitoring/finance dashboard runs (open/high/low/
+    * close + volume per calendar day). ONE hash aggregate: open and close
+    * are min/max over (ts, event_id, value) structs — Spark orders
+    * structs lexicographically, so the whole-row min IS "value at the
+    * earliest (ts, event_id)" with a deterministic unique-key tie-break,
+    * no window sort, no second pass (the same whole-row-min idiom as
+    * agg_funnel_ordered). Output is calendar-bounded (one row per day),
+    * shuffle carries 2 structs + 2 doubles + a count per day — linear
+    * scan, constant state, any corpus size. DuckDB mirrors with
+    * min/max over struct_pack, so the full oracle hash-matches. */
+  val windowResampleOhlc: QFn = (spark, sfDir) => {
+    val key = struct(col("ts"), col("event_id"), col("value"))
+    Tables(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        min(key).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(key).getField("value").as("close"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "window_resample_ohlc" -> windowResampleOhlc,
     "agg_conversion_lag" -> aggConversionLag,
     "fn_date_gapfill" -> fnDateGapfill,
     "join_asof_purchase" -> joinAsofPurchase,
@@ -318,6 +342,12 @@ object Temporal {
     bands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "window_resample_ohlc" ->
+      ("SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events, " +
+        "(min({'t': ts, 'i': event_id, 'v': value})).v AS open, " +
+        "max(value) AS high, min(value) AS low, " +
+        "(max({'t': ts, 'i': event_id, 'v': value})).v AS close " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "agg_conversion_lag" ->
       ("WITH fv AS (SELECT user_id, min(ts) AS first_view FROM events " +
         "WHERE event_type = 'view' GROUP BY 1), " +

@@ -220,3 +220,36 @@ case class WinnowFps(first: Expression, second: Expression, third: Expression)
       newThird: Expression): WinnowFps =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** Unicode NFC normalization as a native expression — the first pass of
+  * any text-cleaning pipeline (visually identical strings must hash
+  * identically before ANY dedup/fingerprint stage, or "café" composed and
+  * decomposed count as two documents). Spark has no built-in normalizer;
+  * a Scala UDF would box every row on a corpus-scale linear pass. The
+  * fast path costs one `Normalizer.isNormalized` scan and returns the
+  * INPUT UTF8String unchanged (zero allocation) — real corpora are
+  * overwhelmingly already-NFC, so the only per-row cost is the check.
+  * Matches DuckDB's `nfc_normalize` (both implement Unicode TR#15 NFC),
+  * which is what lets llm_text_normalize carry a full cross-engine
+  * oracle. */
+case class NfcNormalize(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NfcNormalize =
+    copy(child = newChild)
+}

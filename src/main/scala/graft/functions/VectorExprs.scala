@@ -280,6 +280,10 @@ object GraftFunctions {
       require(exprs.length == 2, "minhash_sig(hashes, k) takes exactly 2 arguments")
       MinhashSig(exprs.head, exprs(1))
     },
+    "nfc_normalize" -> { exprs =>
+      require(exprs.length == 1, "nfc_normalize(text) takes exactly 1 argument")
+      NfcNormalize(exprs.head)
+    },
     "winnow_fps" -> { exprs =>
       require(exprs.length == 3, "winnow_fps(text, n, w) takes exactly 3 arguments")
       WinnowFps(exprs.head, exprs(1), exprs(2))

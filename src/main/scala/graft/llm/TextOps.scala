@@ -789,7 +789,80 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Canonical text normalization — the stage every corpus passes BEFORE
+    * dedup/fingerprinting (visually identical strings must byte-match or
+    * composed-vs-decomposed "café" counts as two documents and every
+    * hash-based stage downstream silently under-dedups): Unicode NFC (the
+    * native [[graft.functions.NfcNormalize]] expression — zero-allocation
+    * pass-through on already-NFC text), lowercase, control chars
+    * ([\x00-\x1f\x7f]) → space, space runs collapsed, ends trimmed.
+    * Stateless per-row — no shuffle, linear at any corpus size, and the
+    * whole chain is one projection over the scan. Full DuckDB oracle:
+    * both engines implement Unicode TR#15 NFC and RE2/Java agree on the
+    * explicit byte-class patterns (no \s dialect drift). */
+  val llmTextNormalize: QFn = (spark, sfDir) => {
+    val norm = trim(regexp_replace(regexp_replace(
+      lower(expr("nfc_normalize(text)")),
+      "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), norm.as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** Curriculum ordering — easy→hard training order by document length
+    * terciles (the classic curriculum-learning schedule: short documents
+    * first, the length cutoffs learned from the corpus itself). The
+    * cutoffs are a 1-row exact-percentile aggregate broadcast onto the
+    * scan (the filter_last_3_months anchor pattern — no driver collect,
+    * no hardcoded lengths that rot as the corpus drifts), bucketing is
+    * stateless per-row arithmetic, and the curriculum IS the global sort
+    * by (bucket, n_tokens, doc_id) — a range-exchange sort, the same
+    * scale class as sort_global_export (and at 100 TB the writer
+    * consumes it as sorted shards, not a single file). Exact interpolated
+    * percentile pairs with DuckDB quantile_cont — full oracle. */
+  val llmCurriculumOrder: QFn = (spark, sfDir) => {
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+    val cuts = d.agg(
+      expr("percentile(n_tokens, 1.0/3)").as("c1"),
+      expr("percentile(n_tokens, 2.0/3)").as("c2"))
+    d.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") <= col("c1"), 0)
+          .when(col("n_tokens") <= col("c2"), 1)
+          .otherwise(2).as("bucket"))
+      .orderBy("bucket", "n_tokens", "doc_id")
+  }
+
+  /** Dataset card — the per-language fact sheet shipped next to every
+    * released corpus (docs, token/char volume, source diversity, length
+    * spread), with the ALL grand-total row from the same single pass
+    * (`rollup`, one multi-grouping hash aggregate — no second scan, no
+    * union of a separate total query). Everything the card states is a
+    * sum/count/min/max — exact at any scale, map-side combinable, output
+    * bounded by the language count. Full DuckDB oracle via ROLLUP. */
+  val llmDatasetCard: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(tokens).cast("long").as("n_tokens"))
+      .rollup(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("total_tokens"), col("total_chars"),
+        col("n_sources"), col("min_tokens"), col("max_tokens"))
+      .orderBy("lang")
+
   val queries: Map[String, QFn] = Map(
+    "llm_curriculum_order" -> llmCurriculumOrder,
+    "llm_dataset_card" -> llmDatasetCard,
+    "llm_text_normalize" -> llmTextNormalize,
     "llm_token_entropy" -> llmTokenEntropy,
     "llm_unigram_logprob" -> llmUnigramLogprob,
     "llm_perplexity_buckets" -> llmPerplexityBuckets,
@@ -880,6 +953,33 @@ object TextOps {
           "ROUND(CAST(SUM(CAST(avg_nll AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean_nll, " +
           "ROUND(min(avg_nll), 4) AS min_nll, ROUND(max(avg_nll), 4) AS max_nll " +
           "FROM m CROSS JOIN cuts GROUP BY 1 ORDER BY 1"),
+      "llm_curriculum_order" ->
+        ("WITH d AS (SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens " +
+          "FROM documents), " +
+          "c AS (SELECT quantile_cont(n_tokens, 1.0/3) AS c1, quantile_cont(n_tokens, 2.0/3) AS c2 FROM d) " +
+          "SELECT doc_id, n_tokens, CAST(CASE WHEN n_tokens <= c1 THEN 0 " +
+          "WHEN n_tokens <= c2 THEN 1 ELSE 2 END AS INT) AS bucket " +
+          "FROM d, c ORDER BY bucket, n_tokens, doc_id"),
+      "llm_dataset_card" ->
+        ("WITH d AS (SELECT lang, source, n_chars, " +
+          "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens " +
+          "FROM documents) " +
+          "SELECT coalesce(lang, 'ALL') AS lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+          "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+          "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
+          "min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens " +
+          "FROM d GROUP BY ROLLUP(lang) ORDER BY lang"),
+      // same chain, same explicit byte-class patterns (no \s dialect
+      // drift); DuckDB regexp_replace needs the 'g' flag Spark implies
+      "llm_text_normalize" ->
+        ("SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+          "lower(nfc_normalize(text)), '[\\x00-\\x1f\\x7f]', ' ', 'g'), " +
+          "' +', ' ', 'g')) AS norm_text, " +
+          "CAST(length(trim(regexp_replace(regexp_replace(" +
+          "lower(nfc_normalize(text)), '[\\x00-\\x1f\\x7f]', ' ', 'g'), " +
+          "' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm " +
+          "FROM documents ORDER BY doc_id"),
       "llm_pii_scrub" ->
         ("WITH d AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) || " +
           "'@example.com or +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' AS dirty " +

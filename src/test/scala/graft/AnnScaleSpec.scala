@@ -11,7 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * information-free at a 10% budget: no sublinear index can find
   * near-orthogonal "neighbors" without scanning everything, and the
   * small-tier policy correctly responds by probing wide (34% of 64
-  * buckets). So this spec builds the ×8 corpus the way ScaleCheck does
+  * buckets). The same planting model runs off-CI at the ScaleCheck
+  * tiers — recall 1.000 at ×16/×64 (7.3-9.0% of buckets, BASELINE.md
+  * round 11) and, as of round 13, at ×256 = 512k vectors scanning
+  * 3.8% of 2^16 buckets (the derived projBits grows with the corpus,
+  * so the scanned FRACTION falls as the budget formula promises).
+  * So this spec builds the ×8 corpus the way ScaleCheck does
   * (rotated replicas = direction-new vectors) and PLANTS 25 perturbed
   * copies of the query (cosine ≈ 0.99): the exact top-20 become the
   * planted neighbors, and the budget-derived radius must recover them

@@ -110,4 +110,24 @@ class TextHashSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"sig mismatch on '$s'")
     }
   }
+
+  test("nfc_normalize: decomposed unifies with composed; NFC text passes through") {
+    // the property llm_text_normalize exists for: composed U+00E9 and
+    // decomposed e + U+0301 must byte-match after normalization, or every
+    // hash-based dedup stage counts them as distinct documents
+    graft.tables.Tables(spark, sfDir, "region") // ensure function registration
+    val decomposed = "cafe\u0301" // e + combining acute accent
+    val composed = "caf\u00e9"    // precomposed e-acute
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS a, nfc_normalize('$composed') AS b, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS c, nfc_normalize('plain') AS d")
+      .collect().head
+    assert(r.getString(0) == composed, "decomposed must normalize to composed")
+    assert(r.getString(1) == composed, "already-NFC text must pass through unchanged")
+    assert(r.isNullAt(2), "null must propagate")
+    assert(r.getString(3) == "plain")
+    // and the java.text.Normalizer ground truth agrees
+    assert(java.text.Normalizer.normalize(decomposed,
+      java.text.Normalizer.Form.NFC) == composed)
+  }
 }

@@ -52,7 +52,8 @@ class VectorAvgSpec extends AnyFunSuite {
     val byName = graft.functions.GraftFunctions.builders.toMap
     assert(byName.keySet == Set("vector_dot", "vector_avg", "vector_sumq",
       "cms_estimate", "bloom_might_contain", "bloom_filter_agg",
-      "ngram_hashes", "minhash_sig", "bitmap_distinct", "winnow_fps"))
+      "ngram_hashes", "minhash_sig", "bitmap_distinct", "winnow_fps",
+      "nfc_normalize"))
     val lit = Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val bin = Literal.create(Array[Byte](1),
@@ -90,6 +91,9 @@ class VectorAvgSpec extends AnyFunSuite {
       .isInstanceOf[graft.functions.WinnowFps])
     intercept[IllegalArgumentException](byName("bitmap_distinct")(Seq(one, one)))
     intercept[IllegalArgumentException](byName("winnow_fps")(Seq(str, n)))
+    assert(byName("nfc_normalize")(Seq(str))
+      .isInstanceOf[graft.functions.NfcNormalize])
+    intercept[IllegalArgumentException](byName("nfc_normalize")(Seq(str, str)))
     // and the class itself applies cleanly to a fresh extensions object
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
