@@ -494,6 +494,20 @@ class PlanSpec extends AnyFunSuite {
       s"rank filter must push down as WindowGroupLimit:\n$p")
   }
 
+  test("LATERAL top-n decorrelates: no per-row subquery, one ranked window") {
+    // The whole point of join_lateral_topn's Scaladoc claim: Spark's
+    // decorrelator must rewrite the correlated LIMIT subquery into the
+    // same single-shuffle ranked-window shape as window_topn_per_group.
+    // A plan with a nested loop / correlated subquery execution node
+    // would run the subquery once per customer — the anti-pattern the
+    // rewrite exists to prevent.
+    val p = plan(graft.analytics.Queries.joinLateralTopn(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral LIMIT must decorrelate to a window group limit:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("LocalLimit(3)"),
+      s"decorrelation must remove the per-row subquery execution:\n$p")
+  }
+
   test("per-stratum exact-k samples with a partial WindowGroupLimit") {
     // Same discipline as the top-N test but for the sampling op: the
     // per-language rank filter must group-limit map-side so the exchange
