@@ -108,6 +108,27 @@ object Advanced {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Rolling MEDIAN-of-5 per customer — the robust rolling smoother
+    * (window_rolling_avg's mean jumps on one whale order; the median
+    * rides through it, which is why monitoring smooths latencies with
+    * rolling percentiles, not means). An aggregate-as-window over a
+    * 5-row frame: per-row cost is the O(frame) percentile buffer —
+    * constant because the frame is — and the shuffle is the same single
+    * customer-key exchange as every window op here (high-cardinality
+    * partitions, dimension-bounded). Exact interpolated percentile pairs
+    * with DuckDB's quantile_cont over the identical frame — full
+    * oracle. */
+  val windowRollingMedian: QFn = (spark, sfDir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-4, 0)
+    Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(expr("percentile(o_totalprice, 0.5)").over(w), 4)
+          .as("med_5"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Time-RANGE rolling aggregate — the frame the row-count frames
     * (rowsBetween, [[windowRollingAvg]]) cannot express: "activity in the
     * trailing 7 DAYS" is a value-range bound, so gaps and bursts in the
@@ -940,6 +961,7 @@ object Advanced {
     "window_ratio_share" -> windowRatioShare,
     "agg_heavy_hitters_cms" -> aggHeavyHittersCms,
     "window_rolling_avg" -> windowRollingAvg,
+    "window_rolling_median" -> windowRollingMedian,
     "window_rolling_range" -> windowRollingRange,
     "window_lag_lead_delta" -> windowLagLeadDelta,
     "join_skew_salted" -> joinSkewSalted,
@@ -975,6 +997,12 @@ object Advanced {
         "AS priorities, CAST(count(*) AS BIGINT) AS n_distinct " +
         "FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) " +
         "GROUP BY 1 ORDER BY 1"),
+    "window_rolling_median" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "ROUND(quantile_cont(o_totalprice, 0.5) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med_5 " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
     "agg_regression_fit" ->
       ("SELECT l_returnflag, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n, " +
         "ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope, " +

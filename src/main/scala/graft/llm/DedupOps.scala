@@ -136,6 +136,22 @@ object DedupOps {
 
   /** Exact dedup: group by normalized-text hash, keep the lowest doc_id
     * (sha2-256 collision-free at any realistic corpus size). */
+  /** Exact dedup keyed on the CANONICALIZED text (TextOps.normalizedText
+    * — NFC + lowercase + control-strip + whitespace collapse, one shared
+    * definition so the key cannot drift from llm_text_normalize): the
+    * production composition of the normalize stage with exact dedup.
+    * llm_dedup_exact's lower/trim key treats composed-vs-decomposed
+    * Unicode and whitespace-variant re-crawls as distinct documents —
+    * this operator is why the normalize stage exists. Same plan shape:
+    * one hash shuffle on the 256-bit digest, map-side combined. */
+  val llmDedupExactNormalized: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "documents")
+      .withColumn("h", sha2(graft.llm.TextOps.normalizedText, 256))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+
   val llmDedupExact: QFn = (spark, sfDir) =>
     Tables(spark, sfDir, "documents")
       .withColumn("h", sha2(lower(trim(col("text"))), 256))
@@ -1276,6 +1292,7 @@ object DedupOps {
     "llm_decontaminate" -> llmDecontaminate,
     "llm_decontaminate_bloom" -> llmDecontaminateBloom,
     "llm_dedup_exact" -> llmDedupExact,
+    "llm_dedup_exact_normalized" -> llmDedupExactNormalized,
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_dedup_ngram_jaccard" -> llmDedupNgramJaccard,
     "llm_dedup_simhash" -> llmDedupSimhash,
@@ -1327,6 +1344,10 @@ object DedupOps {
     // must be result-invisible, so it shares the oracle verbatim.
     "llm_dedup_containment" -> containmentOracleSql,
     "llm_dedup_containment_indexed" -> containmentOracleSql,
+    "llm_dedup_exact_normalized" ->
+      ("SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents " +
+        "GROUP BY trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)), " +
+        "'[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) ORDER BY 1"),
     "llm_dedup_exact" ->
       ("SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY lower(trim(text)) ORDER BY 1"),

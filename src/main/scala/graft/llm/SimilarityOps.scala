@@ -379,6 +379,23 @@ object SimilarityOps {
     * vector (a real corpus has them: failed encodes) gets scale 0 and
     * zeros everywhere — unguarded, 127/0 = Inf and the ANSI BIGINT cast of
     * round(0·Inf) = NaN kills the whole job. */
+  /** Embedding hygiene — the norm gate an embedding pipeline runs before
+    * any similarity stage (a zero vector makes cosine undefined; an
+    * un-normalized batch from a mis-configured encoder poisons every
+    * dot-product ranking downstream): per-vector L2 norm via the native
+    * codegen'd vector_dot (one pass, no HOF boxing) + the keep flag for
+    * the 0.5-2.0 sanity band. Stateless per-row — no shuffle, linear at
+    * any corpus size. Float→double widening is exact and both engines
+    * sum in array order, so the full oracle hash-matches the rounded
+    * norms. */
+  val llmEmbeddingNormFilter: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "embeddings")
+      .withColumn("l2_norm", round(sqrt(expr("vector_dot(embedding, embedding)")), 4))
+      .select(col("vec_id"), col("label"), col("l2_norm"),
+        (col("l2_norm").between(0.5, 2.0) && !isnan(col("l2_norm")))
+          .as("keep"))
+      .orderBy("vec_id")
+
   val llmEmbeddingQuantize: QFn = (spark, sfDir) => {
     Tables(spark, sfDir, "embeddings")
       .withColumn("max_abs",
@@ -483,6 +500,7 @@ object SimilarityOps {
   val queries: Map[String, QFn] = Map(
     "llm_cluster_kmeans" -> llmClusterKmeans,
     "llm_embedding_quantize" -> llmEmbeddingQuantize,
+    "llm_embedding_norm_filter" -> llmEmbeddingNormFilter,
     "llm_embedding_centroid" -> llmEmbeddingCentroid,
     "llm_knn_classify" -> llmKnnClassify,
     "llm_similarity_topk" -> llmSimilarityTopk,
@@ -498,6 +516,13 @@ object SimilarityOps {
       "sqrt(list_sum(list_transform(CAST(qv AS DOUBLE[]), x -> x * x)))), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    "llm_embedding_norm_filter" ->
+      ("WITH n AS (SELECT vec_id, label, " +
+        "ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm " +
+        "FROM embeddings) " +
+        "SELECT vec_id, label, l2_norm, " +
+        "(l2_norm BETWEEN 0.5 AND 2.0 AND NOT isnan(l2_norm)) AS keep " +
+        "FROM n ORDER BY vec_id"),
     "llm_embedding_quantize" ->
       ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "m AS (SELECT vec_id, label, emb, list_max(list_transform(emb, x -> abs(x))) AS max_abs FROM e), " +

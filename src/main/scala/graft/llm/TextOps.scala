@@ -800,12 +800,18 @@ object TextOps {
     * whole chain is one projection over the scan. Full DuckDB oracle:
     * both engines implement Unicode TR#15 NFC and RE2/Java agree on the
     * explicit byte-class patterns (no \s dialect drift). */
-  val llmTextNormalize: QFn = (spark, sfDir) => {
-    val norm = trim(regexp_replace(regexp_replace(
+  /** The canonical normalization chain, shared verbatim by
+    * [[llmTextNormalize]] (which emits it) and DedupOps'
+    * llm_dedup_exact_normalized (which keys on it) — one definition so
+    * the dedup key cannot drift from the normalize operator. */
+  private[graft] def normalizedText: Column =
+    trim(regexp_replace(regexp_replace(
       lower(expr("nfc_normalize(text)")),
       "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+
+  val llmTextNormalize: QFn = (spark, sfDir) => {
     Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), norm.as("norm_text"))
+      .select(col("doc_id"), normalizedText.as("norm_text"))
       .select(col("doc_id"), col("norm_text"),
         length(col("norm_text")).cast("long").as("n_chars_norm"))
       .orderBy("doc_id")
