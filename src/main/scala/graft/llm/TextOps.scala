@@ -827,7 +827,11 @@ object TextOps {
     * by (bucket, n_tokens, doc_id) — a range-exchange sort, the same
     * scale class as sort_global_export (and at 100 TB the writer
     * consumes it as sorted shards, not a single file). Exact interpolated
-    * percentile pairs with DuckDB quantile_cont — full oracle. */
+    * percentile pairs with DuckDB quantile_cont — full oracle; at 100 TB
+    * swap the cutoff aggregate for percentile_approx (the
+    * agg_percentile_price precedent — exact percentile buffers its
+    * partition's values, the sketch is constant-state) and the oracle
+    * drops to rows-only, nothing else changes. */
   val llmCurriculumOrder: QFn = (spark, sfDir) => {
     val d = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
