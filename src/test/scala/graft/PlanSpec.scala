@@ -494,6 +494,38 @@ class PlanSpec extends AnyFunSuite {
       s"rank filter must push down as WindowGroupLimit:\n$p")
   }
 
+  test("OHLC resample is one hash aggregate — no window, no sort before the agg") {
+    // The whole-row struct min/max idiom exists to avoid the
+    // sort-per-partition a window spelling (first_value OVER day ORDER BY
+    // ts) would pay; if a Window or a pre-aggregate Sort appears, the
+    // idiom regressed to the two-pass shape.
+    val df = graft.analytics.Temporal.windowResampleOhlc(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Window"), s"OHLC must not plan a window:\n$p")
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).size <= 2,
+      s"OHLC must be one partial+final aggregate pair:\n$p")
+  }
+
+  test("regression fit plans one aggregate pair with no Expand") {
+    // regr_* are moment sketches — if the plan grows an Expand (the
+    // grouping-sets/distinct shape) or a second aggregate, the 5-numbers-
+    // per-group shuffle claim is gone.
+    val p = plan(graft.analytics.Advanced.aggRegressionFit(spark, sfDir))
+    assert(!p.contains("Expand"), s"no Expand belongs in a moment sketch:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size <= 2,
+      s"regression fit must be one partial+final pair:\n$p")
+  }
+
+  test("curriculum cutoffs ride a broadcast anchor, not a driver collect") {
+    // The percentile bounds must join back as a broadcast (the
+    // filter_last_3_months anchor pattern) — a driver-side collect of the
+    // cutoffs would work at any SF but silently break plan caching and
+    // retry semantics; the broadcast keeps the whole thing one lazy plan.
+    val p = plan(graft.llm.TextOps.llmCurriculumOrder(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cutoff frame must broadcast onto the scan:\n$p")
+  }
+
   test("LATERAL top-n decorrelates: no per-row subquery, one ranked window") {
     // The whole point of join_lateral_topn's Scaladoc claim: Spark's
     // decorrelator must rewrite the correlated LIMIT subquery into the
