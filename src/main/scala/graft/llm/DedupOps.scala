@@ -77,6 +77,7 @@ object DedupOps {
     gramTableCache.clear()
     embTableCache.clear()
     sigTableCache.clear()
+    sigAppendCache.clear()
     simTableCache.clear()
     spanTableCache.clear()
   }
@@ -709,6 +710,58 @@ object DedupOps {
     * byte-identical results to [[llmDedupMinhash]] (NearDupSpec asserts),
     * with both sides of the candidate join reading the bucketed table:
     * no signature recompute, no exchange on the band hash. */
+  /** Two-generation signature index: "yesterday's" half of the corpus
+    * written as the bucketed table, "today's" delta APPENDED with the
+    * identical bucket spec — the index-MAINTENANCE pattern a daily
+    * pipeline needs (a 100 TB index is never rebuilt for a 0.1% delta;
+    * it grows one bucketed file set per generation). Spark validates the
+    * bucket spec on append, so every generation's files carry the same
+    * (band, bhash) hash layout and the banded self-join below still
+    * reads both generations bucketed with ZERO exchanges
+    * (PlanSpec-asserted) — append cost is one delta-sized write, consume
+    * cost is unchanged. */
+  private val sigAppendCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def sigAppendTable(spark: SparkSession, sfDir: String): String =
+    sigAppendCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      val suffix = graft.util.Scratch.pathTag(sfDir)
+      val tbl = s"sig_app_$suffix"
+      val dir = graft.util.Scratch.dir(s"sig_append_$suffix")
+      val sig = bandedIndex(spark, sfDir)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      sig.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .repartition(16, col("band"), col("bhash"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "band", "bhash").sortBy("band", "bhash")
+        .option("path", s"$dir/$tbl").saveAsTable(tbl)
+      sig.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .repartition(16, col("band"), col("bhash"))
+        .write.mode("append").format("parquet")
+        .bucketBy(16, "band", "bhash").sortBy("band", "bhash")
+        .saveAsTable(tbl)
+      tbl
+    })
+
+  /** Minhash near-dup pairs from the APPENDED two-generation index —
+    * must be byte-identical to [[llmDedupMinhash]] (NearDupSpec): the
+    * generation split is a LAYOUT event, invisible to results. no_oracle
+    * (xxhash64 signatures), same waiver as the other sig-index ops. */
+  val llmSigIndexAppend: QFn = (spark, sfDir) => {
+    val idx = spark.table(sigAppendTable(spark, sfDir))
+    val a = idx.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a"))
+    val b = idx.withColumnsRenamed(Map("doc_id" -> "doc_b", "sig" -> "sig_b"))
+    a.hint("merge").join(b, Seq("band", "bhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))") / lit(K.toDouble))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"),
+        round(first(col("est")), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val llmDedupMinhashIndexed: QFn = (spark, sfDir) => {
     val idx = spark.table(sigTable(spark, sfDir))
     val a = idx.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a"))
@@ -1280,6 +1333,7 @@ object DedupOps {
     "llm_dedup_embedding_indexed" -> llmDedupEmbeddingIndexed,
     "llm_sig_index_build" -> llmSigIndexBuild,
     "llm_dedup_minhash_indexed" -> llmDedupMinhashIndexed,
+    "llm_sig_index_append" -> llmSigIndexAppend,
     "llm_sim_index_build" -> llmSimIndexBuild,
     "llm_dedup_simhash_indexed" -> llmDedupSimhashIndexed,
     "llm_dedup_incremental_batch" -> llmDedupIncrementalBatch,

@@ -36,6 +36,7 @@ class ContractSpec extends AnyFunSuite {
       "llm_dedup_minhash" -> "NearDupSpec",
       "llm_dedup_minhash_indexed" -> "NearDupSpec (byte-equality vs in-memory)",
       "llm_sig_index_build" -> "NearDupSpec (profile equality)",
+      "llm_sig_index_append" -> "NearDupSpec (byte-equality vs in-memory, two-generation append)",
       "llm_dedup_simhash" -> "FingerprintSpec",
       "llm_sim_index_build" -> "FingerprintSpec (profile vs index fold)",
       "llm_dedup_simhash_indexed" -> "FingerprintSpec (byte-equality vs in-memory)",

@@ -189,6 +189,18 @@ class NearDupSpec extends AnyFunSuite {
     assert(idx.toSeq == mem.toSeq)
   }
 
+  test("two-generation appended index reproduces the in-memory minhash pairs") {
+    // the generation split (base overwrite + delta append under the same
+    // bucket spec) is a LAYOUT event — pair results must stay
+    // byte-identical to the in-memory path, or index maintenance
+    // silently changed semantics
+    val mem = graft.llm.DedupOps.llmDedupMinhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val app = graft.llm.DedupOps.llmSigIndexAppend(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(app.toSeq == mem.toSeq && app.nonEmpty)
+  }
+
   test("signature index build profile matches the in-memory banded index") {
     val mem = graft.llm.DedupOps.bandedIndex(spark, sfDir)
       .groupBy("band")

@@ -339,6 +339,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("vector_sumq"), s"centroid must use the exact native aggregate:\n$p")
   }
 
+  test("appended two-generation sig index still joins exchange-free") {
+    // the append writes a second file set per bucket under the SAME
+    // bucket spec — if the appended generation broke the layout contract
+    // the join would re-shuffle both sides and the maintenance pattern
+    // would silently cost a full-index exchange per consume
+    val df = graft.llm.DedupOps.llmSigIndexAppend(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Bucketed: true"), s"scan must report bucketed reads:\n$p")
+    assert("""Exchange hashpartitioning\((band|bhash)#""".r.findFirstIn(p).isEmpty,
+      s"append must preserve the exchange-free band-hash join:\n$p")
+    assert(!p.contains("xxhash64"),
+      s"signatures must come from the stored index, not re-derivation:\n$p")
+  }
+
   test("indexed minhash candidate join is exchange-free on the band hash") {
     val df = graft.llm.DedupOps.llmDedupMinhashIndexed(spark, sfDir)
     df.collect()
