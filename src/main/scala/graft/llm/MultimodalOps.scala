@@ -113,14 +113,40 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Exact asset dedup by content digest — the first pass every
+    * multimodal training pipeline runs (identical bytes = the same
+    * image/audio object re-crawled under a different id; training on
+    * duplicates over-weights them). Keyed on sha2-256 of the binary
+    * payload: one hash shuffle whose keys are 32-byte digests, never the
+    * payloads themselves — at 100 TB the exchange carries digests while
+    * the multi-MB blobs stay columnar in the scan (project-then-shuffle,
+    * the only viable order for binary columns). The oracle replays the
+    * grouping on the payload bytes directly (digest grouping ≡ byte
+    * grouping under collision-freeness, the same argument as every
+    * hash-keyed dedup here). */
+  val llmMultimodalDedup: QFn = (spark, sfDir) =>
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .groupBy(sha2(col("media"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        min(length(col("media"))).cast("long").as("n_bytes"))
+      .select("keep_doc_id", "n_copies", "n_bytes")
+      .orderBy("keep_doc_id")
+
   val queries: Map[String, QFn] = Map(
     "llm_multimodal_cols" -> llmMultimodalCols,
+    "llm_multimodal_dedup" -> llmMultimodalDedup,
     "llm_multimodal_decode" -> llmMultimodalDecode,
     "llm_multimodal_framesample" -> llmMultimodalFramesample,
     "llm_multimodal_resize" -> llmMultimodalResize,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_multimodal_dedup" ->
+      ("SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, " +
+        "CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes " +
+        "FROM documents GROUP BY encode(text) ORDER BY 1"),
     "llm_multimodal_cols" ->
       ("SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, " +
         "ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e1, lang " +
