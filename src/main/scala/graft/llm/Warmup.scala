@@ -39,6 +39,7 @@ object Warmup {
     timed("sigTable") { DedupOps.sigTable(spark, sfDir) }
     timed("simTable") { DedupOps.simTable(spark, sfDir) }
     timed("spanTable") { DedupOps.spanTable(spark, sfDir) }
+    timed("sigAppendTable") { DedupOps.sigAppendTable(spark, sfDir) }
     // the BPE merge table is a trained MODEL shared by llm_bpe_train
     // (emits it) and llm_bpe_apply (encodes with it) — same category as
     // unigramModel above: train once per corpus, both bench rows measure
