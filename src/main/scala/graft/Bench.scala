@@ -194,7 +194,13 @@ object Bench {
     // with no band entry — those rows can never repeat, and a silent parse
     // regression in the resource would otherwise look identical to a
     // clean run. New ops legitimately appear here until their first band.
-    if (bands.nonEmpty) {
+    if (bands.isEmpty)
+      // round-13 review: the worst parse regression (resource missing or
+      // regex matching nothing) must be the LOUDEST, not silently
+      // indistinguishable from a clean run with the policy disabled
+      System.err.println("[bench] WARNING: no band entries parsed — " +
+        "repeat-on-spike policy is DISABLED for this run")
+    else {
       val bandless = (selected.keySet -- bands.keySet)
         .filterNot(_.startsWith("stream_")).toSeq.sorted
       if (bandless.nonEmpty)

@@ -37,7 +37,8 @@ object ScaleCheck {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
-      "dedup,sim,text,window,width,cluster,recall,containment,span,kmeans").split(",").toSet
+      "dedup,sim,text,window,width,cluster,recall,containment,span,kmeans,pipeline64")
+      .split(",").toSet
     // Per-section scale-tier overrides (round 9): the width/sim curves
     // extend one octave per round and re-running the recorded lower tiers
     // every time wastes the wall-clock budget — an override like
@@ -58,7 +59,10 @@ object ScaleCheck {
     // partitions follow data volume (or AQE's advisory size splits them);
     // the override lets a big-tier run express exactly that without
     // changing the plan.
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // validated like the scales knobs (round-13 review): a 0 or trailing
+    // comma must fail fast at startup, not after the corpus builds
+    val shufflePartitions = graft.util.EnvKnobs
+      .positiveInt("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toInt).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

@@ -224,14 +224,18 @@ case class WinnowFps(first: Expression, second: Expression, third: Expression)
 /** Unicode NFC normalization as a native expression — the first pass of
   * any text-cleaning pipeline (visually identical strings must hash
   * identically before ANY dedup/fingerprint stage, or "café" composed and
-  * decomposed count as two documents). Spark has no built-in normalizer;
-  * a Scala UDF would box every row on a corpus-scale linear pass. The
-  * fast path costs one `Normalizer.isNormalized` scan and returns the
-  * INPUT UTF8String unchanged (zero allocation) — real corpora are
-  * overwhelmingly already-NFC, so the only per-row cost is the check.
-  * Matches DuckDB's `nfc_normalize` (both implement Unicode TR#15 NFC),
-  * which is what lets llm_text_normalize carry a full cross-engine
-  * oracle. */
+  * decomposed count as two documents). Spark has no built-in normalizer.
+  * Cost honesty (round-13 review): pure-ASCII input — the bulk of web
+  * text — takes a byte-scan fast path that returns the input UTF8String
+  * with ZERO allocation (ASCII is NFC by definition: no combining marks,
+  * no compositions). Non-ASCII input pays one toString materialization
+  * plus `Normalizer.isNormalized`, and only strings actually NOT in NFC
+  * pay the normalize itself. The expression is CodegenFallback (boxed
+  * per-row eval), so its edge over a UDF is the ASCII fast path and
+  * null-intolerant wiring, not codegen — documented so nobody copies
+  * this pattern expecting whole-stage fusion. Matches DuckDB's
+  * `nfc_normalize` (both implement Unicode TR#15 NFC), which is what
+  * lets llm_text_normalize carry a full cross-engine oracle. */
 case class NfcNormalize(child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ImplicitCastInputTypes with CodegenFallback {
@@ -243,10 +247,20 @@ case class NfcNormalize(child: org.apache.spark.sql.catalyst.expressions.Express
 
   override def nullSafeEval(t: Any): Any = {
     val s = t.asInstanceOf[UTF8String]
-    val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    // ASCII fast path: every byte < 0x80 ⇒ already NFC, return the input
+    // untouched (no toString, no allocation)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    var i = 0
+    while (i < nb && Platform.getByte(base, off + i) >= 0) i += 1
+    if (i == nb) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
   }
 
   override protected def withNewChildInternal(

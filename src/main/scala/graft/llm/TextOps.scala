@@ -206,6 +206,24 @@ object TextOps {
 
   private[graft] val bpeNumMerges = 1000
 
+  /** Initial symbol split by Unicode CODE POINTS, not UTF-16 units
+    * (round-13 review): iterating chars breaks supplementary-plane text
+    * (emoji, rare CJK) into lone surrogates — invalid strings whose
+    * UTF-8 serialization can collide distinct merges. Code-point slices
+    * keep every symbol a valid string, matching what the old
+    * split(w, '') SQL path produced and what `length()` counts. */
+  private[graft] def splitCodePoints(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val b = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val k = Character.charCount(cp)
+      b += w.substring(i, i + k)
+      i += k
+    }
+    b
+  }
+
   private def trainBpe(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): BpeModel = {
     import scala.collection.mutable
@@ -220,11 +238,8 @@ object TextOps {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val n = words.length
     val freq = words.map(_._2)
-    val syms: Array[mutable.ArrayBuffer[String]] = words.map { case (w, _) =>
-      val b = new mutable.ArrayBuffer[String](w.length)
-      w.foreach(c => b += c.toString)
-      b
-    }
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      words.map { case (w, _) => splitCodePoints(w) }
     val counts = mutable.HashMap.empty[(String, String), Long]
     // pair → ids of words that contained it at some point; entries go
     // stale after merges rewrite a word (never removed), which is safe:
@@ -315,7 +330,9 @@ object TextOps {
     import spark.implicits._
     val model = bpeModel(spark, sfDir)
     val wordCost = model.wordCost
-      .map { case (w, nSub) => (w, nSub, w.length) }
+      // code-point count, matching SQL length() — w.length would count
+      // UTF-16 units and over-count supplementary-plane characters
+      .map { case (w, nSub) => (w, nSub, w.codePointCount(0, w.length)) }
       .toDF("w", "n_sub", "n_chars_w")
     val docs = Tables(spark, sfDir, "documents")
     docs.select(col("doc_id"), explode(tokens).as("w"))
@@ -864,7 +881,14 @@ object TextOps {
         countDistinct(col("source")).as("n_sources"),
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"))
-      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+      // grouping() distinguishes the rollup grand-total row from a DATA
+      // group whose lang is NULL (round-13 review: coalesce alone would
+      // emit two indistinguishable 'ALL' rows on such a corpus, with
+      // engine-dependent ordering); the fixtures have no NULL langs, so
+      // the oracle output is unchanged — the guard is for real corpora
+      .select(
+        when(grouping(col("lang")) === 1, lit("ALL"))
+          .otherwise(coalesce(col("lang"), lit("(null)"))).as("lang"),
         col("n_docs"), col("total_tokens"), col("total_chars"),
         col("n_sources"), col("min_tokens"), col("max_tokens"))
       .orderBy("lang")
@@ -974,7 +998,9 @@ object TextOps {
         ("WITH d AS (SELECT lang, source, n_chars, " +
           "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens " +
           "FROM documents) " +
-          "SELECT coalesce(lang, 'ALL') AS lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' " +
+          "ELSE coalesce(lang, '(null)') END AS lang, " +
+          "CAST(count(*) AS BIGINT) AS n_docs, " +
           "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
           "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
           "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +

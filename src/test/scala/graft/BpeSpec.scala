@@ -16,8 +16,13 @@ class BpeSpec extends AnyFunSuite {
 
   private def refBpe(words: Map[String, Long],
                      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    // code-point split (round-13 review): w.map(_.toString) breaks
+    // surrogate pairs into lone-surrogate symbols — must match the
+    // trainer's splitCodePoints semantics
     var vocab: Seq[(Vector[String], Long)] =
-      words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      words.toSeq.map { case (w, c) =>
+        (graft.llm.TextOps.splitCodePoints(w).toVector, c)
+      }
     val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -47,6 +52,20 @@ class BpeSpec extends AnyFunSuite {
       }
     }
     out.toSeq
+  }
+
+  test("symbol split keeps supplementary-plane code points whole") {
+    // round-13 review: a UTF-16 char split breaks emoji/rare-CJK into
+    // lone surrogates — invalid strings whose UTF-8 bytes can collide
+    // distinct merges. The corpus is ASCII so sequence equality can't
+    // catch this; pin the splitter directly.
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, 2 UTF-16 units
+    val w = s"a${emoji}b"
+    val syms = graft.llm.TextOps.splitCodePoints(w)
+    assert(syms.toSeq == Seq("a", emoji, "b"), s"split broke a code point: $syms")
+    assert(syms.forall(s => !s.exists(Character.isSurrogate) ||
+      s.codePointCount(0, s.length) == 1))
+    assert(graft.llm.TextOps.splitCodePoints("").isEmpty)
   }
 
   test("distributed merge induction equals the single-threaded reference") {
@@ -80,7 +99,7 @@ class BpeSpec extends AnyFunSuite {
       .map { case (w, o) => w -> o.length.toLong }
     val merges = refBpe(words, graft.llm.TextOps.bpeNumMerges)
     def encode(w: String): Vector[String] = {
-      var syms = w.map(_.toString).toVector
+      var syms = graft.llm.TextOps.splitCodePoints(w).toVector
       merges.foreach { case (_, l, r, _) =>
         // adjacency of (l, r) in the symbol array requires l+r to be a
         // substring of the raw word (symbols are contiguous slices), so
