@@ -20,6 +20,18 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(q => s(q._1)))
       .foreach { case (name, fn) =>
+      // Stale-output guard (round-13 review): a query that THROWS must
+      // not leave the previous run's dump behind — the DuckDB compare
+      // would silently pass against stale-but-once-correct data, hiding
+      // the failure entirely (this bit: an analysis error in one op was
+      // masked by its previous dump for a full verify cycle). Delete
+      // first, so a failure leaves a missing dir the compare reports.
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

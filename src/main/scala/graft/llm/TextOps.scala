@@ -875,19 +875,22 @@ object TextOps {
       .select(col("lang"), col("source"), col("n_chars"),
         size(tokens).cast("long").as("n_tokens"))
       .rollup(col("lang"))
+      // grouping() distinguishes the rollup grand-total row from a DATA
+      // group whose lang is NULL (round-13 review: coalesce alone would
+      // emit two indistinguishable 'ALL' rows on such a corpus, with
+      // engine-dependent ordering); the fixtures have no NULL langs, so
+      // the oracle output is unchanged — the guard is for real corpora.
+      // grouping() is only legal INSIDE the aggregate list, so the flag
+      // is computed here and consumed by the projection below.
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("n_chars")).as("total_chars"),
         countDistinct(col("source")).as("n_sources"),
         min(col("n_tokens")).as("min_tokens"),
-        max(col("n_tokens")).as("max_tokens"))
-      // grouping() distinguishes the rollup grand-total row from a DATA
-      // group whose lang is NULL (round-13 review: coalesce alone would
-      // emit two indistinguishable 'ALL' rows on such a corpus, with
-      // engine-dependent ordering); the fixtures have no NULL langs, so
-      // the oracle output is unchanged — the guard is for real corpora
+        max(col("n_tokens")).as("max_tokens"),
+        grouping(col("lang")).cast("int").as("gflag"))
       .select(
-        when(grouping(col("lang")) === 1, lit("ALL"))
+        when(col("gflag") === 1, lit("ALL"))
           .otherwise(coalesce(col("lang"), lit("(null)"))).as("lang"),
         col("n_docs"), col("total_tokens"), col("total_chars"),
         col("n_sources"), col("min_tokens"), col("max_tokens"))
