@@ -53,6 +53,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of every query that SHOULD have a dump (round-13 review):
+    // the compare walks existing directories, so without this a query
+    // whose dump is missing (failed + stale-guard-deleted) would shrink
+    // the pass count silently instead of failing loudly.
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -50,6 +50,15 @@ def main(sf_dir, out_dir):
     import os
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
     n_pass = n_fail = 0
+    # round-13 review: a query that failed in Verify leaves NO dump (the
+    # stale-output guard deletes first) — without the manifest check that
+    # just shrinks the pass count silently.
+    manifest_path = f"{out_dir}/queries.json"
+    if os.path.exists(manifest_path):
+        expected = set(json.load(open(manifest_path)))
+        for miss in sorted(expected - set(names)):
+            print(f"FAIL {miss}: no dump written (query failed in Verify)")
+            n_fail += 1
     for name in names:
         spark_tbl = ds.dataset(f"{out_dir}/{name}").to_table()
         if name not in oracle:
