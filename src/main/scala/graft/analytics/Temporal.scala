@@ -325,7 +325,41 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** FORWARD as-of join — the other direction (pandas merge_asof
+    * direction='forward', kdb aj reversed): for each click, the FIRST
+    * purchase at-or-after it — "time to next conversion", where the
+    * backward twin answers "how stale is the last one". Same union +
+    * single-keyed-window shape as [[joinAsofPurchase]] with the scan
+    * reversed (ts DESC carries the nearest LATER purchase backward onto
+    * each click); same-ts purchase counts as 'at' on both engines
+    * (is_q DESC under ts DESC ↔ the oracle's <=). One user_id shuffle,
+    * no range join, no per-row subquery — linear at any corpus size. */
+  val joinAsofForward: QFn = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), lit(1).as("is_q"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"),
+        lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("is_q"),
+        lit(null).cast("long").as("p_event_id"),
+        lit(null).cast("double").as("p_value"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("is_q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("next_purchase_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("next_purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("is_q") === 0)
+      .select("event_id", "user_id", "ts", "next_purchase_id", "next_purchase_value")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "join_asof_forward" -> joinAsofForward,
     "window_resample_ohlc" -> windowResampleOhlc,
     "agg_conversion_lag" -> aggConversionLag,
     "fn_date_gapfill" -> fnDateGapfill,
@@ -371,6 +405,16 @@ object Temporal {
         "ORDER BY 1, 2"),
     // DuckDB's native ASOF JOIN is the independent oracle for the
     // union+window implementation; purchases deduped identically first
+    "join_asof_forward" ->
+      ("WITH p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value, " +
+        "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "pd AS (SELECT user_id, ts, p_event_id, p_value FROM p WHERE rn = 1) " +
+        "SELECT e.event_id, e.user_id, e.ts, pd.p_event_id AS next_purchase_id, " +
+        "pd.p_value AS next_purchase_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') e " +
+        "ASOF LEFT JOIN pd ON e.user_id = pd.user_id AND e.ts <= pd.ts " +
+        "ORDER BY e.event_id"),
     "join_asof_purchase" ->
       ("WITH p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value, " +
         "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
