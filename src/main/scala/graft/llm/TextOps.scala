@@ -918,7 +918,40 @@ object TextOps {
         col("n_sources"), col("min_tokens"), col("max_tokens"))
       .orderBy("lang")
 
+  /** Contrastive training pairs over document chunks — the dataset an
+    * embedding model trains on: anchor chunk, its POSITIVE (the next
+    * chunk of the same document — adjacent text shares meaning), and an
+    * IN-BATCH NEGATIVE (the standard contrastive idiom: a chunk from a
+    * different document in the same deterministic shard, not a global
+    * random draw — global sampling needs corpus-wide coordination; batch
+    * negatives need none and are what real training loops use anyway).
+    * Two windows: positives ride a doc-bounded lead; negatives a
+    * shard-partitioned lead ordered (chunk_idx, doc_id), so the next row
+    * is almost always another document's chunk (same-doc collisions at
+    * shard boundaries are filtered). Deterministic end to end — shard is
+    * pmod(doc_id), both leads replay in DuckDB verbatim — full oracle.
+    * Shards bound the negative-window sort; at 100 TB the shard count
+    * scales with the corpus exactly as llm_shuffle_shards documents. */
+  val llmContrastivePairs: QFn = (spark, sfDir) => {
+    val c = llmChunkDocuments(spark, sfDir)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_idx")
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("chunk_idx", "doc_id")
+    c.withColumn("pos_chunk_idx", lead(col("chunk_idx"), 1).over(wDoc))
+      .withColumn("shard", pmod(col("doc_id"), lit(32)).cast("int"))
+      .withColumn("neg_doc_id", lead(col("doc_id"), 1).over(wShard))
+      .withColumn("neg_chunk_idx", lead(col("chunk_idx"), 1).over(wShard))
+      .filter(col("pos_chunk_idx").isNotNull &&
+        col("neg_doc_id").isNotNull && col("neg_doc_id") =!= col("doc_id"))
+      .select("doc_id", "chunk_idx", "pos_chunk_idx",
+        "neg_doc_id", "neg_chunk_idx")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_contrastive_pairs" -> llmContrastivePairs,
     "llm_curriculum_order" -> llmCurriculumOrder,
     "llm_dataset_card" -> llmDatasetCard,
     "llm_text_normalize" -> llmTextNormalize,
@@ -1126,6 +1159,22 @@ object TextOps {
           "b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram " +
           "FROM t WHERE len(toks) >= 2) " +
           "SELECT bigram, count(*) AS n FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 40"),
+      // same chunk CTE as llm_chunk_documents, then the two leads replay
+      // Spark's window specs verbatim (doc-bounded positive, shard-bounded
+      // negative ordered (chunk_idx, doc_id))
+      "llm_contrastive_pairs" ->
+        ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+          "FROM documents), " +
+          s"s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 1, 0) + 1, $ChunkStride)) AS start_tok FROM t), " +
+          s"c AS (SELECT doc_id, CAST(start_tok / $ChunkStride AS INT) AS chunk_idx FROM s), " +
+          "w AS (SELECT doc_id, chunk_idx, " +
+          "lead(chunk_idx) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS pos_chunk_idx, " +
+          "lead(doc_id) OVER (PARTITION BY doc_id % 32 ORDER BY chunk_idx, doc_id) AS neg_doc_id, " +
+          "lead(chunk_idx) OVER (PARTITION BY doc_id % 32 ORDER BY chunk_idx, doc_id) AS neg_chunk_idx " +
+          "FROM c) " +
+          "SELECT doc_id, chunk_idx, pos_chunk_idx, neg_doc_id, neg_chunk_idx " +
+          "FROM w WHERE pos_chunk_idx IS NOT NULL AND neg_doc_id IS NOT NULL " +
+          "AND neg_doc_id <> doc_id ORDER BY doc_id, chunk_idx"),
       "llm_chunk_documents" ->
         ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
           s"FROM documents), " +
