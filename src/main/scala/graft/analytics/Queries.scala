@@ -410,6 +410,30 @@ object Queries {
     * BI queries are SQL text against the Data Catalog; here the catalog is
     * temp views and the engine is spark.sql — parser → analyzer → Catalyst,
     * same plan as the DataFrame form. */
+  /** 2-D histogram (quantity × price, 8×8 bins) — the heatmap widget's
+    * data, one step past the 1-D distribution: both bounds come from ONE
+    * column-pruned min/max reduction broadcast onto the binning scan
+    * (the histogramFromBounds anchor pattern in both dimensions), the
+    * final shuffle carries ≤64 rows, and the arithmetic is the same
+    * pure-IEEE closed form as the 1-D twins — so the full DuckDB oracle
+    * hash-matches cell for cell. Two fact scans like the exact 1-D
+    * histogram; the stats-bounds remedy applies identically at 100 TB. */
+  val aggHistogram2d: QFn = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+    val bounds = li.agg(
+      min(col("l_quantity")).as("lo_q"), max(col("l_quantity")).as("hi_q"),
+      min(col("l_extendedprice")).as("lo_p"), max(col("l_extendedprice")).as("hi_p"))
+    def bin(v: String, lo: String, hi: String) =
+      least(floor((col(v) - col(lo)) /
+        greatest((col(hi) - col(lo)) / 8.0, lit(1e-12))), lit(7.0)).cast("int")
+    li.crossJoin(broadcast(bounds))
+      .select(bin("l_quantity", "lo_q", "hi_q").as("bin_q"),
+        bin("l_extendedprice", "lo_p", "hi_p").as("bin_p"))
+      .groupBy("bin_q", "bin_p")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin_q", "bin_p")
+  }
+
   /** Catalog VIEW + second-session consumer — the exact QuickSight flow
     * the reference documents (README.md:98-99: "create a schema in
     * Redshift … provide the view name (sales by category)"): the BI
@@ -564,6 +588,7 @@ object Queries {
     "sql_athena_style" -> sqlAthenaStyle,
     "join_lateral_topn" -> joinLateralTopn,
     "sql_view_sales_by_category" -> sqlViewSalesByCategory,
+    "agg_histogram_2d" -> aggHistogram2d,
     "agg_skew_salted" -> aggSkewSalted,
     "window_dedup_latest" -> windowDedupLatest,
     "window_funnel_order" -> windowFunnelOrder,
@@ -675,6 +700,12 @@ object Queries {
       ("SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS cnt " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
+    "agg_histogram_2d" ->
+      ("WITH b AS (SELECT min(l_quantity) AS lo_q, max(l_quantity) AS hi_q, " +
+        "min(l_extendedprice) AS lo_p, max(l_extendedprice) AS hi_p FROM lineitem) " +
+        "SELECT CAST(least(floor((l_quantity - lo_q) / greatest((hi_q - lo_q) / 8.0, 1e-12)), 7.0) AS INT) AS bin_q, " +
+        "CAST(least(floor((l_extendedprice - lo_p) / greatest((hi_p - lo_p) / 8.0, 1e-12)), 7.0) AS INT) AS bin_p, " +
+        "count(*) AS n FROM lineitem, b GROUP BY 1, 2 ORDER BY 1, 2"),
     "sql_view_sales_by_category" ->
       ("SELECT p_type, CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS sold_cnt " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +

@@ -950,7 +950,30 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Masked-LM corruption plan — the other self-supervised objective
+    * next to [[llmContrastivePairs]]: which token positions get masked,
+    * decided DETERMINISTICALLY (every 7th position, offset 3 — a fixed
+    * grid, so the plan is reproducible across retries and both engines;
+    * production pipelines seed per-epoch, which is this grid with a
+    * different offset). Per doc: token count, masked count, and the
+    * first masked position — the numbers a data loader needs to size
+    * label tensors (null position = document too short to mask). Stateless
+    * per-row HOF arithmetic over the token array: no shuffle, fully
+    * linear, full DuckDB oracle. */
+  val llmMaskSpans: QFn = (spark, sfDir) => {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        expr("filter(sequence(1, size(toks)), i -> (i - 1) % 7 = 3)").as("pos"))
+      .withColumn("n_masked", size(col("pos")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        element_at(col("pos"), 1).as("first_masked_pos"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_mask_spans" -> llmMaskSpans,
     "llm_contrastive_pairs" -> llmContrastivePairs,
     "llm_curriculum_order" -> llmCurriculumOrder,
     "llm_dataset_card" -> llmDatasetCard,
@@ -1159,6 +1182,14 @@ object TextOps {
           "b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram " +
           "FROM t WHERE len(toks) >= 2) " +
           "SELECT bigram, count(*) AS n FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 40"),
+      "llm_mask_spans" ->
+        ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+          "FROM documents), " +
+          "m AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, " +
+          "list_filter(range(1, len(toks) + 1), i -> (i - 1) % 7 = 3) AS pos FROM t) " +
+          "SELECT doc_id, n_tokens, CAST(len(pos) AS BIGINT) AS n_masked, " +
+          "CAST(pos[1] AS INT) AS first_masked_pos " +
+          "FROM m ORDER BY doc_id"),
       // same chunk CTE as llm_chunk_documents, then the two leads replay
       // Spark's window specs verbatim (doc-bounded positive, shard-bounded
       // negative ordered (chunk_idx, doc_id))
