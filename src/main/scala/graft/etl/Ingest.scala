@@ -246,6 +246,31 @@ object Ingest {
 
   /** CSV export of a query result (README.md:54-56,141 Data Pipeline → S3
     * CSV), read back to prove fidelity. */
+  /** Gzip-compressed CSV interchange round-trip — the format most lake
+    * drops actually arrive in (every export tool gzips text by default;
+    * the reference's CSV arrows all carry .gz in practice). Write the
+    * summary gzipped, read it back through Spark's transparent codec
+    * detection (by extension — no reader option needed), prove fidelity
+    * against the source aggregate. Scale note: gzip is NOT splittable —
+    * one .gz file = one read task, which is why this op writes one file
+    * per shuffle partition (the writer's natural sharding) and why the
+    * first hop at 100 TB converts to parquet (the reference's own
+    * pipeline, and ours: scan_csv → sink_parquet). */
+  val sinkCsvGzip: QFn = (spark, sfDir) => {
+    val dir = Scratch.dir("sink_csv_gzip")
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .write.mode("overwrite").option("header", true)
+      .option("compression", "gzip").csv(dir)
+    spark.read.schema("o_orderpriority STRING, sum_price DOUBLE, cnt LONG")
+      .option("header", true).csv(dir)
+      .orderBy("o_orderpriority")
+  }
+
   val sinkCsv: QFn = (spark, sfDir) => {
     val dir = Scratch.dir("sink_csv")
     Tables(spark, sfDir, "lineitem")
@@ -639,6 +664,7 @@ object Ingest {
     "scan_text_lines" -> scanTextLines,
     "scan_binaryfile" -> scanBinaryFile,
     "sink_csv" -> sinkCsv,
+    "sink_csv_gzip_roundtrip" -> sinkCsvGzip,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip,
     "sink_parquet_partitioned_compressed" -> sinkParquetPartitionedCompressed,
     "sink_table_positional" -> sinkTablePositional,
@@ -735,6 +761,8 @@ object Ingest {
         "CAST(SUM(strlen(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')) + 1) AS BIGINT) AS total_bytes, " +
         "CAST(SUM(strlen(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')) + 1) AS BIGINT) AS fetched_bytes " +
         "FROM documents GROUP BY 1 ORDER BY 1"),
+    "sink_csv_gzip_roundtrip" ->
+      "SELECT o_orderpriority, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1",
     "sink_csv" ->
       "SELECT l_returnflag, ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
     "sink_parquet_partitioned_compressed" ->
