@@ -50,6 +50,14 @@ object SparkEntry {
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ graft.llm.SampleOps.queries
 
+  /** Verification-frame overrides consumed ONLY by Verify (never Bench —
+    * the timed rows stay the production plans): for ops whose raw output
+    * is sketch-valued, the dump is replaced by a frame joining the
+    * estimate to its exact twin — exact columns DuckDB replays verbatim
+    * plus bound booleans the oracle pins to TRUE (weak-form oracles,
+    * VERDICT r14 queue #4). */
+  def verifyQueries: Map[String, QFn] = graft.analytics.Advanced.verifyQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (LSH/xxhash64-based and approximate ones) → rows-only check. */

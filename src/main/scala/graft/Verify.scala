@@ -18,8 +18,9 @@ object Verify {
     // Optional comma-separated subset for local iteration (driver sets
     // nothing → full dump, same as Bench's SPARK_GRAFT_ONLY)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(q => s(q._1)))
-      .foreach { case (name, fn) =>
+    val selected =
+      only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(q => s(q._1)))
+    selected.foreach { case (name, fn) =>
       // Stale-output guard (round-13 review): a query that THROWS must
       // not leave the previous run's dump behind — the DuckDB compare
       // would silently pass against stale-but-once-correct data, hiding
@@ -32,7 +33,11 @@ object Verify {
         f.delete(); ()
       }
       rm(new java.io.File(s"$outDir/$name"))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // Weak-oracle rows dump their VERIFICATION frame (estimate joined
+      // to exact twin → exact cols + bound booleans), not the raw sketch
+      // output — see SparkEntry.verifyQueries.
+      val dumpFn = SparkEntry.verifyQueries.getOrElse(name, fn)
+      try dumpFn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -56,9 +61,33 @@ object Verify {
     // Manifest of every query that SHOULD have a dump (round-13 review):
     // the compare walks existing directories, so without this a query
     // whose dump is missing (failed + stale-guard-deleted) would shrink
-    // the pass count silently instead of failing loudly.
+    // the pass count silently instead of failing loudly. Written from the
+    // FILTERED map (ADVICE r13 — the full key set here false-FAILed every
+    // SPARK_GRAFT_ONLY subset run as "no dump written").
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // Estimate-vs-exact deltas for the weak-oracle sketch rows (VERDICT
+    // r14 queue #9) — machine-readable evidence next to the dumps. Only
+    // meaningful when those rows ran; best-effort (a delta failure must
+    // not zero the round's correctness dump).
+    if (selected.keySet.exists(SparkEntry.verifyQueries.keySet))
+      try {
+        val deltas = graft.analytics.Advanced.approxDeltas(spark, sfDir)
+        // non-finite doubles are not JSON — emit null rather than NaN
+        def jnum(v: Double): String =
+          if (java.lang.Double.isFinite(v)) v.toString else "null"
+        val body = deltas.map { case (op, group, metric, est, exact) =>
+          val rel =
+            if (exact == 0.0) (if (est == 0.0) 0.0 else Double.NaN)
+            else math.abs(est - exact) / math.abs(exact)
+          s"""{"op": ${q(op)}, "group": ${q(group)}, "metric": ${q(metric)},""" +
+            s""" "estimate": ${jnum(est)}, "exact": ${jnum(exact)},""" +
+            s""" "rel_delta": ${jnum(rel)}}"""
+        }.mkString("[", ",\n ", "]")
+        Files.writeString(Paths.get(s"$outDir/approx_deltas.json"), body)
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] approx_deltas failed: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

@@ -387,9 +387,9 @@ object Advanced {
     * is the ONLY scan of orders in the plan (PlanSpec asserts it) — at
     * 100 TB that second scan is a real 2×, so this is the production
     * spelling. MAD itself is approx_percentile over the deviations at
-    * the same accuracy-10000 bound. no_oracle (the sketch returns an
-    * observed value where DuckDB's quantile_cont interpolates);
-    * ApproxSpec pins both columns within 1% of the exact twin. */
+    * the same accuracy-10000 bound. Weak-form oracle (round 15): exact
+    * median/MAD columns hash-matched by DuckDB + 1% bound booleans
+    * pinned TRUE; ApproxSpec additionally pins both columns in CI. */
   val aggMedianMadApprox: QFn = (spark, sfDir) => {
     import spark.implicits._
     val meds = segmentMedians(spark, sfDir).toDF("c_mktsegment", "med")
@@ -769,9 +769,10 @@ object Advanced {
     * with group size, the 100 TB killer; the sketch holds a bounded
     * summary (here ε = 1/10000) per group regardless of row count, merges
     * associatively map-side, and lands within ε·n ranks of the exact order
-    * statistic. No DuckDB oracle (sketch internals are engine-specific) —
-    * ApproxSpec pins the estimates against the exact twin's output with
-    * the ε-rank tolerance translated to a value bound. */
+    * statistic. Weak-form oracle (round 15): Verify dumps the
+    * estimate joined to the exact twin — exact columns hash-matched by
+    * DuckDB + 1% bound booleans pinned TRUE; ApproxSpec additionally pins
+    * the ε-rank tolerance in CI. */
   val aggPercentileApprox: QFn = (spark, sfDir) =>
     Tables(spark, sfDir, "orders")
       .groupBy("o_orderstatus")
@@ -803,8 +804,9 @@ object Advanced {
     * approx_count_distinct does — xxhash64(null) evaluates to the seed,
     * which would count null as a real value; hence the CASE guard.
     * Null counts and n_rows stay exact (they never needed the Expand).
-    * No DuckDB oracle — ApproxSpec pins estimates within 5% of the exact
-    * twin. */
+    * Weak-form oracle (round 15): exact n_distinct columns hash-matched
+    * by DuckDB + 5% bound boolean pinned TRUE; ApproxSpec additionally
+    * pins the estimates in CI. */
   val aggProfileApprox: QFn = (spark, sfDir) => {
     val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
       "o_orderpriority", "o_orderstatus", "o_totalprice")
@@ -823,6 +825,113 @@ object Advanced {
       .select(col("z.0").as("column"), col("n_rows"),
         col("z.1").as("n_nulls"), col("z.2").as("n_distinct_approx"))
       .orderBy("column")
+  }
+
+  // -----------------------------------------------------------------------
+  // Weak-form oracles for the approx twins (VERDICT r14 queue #4). The
+  // sketch ESTIMATES are engine-specific (no DuckDB replay), but the claim
+  // each twin makes — "within the documented bound of the exact answer" —
+  // IS verifiable with DuckDB in the loop: each verify frame joins the
+  // approx op's output to its exact twin and emits the exact columns
+  // (hash-checked against DuckDB verbatim, the same roundings the exact
+  // twins already hash-match with) plus one boolean per estimate asserting
+  // the bound (ApproxSpec's tolerances: 1% for the rank sketches, 5% for
+  // HLL at lgK 12). The oracle emits TRUE literals, so a drifting sketch
+  // hash-fails its row instead of hiding behind no_oracle. Consumed ONLY
+  // by Verify (SparkEntry.verifyQueries) — Bench times the production
+  // approx plans, never these exact-joined verification shapes.
+  // -----------------------------------------------------------------------
+
+  private def percentileApproxJoined(spark: SparkSession, sfDir: String) = {
+    val est = aggPercentileApprox(spark, sfDir)
+      .withColumnRenamed("p50", "p50_est").withColumnRenamed("p90", "p90_est")
+    val exact = Tables(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("e50"),
+        expr("percentile(o_totalprice, 0.9)").as("e90"))
+    est.join(exact, Seq("o_orderstatus"))
+  }
+
+  private[graft] val verifyPercentileApprox: QFn = (spark, sfDir) =>
+    percentileApproxJoined(spark, sfDir)
+      .select(col("o_orderstatus"), col("cnt"),
+        round(col("e50"), 4).as("p50_exact"),
+        round(col("e90"), 4).as("p90_exact"),
+        (abs(col("p50_est") - col("e50")) <= lit(0.01) * abs(col("e50")))
+          .as("p50_ok"),
+        (abs(col("p90_est") - col("e90")) <= lit(0.01) * abs(col("e90")))
+          .as("p90_ok"))
+      .orderBy("o_orderstatus")
+
+  private def medianMadApproxJoined(spark: SparkSession, sfDir: String) = {
+    val est = aggMedianMadApprox(spark, sfDir)
+      .select(col("c_mktsegment"), col("median_price").as("med_est"),
+        col("mad").as("mad_est"))
+    aggMedianMad(spark, sfDir).join(est, Seq("c_mktsegment"))
+  }
+
+  private[graft] val verifyMedianMadApprox: QFn = (spark, sfDir) =>
+    medianMadApproxJoined(spark, sfDir)
+      .select(col("c_mktsegment"), col("n_orders"),
+        col("median_price").as("median_exact"),
+        col("mad").as("mad_exact"),
+        (abs(col("med_est") - col("median_price"))
+          <= lit(0.01) * abs(col("median_price"))).as("med_ok"),
+        (abs(col("mad_est") - col("mad")) <= lit(0.01) * abs(col("mad")))
+          .as("mad_ok"))
+      .orderBy("c_mktsegment")
+
+  private def profileApproxJoined(spark: SparkSession, sfDir: String) = {
+    val est = aggProfileApprox(spark, sfDir)
+      // hll_sketch_estimate is BIGINT — double here so the bound check and
+      // the deltas artifact share one arithmetic type
+      .select(col("column"), col("n_distinct_approx").cast("double")
+        .as("n_distinct_approx"))
+    aggTableProfile(spark, sfDir).join(est, Seq("column"))
+  }
+
+  private[graft] val verifyProfileApprox: QFn = (spark, sfDir) =>
+    profileApproxJoined(spark, sfDir)
+      .select(col("column"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        (abs(col("n_distinct_approx") - col("n_distinct"))
+          <= lit(0.05) * col("n_distinct")).as("dist_ok"))
+      .orderBy("column")
+
+  /** Verification-frame overrides, keyed by the op they verify — applied
+    * by Verify in place of the raw op dump (and nowhere else). */
+  val verifyQueries: Map[String, QFn] = Map(
+    "agg_percentile_approx" -> verifyPercentileApprox,
+    "agg_median_mad_approx" -> verifyMedianMadApprox,
+    "agg_profile_approx" -> verifyProfileApprox)
+
+  /** Machine-readable estimate-vs-exact evidence for the weak-oracle rows
+    * (VERDICT r14 queue #9): Verify dumps this as approx_deltas.json next
+    * to the correctness parquet, so the sketch rows carry their measured
+    * deltas in the artifact the driver reads rather than a bare pass.
+    * Rows are (op, group, metric, estimate, exact) — report-sized
+    * collects (5-6 groups per op). */
+  def approxDeltas(spark: SparkSession,
+      sfDir: String): Seq[(String, String, String, Double, Double)] = {
+    val p = percentileApproxJoined(spark, sfDir).collect().toSeq.flatMap { r =>
+      val g = r.getAs[String]("o_orderstatus")
+      Seq(("agg_percentile_approx", g, "p50",
+            r.getAs[Double]("p50_est"), r.getAs[Double]("e50")),
+          ("agg_percentile_approx", g, "p90",
+            r.getAs[Double]("p90_est"), r.getAs[Double]("e90")))
+    }
+    val m = medianMadApproxJoined(spark, sfDir).collect().toSeq.flatMap { r =>
+      val g = r.getAs[String]("c_mktsegment")
+      Seq(("agg_median_mad_approx", g, "median",
+            r.getAs[Double]("med_est"), r.getAs[Double]("median_price")),
+          ("agg_median_mad_approx", g, "mad",
+            r.getAs[Double]("mad_est"), r.getAs[Double]("mad")))
+    }
+    val d = profileApproxJoined(spark, sfDir).collect().toSeq.map { r =>
+      ("agg_profile_approx", r.getAs[String]("column"), "n_distinct",
+        r.getAs[Double]("n_distinct_approx"),
+        r.getAs[Long]("n_distinct").toDouble)
+    }
+    p ++ m ++ d
   }
 
   /** First/last order per customer carried onto every row — the
@@ -1224,7 +1333,32 @@ object Advanced {
         "ON l_orderkey = o_orderkey " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // agg_hll_mergeable: estimate not oracle-replayable → ApproxSpec
-    // agg_percentile_approx / agg_profile_approx: sketch estimates are
-    // engine-specific → ApproxSpec pins them against their exact twins
+    // Weak-form oracles (VERDICT r14 queue #4): Verify dumps the
+    // verifyQueries frame for these three keys — exact columns (DuckDB
+    // replays them verbatim) + bound booleans the oracle pins to TRUE.
+    "agg_percentile_approx" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact, " +
+        "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact, " +
+        "TRUE AS p50_ok, TRUE AS p90_ok " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+    "agg_median_mad_approx" ->
+      ("WITH seg AS (SELECT c_mktsegment, o_totalprice FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey), " +
+        "med AS (SELECT c_mktsegment, quantile_cont(o_totalprice, 0.5) AS med " +
+        "FROM seg GROUP BY 1) " +
+        "SELECT seg.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "ROUND(min(med), 4) AS median_exact, " +
+        "ROUND(quantile_cont(abs(o_totalprice - med), 0.5), 4) AS mad_exact, " +
+        "TRUE AS med_ok, TRUE AS mad_ok " +
+        "FROM seg JOIN med ON seg.c_mktsegment = med.c_mktsegment " +
+        "GROUP BY 1 ORDER BY 1"),
+    "agg_profile_approx" ->
+      (Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+        .map(c => s"SELECT '$c' AS \"column\", count(*) AS n_rows, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct, TRUE AS dist_ok FROM orders")
+        .mkString(" UNION ALL ") + " ORDER BY \"column\""),
   )
 }

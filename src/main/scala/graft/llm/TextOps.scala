@@ -211,9 +211,54 @@ object TextOps {
     * at sf0.1 in BASELINE.md round 13 (tokenizer-scale counts stay
     * driver-side seconds-to-minutes, not the multi-hour job-per-merge
     * loop the old shape implied). BpeSpec reads the same value, so the
-    * reference-equality pin follows the override. */
-  private[graft] val bpeNumMerges: Int =
+    * reference-equality pin follows the override. `def`, not `val`
+    * (ADVICE r13): an object-initializer val turns a malformed env var
+    * into ExceptionInInitializerError swallowed by per-query catches —
+    * exactly the failure mode EnvKnobs' scaladoc warns callers about. */
+  private[graft] def bpeNumMerges: Int =
     graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_BPE_MERGES", 1000)
+
+  /** Vocab-collect guards (VERDICT r14 #2 — the one standing driver-side
+    * scale-killer): `trainBpe` collects the distinct-word frequency table,
+    * which is Heaps-law-bounded but NOT constant — a 100 TB web corpus has
+    * 10⁸+ distinct "words" under whitespace splitting, and an unbounded
+    * collect of that is a driver OOM discovered hours into the job.
+    * `bpeMinCount` prunes the long tail BEFORE the collect (count ≥ 2
+    * already removes most of a web corpus's hapax noise — typos, hashes,
+    * boilerplate IDs — that no tokenizer wants merges for); `bpeVocabCap`
+    * is the hard stop: if the pruned vocab still exceeds it, the job
+    * fails LOUDLY at plan time with the knob to turn, instead of OOMing
+    * the driver. Defaults keep test corpora byte-identical (minCount=1
+    * prunes nothing at these SFs) while bounding the worst case at ~2M
+    * words ≈ low hundreds of MB driver-side — tokenizer-training scale. */
+  private[graft] def bpeMinCount: Long =
+    graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_BPE_MINCOUNT", 1).toLong
+  private[graft] def bpeVocabCap: Int =
+    graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_BPE_VOCAB_CAP", 2000000)
+
+  /** The bounded vocab collect — the ONLY place corpus-derived data
+    * crosses to the driver in the BPE path. `limit(cap + 1)` bounds the
+    * transferred rows at plan level (the overflow probe IS the collect —
+    * no second pass), and one extra row distinguishes "exactly cap" from
+    * "over cap". Deterministic layout via the word sort; counts are
+    * unaffected by the sort. Exposed for BpeSpec's heavy-tail case. */
+  private[graft] def boundedVocab(wordCounts: org.apache.spark.sql.DataFrame,
+      minCount: Long, cap: Int): Array[(String, Long)] = {
+    require(cap > 0, s"vocab cap must be positive, got $cap")
+    val rows = wordCounts
+      .filter(col("cnt") >= minCount)
+      .orderBy("w")
+      .limit(cap + 1)
+      .collect()
+    if (rows.length > cap)
+      throw new IllegalStateException(
+        s"BPE vocab exceeds the $cap-word driver-collect cap even after " +
+          s"minCount=$minCount pruning. Raise SPARK_GRAFT_BPE_MINCOUNT " +
+          "(tail pruning) or SPARK_GRAFT_BPE_VOCAB_CAP (driver memory " +
+          "budget) — an unbounded vocab collect is a driver OOM at " +
+          "corpus scale.")
+    rows.map(r => (r.getString(0), r.getLong(1)))
+  }
 
   /** Initial symbol split by Unicode CODE POINTS, not UTF-16 units
     * (round-13 review): iterating chars breaks supplementary-plane text
@@ -238,13 +283,15 @@ object TextOps {
     // The one corpus-scale pass: word frequencies (map-side-combined).
     // Sorted by word for a deterministic collected layout; the merge
     // sequence itself depends only on the exact counts, not the order.
-    val words: Array[(String, Long)] = Tables(spark, sfDir, "documents")
+    // The collect is BOUNDED (minCount prune + hard cap — see
+    // boundedVocab): at these SFs the defaults prune nothing, at corpus
+    // scale they are the difference between a tokenizer-training job
+    // and a driver OOM.
+    val counts = Tables(spark, sfDir, "documents")
       .select(explode(tokens).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .orderBy("w")
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    induceMerges(words, bpeNumMerges)
+    induceMerges(boundedVocab(counts, bpeMinCount, bpeVocabCap), bpeNumMerges)
   }
 
   /** Driver-side incremental merge induction over a word-frequency table
@@ -279,6 +326,22 @@ object TextOps {
     }
     var i = 0
     while (i < n) { addPairs(i, 1L); i += 1 }
+    // Code-point lexicographic order for the argmax tie-break (ADVICE
+    // r13): this replaced a Spark orderBy whose string sort compares
+    // UTF-8 BYTES — identical to code-point order — while String.< is
+    // UTF-16 code-unit order, which ranks every supplementary-plane
+    // symbol (surrogates 0xD800+) BELOW e.g. U+FFFF. Equal on BMP-only
+    // corpora (the sequence-equality pin is unchanged), different —
+    // and previously silently wrong — when emoji/rare-CJK symbols tie.
+    def cpLess(a: String, b: String): Boolean = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+        if (ca != cb) return ca < cb
+        i += Character.charCount(ca)
+      }
+      a.length < b.length
+    }
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     while (step <= nMerges && counts.nonEmpty) {
@@ -286,7 +349,8 @@ object TextOps {
       // pair map (tens of thousands of entries; trivially cheap per step)
       var bl: String = null; var br: String = null; var bn = -1L
       counts.foreach { case ((l, r), c) =>
-        if (c > bn || (c == bn && (l < bl || (l == bl && r < br)))) {
+        if (c > bn || (c == bn && (cpLess(l, bl) ||
+            (l == bl && cpLess(r, br))))) {
           bl = l; br = r; bn = c
         }
       }

@@ -14,6 +14,15 @@ import scala.collection.mutable
 class BpeSpec extends AnyFunSuite {
   import SparkFixture.{spark, sfDir}
 
+  private def cpKey(s: String): Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i); b += cp; i += Character.charCount(cp)
+    }
+    b.result()
+  }
+
   private def refBpe(words: Map[String, Long],
                      nMerges: Int): Seq[(Int, String, String, Long)] = {
     // code-point split (round-13 review): w.map(_.toString) breaks
@@ -37,7 +46,14 @@ class BpeSpec extends AnyFunSuite {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((l, r), n) = counts.minBy { case ((a, b), m) => (-m, a, b) }
+        // tie-break by CODE POINTS (= UTF-8 byte order), matching the
+        // trainer (ADVICE r13): Scala's String ordering compares UTF-16
+        // units, which ranks supplementary-plane symbols differently
+        val ((l, r), n) = counts.minBy { case ((a, b), m) =>
+          (-m, cpKey(a), cpKey(b))
+        }(Ordering.Tuple3(Ordering.Long,
+          Ordering.Implicits.seqOrdering[Seq, Int],
+          Ordering.Implicits.seqOrdering[Seq, Int]))
         out += ((step, l, r, n))
         vocab = vocab.map { case (syms, c) =>
           var acc = Vector.empty[String]
@@ -102,6 +118,52 @@ class BpeSpec extends AnyFunSuite {
     // full merge table (the apply side consumes exactly this)
     val costs = got.wordCost.toMap
     assert(costs.size == words.size)
+  }
+
+  test("argmax tie-break uses code-point order on supplementary-plane ties") {
+    // ADVICE r13: String.< compares UTF-16 units, where an emoji's lead
+    // surrogate (0xD83D) sorts BELOW U+FFFF — the opposite of code-point
+    // (= UTF-8 byte) order, which is what the replaced Spark orderBy
+    // compared. Two pairs tie at count 5; the code-point argmax must
+    // pick l = U+FFFF (65535 < 0x1F600 = 128512), while the UTF-16
+    // comparison would pick the emoji.
+    val emoji = new String(Character.toChars(0x1F600))
+    val ffff = "￿"
+    assert(emoji < ffff, "precondition: UTF-16 order ranks emoji first")
+    val words = Map(s"${emoji}a" -> 5L, s"${ffff}a" -> 5L)
+    val got = graft.llm.TextOps.induceMerges(words.toArray.sortBy(_._1), 2)
+    assert(got.merges.head._2 == ffff && got.merges.head._3 == "a",
+      s"tie must break to U+FFFF under code-point order, got ${got.merges.head}")
+    assert(got.merges == refBpe(words, 2),
+      "trainer and reference diverge on a supplementary-plane tie")
+  }
+
+  test("vocab collect is bounded: minCount prunes, cap fails loudly") {
+    // VERDICT r14 #2: the trainer's driver-side collect must be bounded
+    // — a heavy-tail web vocab (hapaxes dominating the distinct count)
+    // must either prune to tokenizer scale or fail loudly BEFORE the
+    // driver absorbs it, never OOM. Synthetic heavy tail: 400 hapaxes
+    // (cnt=1) + 20 real words (cnt>=3).
+    import spark.implicits._
+    val tail = (1 to 400).map(i => (f"hapax$i%04d", 1L))
+    val head = (1 to 20).map(i => (f"word$i%02d", 3L + i))
+    val counts = (tail ++ head).toDF("w", "cnt")
+    // prune: minCount=2 keeps exactly the 20 head words, sorted by word
+    val pruned = graft.llm.TextOps.boundedVocab(counts, 2L, 1000)
+    assert(pruned.length == 20 && pruned.map(_._1).toSeq == pruned.map(_._1).toSeq.sorted)
+    assert(pruned.forall(_._2 >= 3L))
+    // merges over the pruned vocab match the reference over the same map
+    // (pruning only shrinks the input; surviving-merge semantics intact)
+    val got = graft.llm.TextOps.induceMerges(pruned, 25)
+    assert(got.merges == refBpe(pruned.toMap, 25))
+    // exactly-at-cap passes (the +1 probe must not misfire on ==)
+    assert(graft.llm.TextOps.boundedVocab(counts, 2L, 20).length == 20)
+    // over-cap fails loudly with the knobs named, never a silent truncate
+    val e = intercept[IllegalStateException] {
+      graft.llm.TextOps.boundedVocab(counts, 1L, 50)
+    }
+    assert(e.getMessage.contains("SPARK_GRAFT_BPE_VOCAB_CAP") &&
+      e.getMessage.contains("SPARK_GRAFT_BPE_MINCOUNT"))
   }
 
   test("distributed merge induction equals the single-threaded reference") {

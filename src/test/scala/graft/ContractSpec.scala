@@ -28,11 +28,13 @@ class ContractSpec extends AnyFunSuite {
     // operator landing without an oracle must either get one or be added
     // here WITH its spec, never silently.
     val waived = Map(
+      // round 15: agg_percentile_approx / agg_profile_approx /
+      // agg_median_mad_approx left this list — they carry WEAK-FORM
+      // oracles now (Verify dumps estimate⋈exact-twin frames whose exact
+      // columns DuckDB hash-matches and whose bound booleans the oracle
+      // pins TRUE; SparkEntry.verifyQueries).
       "agg_hll_mergeable" -> "ApproxSpec",
       "agg_heavy_hitters_cms" -> "ApproxSpec",
-      "agg_percentile_approx" -> "ApproxSpec",
-      "agg_profile_approx" -> "ApproxSpec",
-      "agg_median_mad_approx" -> "ApproxSpec (<=1% vs exact twin)",
       "llm_dedup_minhash" -> "NearDupSpec",
       "llm_dedup_minhash_indexed" -> "NearDupSpec (byte-equality vs in-memory)",
       "llm_sig_index_build" -> "NearDupSpec (profile equality)",
@@ -57,6 +59,17 @@ class ContractSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"waivers for nonexistent operators: $stale")
     val shadowed = waived.keySet.intersect(SparkEntry.oracleSql.keySet)
     assert(shadowed.isEmpty, s"waived operators that now HAVE oracles (drop the waiver): $shadowed")
+  }
+
+  test("verifyQueries overrides are oracled registry keys") {
+    // a verify frame for a key outside the registry never runs; one
+    // without an oracle SQL entry demotes its row back to rows-only —
+    // both silent, both pinned here
+    val vk = SparkEntry.verifyQueries.keySet
+    assert((vk -- SparkEntry.queries.keySet).isEmpty,
+      s"verify frames for unregistered ops: ${vk -- SparkEntry.queries.keySet}")
+    assert((vk -- SparkEntry.oracleSql.keySet).isEmpty,
+      s"verify frames without oracle SQL: ${vk -- SparkEntry.oracleSql.keySet}")
   }
 
   test("oracle lint: every integer SUM is CAST (DuckDB HUGEINT vs Spark BIGINT)") {
