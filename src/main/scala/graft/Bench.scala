@@ -8,6 +8,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Stage Spark's working dirs (shuffle spill, RocksDB state-store
+      // working trees, broadcast scratch) on the repo scratch policy
+      // (VERDICT r14 #1a) instead of the /tmp default: one explicit,
+      // pre-created location the warmed-scratch wipe below knows to
+      // preserve, on the same device every sink op writes to — so the
+      // io calibration probes measure the regime the streams' state
+      // commits actually run under.
+      .config("spark.local.dir", graft.util.Scratch.keep("spark_local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated subset for local iteration (default: all).
@@ -26,6 +34,18 @@ object Bench {
     // aren't attributable. Skipped when no selected query touches them.
     val warmupSec: Double = {
       val w0 = System.nanoTime()
+      // Warmed-scratch staging (VERDICT r14 #1a): delete every stale
+      // scratch child (previous bench/verify leftovers — multi-GB of
+      // sink output, stream checkpoints, old index persists) BEFORE the
+      // timed loop, so no timed op pays a bulk delete inside its own
+      // row and the filesystem metadata for the scratch tree is warm.
+      // spark_local survives: it is the live session's spark.local.dir,
+      // created at context start above. Index persists wiped here are
+      // rebuilt by the index warmup below, still untimed.
+      try graft.util.Scratch.wipeExcept(Set("spark_local"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scratch wipe failed: ${e.getMessage}")
+      }
       // Page-cache sweep of EVERY timed input artifact (VERDICT r11 #1):
       // the round-11 driver capture spiked 15-23x on rows whose first
       // timed action was a cold read of the sf tables under a measured
@@ -123,8 +143,14 @@ object Bench {
     // ≈ 256 MB written then fully read back (the xor folds every column,
     // defeating column pruning). CPU share is two xxhash64 passes — small
     // and constant, so a move in this number is a move in the I/O regime.
-    val calibIoSec: Double = {
-      val dir = graft.util.Scratch.dir("calib_io")
+    // Factored so the SAME fixed workload can re-probe mid-run (VERDICT
+    // r14 #1c): the r13 capture degraded AFTER the pre-loop calibrations
+    // read nominal, so the capture itself carried no evidence of the
+    // episode — a second probe after the sink block makes a sustained
+    // io regime shift visible in the artifact and folds it into the
+    // repeat policy's thresholds for the rows still to come.
+    def ioProbe(tag: String): Double = {
+      val dir = graft.util.Scratch.dir(s"calib_io_$tag")
       val t0 = System.nanoTime()
       spark.range(0, 8000000L, 1, 8)
         .selectExpr("id", "xxhash64(id, 1) AS h1", "xxhash64(id, 2) AS h2",
@@ -135,6 +161,7 @@ object Bench {
         .selectExpr("bit_xor(v) AS x").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    val calibIoSec: Double = ioProbe("pre")
     // Host-regime factors derived from the three probes, computed BEFORE
     // the timed loop (ADVICE r12 #4): the repeat policy below must scale
     // its spike thresholds by the measured regime, or a uniformly slow
@@ -201,8 +228,9 @@ object Bench {
       System.err.println("[bench] WARNING: no band entries parsed — " +
         "repeat-on-spike policy is DISABLED for this run")
     else {
-      val bandless = (selected.keySet -- bands.keySet)
-        .filterNot(_.startsWith("stream_")).toSeq.sorted
+      // streams are no longer exempt (VERDICT r14 #1b) — a bandless
+      // stream row can't re-run either, so name it like any other
+      val bandless = (selected.keySet -- bands.keySet).toSeq.sorted
       if (bandless.nonEmpty)
         System.err.println(s"[bench] ${bandless.size} queries have no " +
           s"band entry (repeat policy inert for them): ${bandless.mkString(", ")}")
@@ -219,10 +247,13 @@ object Bench {
     // 1.66 regime) then costs its true steady-state price, while a real
     // code regression reproduces across all three runs and still reports
     // elevated. Clean regime: nothing trips the threshold, zero extra
-    // cost. Streaming rows are excluded — their fixtures accumulate
-    // per-op StreamMetrics across runs and their swing is adjudicated
-    // separately (stream_commit line). A 120 s cumulative budget bounds
-    // the worst case (a fully degraded host must not triple the capture).
+    // cost. Streaming rows are INCLUDED since round 15 (VERDICT r14 #1b —
+    // the r13 capture blew stream_dedup_incremental to 21 s on an io
+    // episode with no recourse); each stream run stages a fresh
+    // checkpoint/fixture so re-runs are independent, and the accumulated
+    // per-op StreamMetrics are divided by the run count in the
+    // stream_commit snapshot. A 120 s cumulative budget bounds the worst
+    // case (a fully degraded host must not triple the capture).
     val repeatBudget = 120.0
     var repeatSpent = 0.0
     var rerunFailed = 0
@@ -230,8 +261,23 @@ object Bench {
     // a failed re-run) so the sidecar shows exactly what was measured.
     val rerunLog = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
     val firstSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results = selected.map { case (name, fn) =>
+    // Sorted order: deterministic run sequence (the old Map order was
+    // hash-layout trivia), families group together, and "after the sink
+    // block" — the mid-run probe's anchor — is well-defined.
+    val ordered = selected.toSeq.sortBy(_._1)
+    val lastSinkIdx = ordered.lastIndexWhere(_._1.startsWith("sink_"))
+    // Regime state updated by the mid-run probe (VERDICT r14 #1c): rows
+    // after a measured sustained degradation adjudicate against the
+    // degraded regime, not the stale pre-loop one.
+    var regimeScaleCur = regimeScale
+    var abnormalCur = calibAbnormal
+    var calibIo2Sec = -1.0
+    var hostIoFactor2 = -1.0
+    val streamRuns = scala.collection.mutable.Map.empty[String, Int]
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       def once(): Double = {
+        if (name.startsWith("stream_"))
+          streamRuns(name) = streamRuns.getOrElse(name, 0) + 1
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -241,11 +287,12 @@ object Bench {
       val t1 = once()
       firstSamples += t1
       // Threshold scaled by the measured regime (ADVICE r12 #4); re-runs
-      // suppressed wholesale under calibAbnormal — a flat-out degraded
-      // host re-measures its own degradation, not an episode.
-      val spiked = t1 >= 0 && !name.startsWith("stream_") && !calibAbnormal &&
+      // suppressed wholesale under a measured-abnormal regime — a
+      // flat-out degraded host re-measures its own degradation, not an
+      // episode.
+      val spiked = t1 >= 0 && !abnormalCur &&
         bands.get(name).exists(b =>
-          t1 > math.max(2.5 * b * regimeScale, b * regimeScale + 0.75))
+          t1 > math.max(2.5 * b * regimeScaleCur, b * regimeScaleCur + 0.75))
       // Budget checked BEFORE each re-run against its projected cost
       // (ADVICE r12 #2): t1 is the best available estimate of one more
       // run, so the bound holds even when a single spiked op costs
@@ -273,10 +320,33 @@ object Bench {
             else if (all.size == 2) all.max
             else t1
           System.err.println(f"[bench] $name spiked ${t1}%.3f vs band " +
-            f"${bands(name)}%.3f (scale ${regimeScale}%.2f) -> " +
+            f"${bands(name)}%.3f (scale ${regimeScaleCur}%.2f) -> " +
             f"adjudicated-of-${all.size} ${med}%.3f")
           med
         } else t1
+      // Mid-run sustained-throughput re-probe (VERDICT r14 #1c), anchored
+      // after the sink block — the io-heaviest stretch, and right before
+      // the stream rows whose state commits ride the same disk path. A
+      // degradation that developed after the pre-loop calibration is now
+      // (a) visible in the capture (calib_io2_sec / host_io_factor2 /
+      // the folded regime_scale) and (b) folded into the spike
+      // thresholds for every remaining row.
+      if (idx == lastSinkIdx) {
+        calibIo2Sec =
+          try ioProbe("mid")
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] mid-run io probe failed: ${e.getMessage}"); -1.0
+          }
+        if (calibIo2Sec >= 0) {
+          hostIoFactor2 = math.max(calibIo2Sec / calibIoNominal, 1e-9)
+          regimeScaleCur = math.max(regimeScaleCur, hostIoFactor2)
+          abnormalCur = abnormalCur ||
+            hostIoFactor2 > 2.0 || hostIoFactor2 < 1.0 / 2.0
+          System.err.println(f"[bench] mid-run io probe ${calibIo2Sec}%.3f s " +
+            f"(factor ${hostIoFactor2}%.2f, regime scale now ${regimeScaleCur}%.2f" +
+            (if (abnormalCur && !calibAbnormal) ", ABNORMAL — re-runs off" else "") + ")")
+        }
+      }
       name -> v
     }
     // Per-query detail on its OWN line, then a short machine-parseable
@@ -286,9 +356,9 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val good = results.values.filter(_ >= 0)
+    val good = results.map(_._2).filter(_ >= 0)
     val total = if (good.nonEmpty) good.sum else 0.0
-    val nFailed = results.values.count(_ < 0)
+    val nFailed = results.count(_._2 < 0)
     // Raw first-touch total alongside the adjudicated one (ADVICE r12 #1):
     // the repeat policy is one-sided (only slow first runs are replaced by
     // their median), so the adjudicated total can only move DOWN relative
@@ -338,17 +408,23 @@ object Bench {
     // additionally carries fixture setup (writing staged drops, reading
     // the result back), so wall − trigger ≈ fixture overhead, and
     // commit/trigger is the checkpoint-commit share of the stream itself.
+    // Since streams can repeat-on-spike (round 15), each op's summed
+    // metrics are divided by its run count — the emitted numbers are
+    // per-run, comparable with the runs=1 captures of earlier rounds;
+    // "runs" makes the division visible.
     // The 500 ms sleep lets the async listener bus drain the final
     // progress events before the snapshot.
     Thread.sleep(500)
     val streamSplit = graft.streaming.StreamMetrics.snapshot
     val ssJson = streamSplit.toSeq.sortBy(_._1).map { case (k, s) =>
-      "\"" + k + "\":{\"batches\":" + s.batches +
-        ",\"trigger_sec\":" + f3(s.triggerMs / 1000.0) +
-        ",\"commit_sec\":" + f3(s.commitMs / 1000.0) +
-        ",\"wal_sec\":" + f3(s.walMs / 1000.0) +
-        ",\"state_sec\":" + f3(s.stateMs / 1000.0) +
-        ",\"work_sec\":" + f3(s.workMs / 1000.0) + "}"
+      val runs = math.max(1, streamRuns.getOrElse(k, 1))
+      "\"" + k + "\":{\"batches\":" + (s.batches / runs) +
+        ",\"runs\":" + runs +
+        ",\"trigger_sec\":" + f3(s.triggerMs / 1000.0 / runs) +
+        ",\"commit_sec\":" + f3(s.commitMs / 1000.0 / runs) +
+        ",\"wal_sec\":" + f3(s.walMs / 1000.0 / runs) +
+        ",\"state_sec\":" + f3(s.stateMs / 1000.0 / runs) +
+        ",\"work_sec\":" + f3(s.workMs / 1000.0 / runs) + "}"
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE",
       "/root/repo/target/bench_detail.json")
@@ -364,7 +440,11 @@ object Bench {
     }
     val detailPathJ = jstr(detailPath)
     val sfDirJ = jstr(sfDir)
-    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_first_sample":${f3(totalFirstSample)},"n_queries":${results.size},"failed":$nFailed,"reruns":${rerunLog.size},"rerun_failed":$rerunFailed,"regime_scale":${f3(regimeScale)},"streaming_sec":${f3(streamingSec)},"analytic_sec":${f3(analyticSec)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"calib_io_sec":${f3(calibIoSec)},"calib_nominal":${f3(calibNominal)},"calib_shuffle_nominal":${f3(calibShuffleNominal)},"calib_io_nominal":${f3(calibIoNominal)},"calib_abnormal":$calibAbnormal,"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"host_io_factor":${f3(hostIoFactor)},"detail_file":"$detailPathJ","sf":"$sfDirJ"}"""
+    // regime_scale is the FINAL folded value (pre-loop probes ∨ mid-run
+    // probe) so a degradation that developed during the run is visible in
+    // the one field cross-round readers already consume; the pre-loop
+    // value stays available as regime_scale_start.
+    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_first_sample":${f3(totalFirstSample)},"n_queries":${results.size},"failed":$nFailed,"reruns":${rerunLog.size},"rerun_failed":$rerunFailed,"regime_scale":${f3(regimeScaleCur)},"regime_scale_start":${f3(regimeScale)},"streaming_sec":${f3(streamingSec)},"analytic_sec":${f3(analyticSec)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"calib_io_sec":${f3(calibIoSec)},"calib_io2_sec":${f3(calibIo2Sec)},"calib_nominal":${f3(calibNominal)},"calib_shuffle_nominal":${f3(calibShuffleNominal)},"calib_io_nominal":${f3(calibIoNominal)},"calib_abnormal":$calibAbnormal,"calib_abnormal_final":$abnormalCur,"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"host_io_factor":${f3(hostIoFactor)},"host_io_factor2":${f3(hostIoFactor2)},"detail_file":"$detailPathJ","sf":"$sfDirJ"}"""
     // stdout FIRST — it is the ground truth the driver tail-captures; a
     // bad SPARK_GRAFT_DETAIL_FILE must not cost the whole run's results
     // (review r10: the sidecar write used to run before any println and

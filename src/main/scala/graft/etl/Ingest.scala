@@ -592,7 +592,11 @@ object Ingest {
     * views (CatalogSpec asserts the second session starts view-less).
     * Cross-JVM the same code runs against a Hive/Glue metastore; inside
     * the driver contract the session is handed to us already built, so
-    * the in-JVM second session is the demonstrable spelling. */
+    * the in-JVM second session is the demonstrable spelling here. The
+    * PROCESS boundary is proven separately (round 15):
+    * tools/CatalogPersist registers the table in a Derby-backed Hive
+    * metastore and a second forked JVM resolves it by name alone —
+    * CatalogPersistSpec runs both as real child processes. */
   val scanCatalogSecondSession: QFn = (spark, sfDir) => {
     val tag = catalogTag(spark, sfDir)
     val s2 = spark.newSession()

@@ -25,6 +25,27 @@ object Scratch {
     p.toString
   }
 
+  /** Wipe every child of the scratch root except the named keep-dirs —
+    * Bench's pre-run staging (VERDICT r14 #1a): stale multi-GB leftovers
+    * from previous verify/bench runs must be deleted OUTSIDE the timed
+    * region (each op's Scratch.dir otherwise pays the delete of the LAST
+    * run's output inside its own timed row), while live session dirs
+    * (spark.local.dir is created at context start, before any warmup
+    * code runs) must survive. */
+  def wipeExcept(keepNames: Set[String]): Unit = {
+    val r = Paths.get(root)
+    if (Files.exists(r)) {
+      val kids = Files.list(r)
+      try {
+        val it = kids.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (!keepNames(p.getFileName.toString)) delete(p)
+        }
+      } finally kids.close()
+    }
+  }
+
   def delete(p: Path): Unit = if (Files.exists(p)) {
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
