@@ -37,7 +37,8 @@ object ScaleCheck {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
-      "dedup,sim,text,window,width,cluster,recall,containment,span,kmeans,pipeline64")
+      "dedup,sim,text,window,width,cluster,recall,containment,span,kmeans," +
+        "pipeline64,sink")
       .split(",").toSet
     // Per-section scale-tier overrides (round 9): the width/sim curves
     // extend one octave per round and re-running the recorded lower tiers
@@ -542,6 +543,78 @@ object ScaleCheck {
           s""""ivf_recall":${r3(ivfRecall)},"ivf_sec":${f2(ivfSec)},"ivf_index_sec":${f2(ivfIndexSec)}}""")
         graft.llm.DedupOps.clearCaches()
         graft.llm.SimilarityOps.clearCaches()
+      }
+    }
+
+    if (sections("sink")) {
+      // ---- round 15 (VERDICT r14 queue #7): profile-guided sink audit —
+      // bytes/files/seconds per sink op at ×8 input volume. The output is
+      // the MB/s FLOOR future io-spike adjudications compare against: a
+      // sink row far below its recorded floor on nominal calibrations is
+      // a host episode, at the floor it is a real regression. Facts
+      // replicate with PRIMARY keys shifted per replica and FOREIGN keys
+      // intact (orders⋈lineitem shift together; custkeys unshifted), so
+      // every join-bearing sink's output volume stays proportional.
+      // NOTE: clears non-keep scratch between ops for byte attribution —
+      // run this section alone or last.
+      val sinkScale = graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_SINK_SCALE", 8)
+      val corpusName = s"scale_sink_x$sinkScale"
+      val d = graft.util.Scratch.dir(corpusName)
+      val o = spark.read.parquet(s"$base/orders.parquet")
+      (0 until sinkScale).map(r =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(r * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$d/orders.parquet")
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      (0 until sinkScale).map(r =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(r * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      val ev = Tables(spark, base, "events")
+      (0 until sinkScale).map(r =>
+        ev.withColumn("event_id", col("event_id") + lit(r * 10000000L)))
+        .reduce(_ unionByName _)
+        // back to long nanos so Tables' ns-rewrite applies on re-read
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      val cu = spark.read.parquet(s"$base/customer.parquet")
+      (0 until sinkScale).map(r =>
+        cu.withColumn("c_custkey", col("c_custkey") + lit(r * 1000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$d/customer.parquet")
+
+      val sinkOps = SparkEntry.queries.filter(_._1.startsWith("sink_"))
+        .toSeq.sortBy(_._1)
+      // untimed: JIT/codegen warm at base scale + the ×scale Derby OLTP
+      // seed (memoized per sfDir — without this the jdbc row would absorb
+      // the seed, exactly the shared-index story in Bench's warmup)
+      sinkOps.foreach { case (_, fn) => fn(spark, base).count() }
+      graft.etl.Ingest.derbyUrl(spark, d)
+
+      // scratch snapshot EXCLUDING spark_local (shuffle spill is transient
+      // plumbing, not sink output; its lingering blockmgr files would
+      // pollute the byte deltas)
+      def snapshot(): (Long, Long) = {
+        var files = 0L; var bytes = 0L
+        def walk(f: java.io.File): Unit =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+          else if (f.isFile) { files += 1; bytes += f.length() }
+        Option(new java.io.File("/root/repo/target/scratch").listFiles())
+          .getOrElse(Array.empty)
+          .filterNot(_.getName == "spark_local").foreach(walk)
+        (files, bytes)
+      }
+      sinkOps.foreach { case (name, fn) =>
+        graft.util.Scratch.wipeWhere(n =>
+          !(n == "spark_local" || n.startsWith("derby") || n == corpusName))
+        val (f0, b0) = snapshot()
+        val t = time(fn(spark, d).count())
+        val (f1, b1) = snapshot()
+        val mb = (b1 - b0) / 1048576.0
+        println(s"""{"metric":"scale_check_sink","op":"$name","scale":$sinkScale,""" +
+          s""""sec":${f2(t)},"files":${f1 - f0},"mb":${f2(mb)},""" +
+          s""""mb_per_sec":${f2(if (t > 0) mb / t else 0.0)}}""")
       }
     }
 

@@ -32,7 +32,15 @@ object Scratch {
     * run's output inside its own timed row), while live session dirs
     * (spark.local.dir is created at context start, before any warmup
     * code runs) must survive. */
-  def wipeExcept(keepNames: Set[String]): Unit = {
+  def wipeExcept(keepNames: Set[String]): Unit =
+    wipeWhere(n => !keepNames(n))
+
+  /** Predicate form of [[wipeExcept]]: delete the scratch children whose
+    * NAME satisfies `doomed`. ScaleCheck's sink audit uses it to clear
+    * previous sink output (attribution: the next op's byte delta must be
+    * its own) while keeping live session dirs, Derby databases, and the
+    * replicated corpus. */
+  def wipeWhere(doomed: String => Boolean): Unit = {
     val r = Paths.get(root)
     if (Files.exists(r)) {
       val kids = Files.list(r)
@@ -40,7 +48,7 @@ object Scratch {
         val it = kids.iterator()
         while (it.hasNext) {
           val p = it.next()
-          if (!keepNames(p.getFileName.toString)) delete(p)
+          if (doomed(p.getFileName.toString)) delete(p)
         }
       } finally kids.close()
     }
