@@ -244,7 +244,9 @@ object TextOps {
     * unaffected by the sort. Exposed for BpeSpec's heavy-tail case. */
   private[graft] def boundedVocab(wordCounts: org.apache.spark.sql.DataFrame,
       minCount: Long, cap: Int): Array[(String, Long)] = {
-    require(cap > 0, s"vocab cap must be positive, got $cap")
+    require(cap > 0 && cap < Int.MaxValue,
+      s"vocab cap must be in [1, ${Int.MaxValue - 1}], got $cap (the +1 " +
+        "overflow probe needs headroom)")
     val rows = wordCounts
       .filter(col("cnt") >= minCount)
       .orderBy("w")

@@ -164,6 +164,38 @@ class ApproxSpec extends AnyFunSuite {
       s"approx profile must keep sketches as opaque objects (ObjectHashAggregate):\n$approxPlan")
   }
 
+  test("weak-oracle verify frames: every bound boolean true, schema oracle-shaped") {
+    // Round 15: the three approx twins' driver rows ride these frames
+    // (SparkEntry.verifyQueries) — their bound booleans must be TRUE and
+    // their column names must match what the DuckDB oracle SQL emits,
+    // else the driver row hash-fails a round later than CI can catch it.
+    // The MAD bounds carry a rank-slack term (±0.5% ranks around the
+    // median — see medianMadApproxJoined) so they hold at every SF tier;
+    // this pin runs at the driver's correctness tier.
+    val dir = "/root/testdata/sf0.01"
+    val expectedCols = Map(
+      "agg_percentile_approx" ->
+        Seq("o_orderstatus", "cnt", "p50_exact", "p90_exact", "p50_ok", "p90_ok"),
+      "agg_median_mad_approx" ->
+        Seq("c_mktsegment", "n_orders", "median_exact", "mad_exact", "med_ok", "mad_ok"),
+      "agg_profile_approx" ->
+        Seq("column", "n_rows", "n_nulls", "n_distinct", "dist_ok"))
+    assert(SparkEntry.verifyQueries.keySet == expectedCols.keySet)
+    SparkEntry.verifyQueries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.columns.toSeq == expectedCols(name),
+        s"$name verify-frame columns drifted: ${df.columns.toSeq}")
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name verify frame is empty")
+      val okCols = expectedCols(name).filter(_.endsWith("_ok"))
+      okCols.foreach { c =>
+        val idx = df.columns.indexOf(c)
+        assert(rows.forall(_.getBoolean(idx)),
+          s"$name: bound column $c has a false row — estimate outside tolerance")
+      }
+    }
+  }
+
   test("union of per-day sketches equals the single-pass sketch") {
     val ev = graft.tables.Tables(spark, sfDir, "events")
     val merged = ev
