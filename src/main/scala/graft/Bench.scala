@@ -14,8 +14,11 @@ object Bench {
       // pre-created location the warmed-scratch wipe below knows to
       // preserve, on the same device every sink op writes to — so the
       // io calibration probes measure the regime the streams' state
-      // commits actually run under.
-      .config("spark.local.dir", graft.util.Scratch.keep("spark_local"))
+      // commits actually run under. resetKeep: stale children from a
+      // killed previous run are cleared now (before the context exists);
+      // the live session's fresh subdirs are preserved by every later
+      // wipe.
+      .config("spark.local.dir", graft.util.Scratch.resetKeep("spark_local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated subset for local iteration (default: all).
@@ -37,8 +40,13 @@ object Bench {
       // Warmed-scratch staging (VERDICT r14 #1a): delete every stale
       // scratch child (previous bench/verify leftovers — multi-GB of
       // sink output, stream checkpoints, old index persists) BEFORE the
-      // timed loop, so no timed op pays a bulk delete inside its own
+      // timed loop, so no FIRST sample pays a bulk delete inside its own
       // row and the filesystem metadata for the scratch tree is warm.
+      // Residual (review r15): spike RE-runs still delete the previous
+      // sample's output inside their timed region (a generic mid-loop
+      // wipe would destroy the persisted index frames other rows
+      // consume) — that bias is upward-only on the re-run samples, so
+      // the adjudicated median errs conservative, never hides a spike.
       // spark_local survives: it is the live session's spark.local.dir,
       // created at context start above. Index persists wiped here are
       // rebuilt by the index warmup below, still untimed.
@@ -276,13 +284,21 @@ object Bench {
     val streamRuns = scala.collection.mutable.Map.empty[String, Int]
     val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       def once(): Double = {
-        if (name.startsWith("stream_"))
-          streamRuns(name) = streamRuns.getOrElse(name, 0) + 1
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
-        }
+        val v =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
+          }
+        // per-run divisor for the stream_commit snapshot counts SUCCESSFUL
+        // runs only (review r15): a run that dies mid-stream contributed
+        // only partial batch metrics, and counting it would skew the
+        // per-run averages low. (A failed partial run's few batches still
+        // land in the sums — the divisor error is bounded by one partial
+        // run, vs a whole phantom run the attempt-count spelling charged.)
+        if (v >= 0 && name.startsWith("stream_"))
+          streamRuns(name) = streamRuns.getOrElse(name, 0) + 1
+        v
       }
       val t1 = once()
       firstSamples += t1

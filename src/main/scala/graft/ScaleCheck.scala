@@ -546,6 +546,46 @@ object ScaleCheck {
       }
     }
 
+    if (sections("width")) {
+      // ---- candidate-WORK counts to ×64 under the derived index widths
+      // (round 6): pairs per item, not seconds — seconds at these corpus
+      // sizes are dominated by fixed per-job overhead, counts are the
+      // direct no-n² witness.
+      //   minhash: banded signature join — pair structure is the planted
+      //     near-dups, linear by construction; per-doc must stay flat.
+      //   simhash: (chunk, cval, ±1 length band) collisions under the
+      //     round-7 128-bit / 8×16-chunk geometry. simhash_nb_per_doc is
+      //     the same join WITHOUT the length-band key — the direct witness
+      //     that the wider fingerprint itself (not the band crutch) holds
+      //     candidate growth; the banded production number then divides
+      //     that constant further.
+      //   embedding RP: bits derive from n (occupancy ~8), so per-vec
+      //     bucket-pair work must stay FLAT — this is the round-6 fix
+      //     under test.
+      widthScales.foreach { scale =>
+        val ddir = docsDir(scale, "width_docs")
+        val nDocs = spark.read.parquet(s"$ddir/documents.parquet").count()
+        val mh = graft.llm.DedupOps.minhashCandidates(spark, ddir).count()
+        val sh = graft.llm.DedupOps.simhashCandidates(spark, ddir).count()
+        val shNb = graft.llm.DedupOps.simhashCandidates(spark, ddir, useBand = false).count()
+        graft.llm.DedupOps.clearCaches()
+        val edir = embDir(scale, "width_emb")
+        val nVecs = graft.llm.DedupOps.embCount(spark, edir)
+        val bits = graft.llm.DedupOps.projBitsFor(nVecs)
+        val rp = graft.llm.DedupOps.embIndex(spark, edir)
+          .groupBy("bucket").count()
+          .agg(sum(col("count") * (col("count") - 1) / 2).cast("long").as("p"))
+          .head.getLong(0)
+        graft.llm.DedupOps.clearCaches()
+        graft.llm.SimilarityOps.clearCaches()
+        def r2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+        println(s"""{"metric":"scale_check_width","scale":$scale,""" +
+          s""""docs":$nDocs,"minhash_pairs":$mh,"minhash_per_doc":${r2(mh.toDouble / nDocs)},""" +
+          s""""simhash_cands":$sh,"simhash_per_doc":${r2(sh.toDouble / nDocs)},""" +
+          s""""simhash_nb_cands":$shNb,"simhash_nb_per_doc":${r2(shNb.toDouble / nDocs)},""" +
+          s""""vecs":$nVecs,"rp_bits":$bits,"rp_pairs":$rp,"rp_per_vec":${r2(rp.toDouble / nVecs)}}""")
+      }
+    }
     if (sections("sink")) {
       // ---- round 15 (VERDICT r14 queue #7): profile-guided sink audit —
       // bytes/files/seconds per sink op at ×8 input volume. The output is
@@ -555,8 +595,9 @@ object ScaleCheck {
       // replicate with PRIMARY keys shifted per replica and FOREIGN keys
       // intact (orders⋈lineitem shift together; custkeys unshifted), so
       // every join-bearing sink's output volume stays proportional.
-      // NOTE: clears non-keep scratch between ops for byte attribution —
-      // run this section alone or last.
+      // NOTE: clears non-keep scratch between ops for byte attribution,
+      // so this block is placed LAST in section order (review r15) — any
+      // section after it would find its scratch artifacts destroyed.
       val sinkScale = graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_SINK_SCALE", 8)
       val corpusName = s"scale_sink_x$sinkScale"
       val d = graft.util.Scratch.dir(corpusName)
@@ -600,7 +641,7 @@ object ScaleCheck {
           if (f.isDirectory)
             Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
           else if (f.isFile) { files += 1; bytes += f.length() }
-        Option(new java.io.File("/root/repo/target/scratch").listFiles())
+        Option(new java.io.File(graft.util.Scratch.rootDir).listFiles())
           .getOrElse(Array.empty)
           .filterNot(_.getName == "spark_local").foreach(walk)
         (files, bytes)
@@ -618,46 +659,6 @@ object ScaleCheck {
       }
     }
 
-    if (sections("width")) {
-      // ---- candidate-WORK counts to ×64 under the derived index widths
-      // (round 6): pairs per item, not seconds — seconds at these corpus
-      // sizes are dominated by fixed per-job overhead, counts are the
-      // direct no-n² witness.
-      //   minhash: banded signature join — pair structure is the planted
-      //     near-dups, linear by construction; per-doc must stay flat.
-      //   simhash: (chunk, cval, ±1 length band) collisions under the
-      //     round-7 128-bit / 8×16-chunk geometry. simhash_nb_per_doc is
-      //     the same join WITHOUT the length-band key — the direct witness
-      //     that the wider fingerprint itself (not the band crutch) holds
-      //     candidate growth; the banded production number then divides
-      //     that constant further.
-      //   embedding RP: bits derive from n (occupancy ~8), so per-vec
-      //     bucket-pair work must stay FLAT — this is the round-6 fix
-      //     under test.
-      widthScales.foreach { scale =>
-        val ddir = docsDir(scale, "width_docs")
-        val nDocs = spark.read.parquet(s"$ddir/documents.parquet").count()
-        val mh = graft.llm.DedupOps.minhashCandidates(spark, ddir).count()
-        val sh = graft.llm.DedupOps.simhashCandidates(spark, ddir).count()
-        val shNb = graft.llm.DedupOps.simhashCandidates(spark, ddir, useBand = false).count()
-        graft.llm.DedupOps.clearCaches()
-        val edir = embDir(scale, "width_emb")
-        val nVecs = graft.llm.DedupOps.embCount(spark, edir)
-        val bits = graft.llm.DedupOps.projBitsFor(nVecs)
-        val rp = graft.llm.DedupOps.embIndex(spark, edir)
-          .groupBy("bucket").count()
-          .agg(sum(col("count") * (col("count") - 1) / 2).cast("long").as("p"))
-          .head.getLong(0)
-        graft.llm.DedupOps.clearCaches()
-        graft.llm.SimilarityOps.clearCaches()
-        def r2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-        println(s"""{"metric":"scale_check_width","scale":$scale,""" +
-          s""""docs":$nDocs,"minhash_pairs":$mh,"minhash_per_doc":${r2(mh.toDouble / nDocs)},""" +
-          s""""simhash_cands":$sh,"simhash_per_doc":${r2(sh.toDouble / nDocs)},""" +
-          s""""simhash_nb_cands":$shNb,"simhash_nb_per_doc":${r2(shNb.toDouble / nDocs)},""" +
-          s""""vecs":$nVecs,"rp_bits":$bits,"rp_pairs":$rp,"rp_per_vec":${r2(rp.toDouble / nVecs)}}""")
-      }
-    }
     spark.stop()
   }
 }

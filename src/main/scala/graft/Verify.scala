@@ -68,11 +68,19 @@ object Verify {
       selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     // Estimate-vs-exact deltas for the weak-oracle sketch rows (VERDICT
     // r14 queue #9) — machine-readable evidence next to the dumps. Only
-    // meaningful when those rows ran; best-effort (a delta failure must
-    // not zero the round's correctness dump).
-    if (selected.keySet.exists(SparkEntry.verifyQueries.keySet))
+    // for rows that RAN in this invocation (review r15: a subset run must
+    // not publish fresh-looking deltas for rows whose dumps it did not
+    // refresh); best-effort (a delta failure must not zero the round's
+    // correctness dump). Stale-output guard like the parquet dumps: the
+    // previous run's file is deleted up front, so a skipped or failed
+    // delta pass leaves a missing file, never round-N evidence under a
+    // round-N+1 timestamp.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$outDir/approx_deltas.json"))
+    val deltaOps = selected.keySet.intersect(SparkEntry.verifyQueries.keySet)
+    if (deltaOps.nonEmpty)
       try {
-        val deltas = graft.analytics.Advanced.approxDeltas(spark, sfDir)
+        val deltas = graft.analytics.Advanced.approxDeltas(spark, sfDir, deltaOps)
         // non-finite doubles are not JSON — emit null rather than NaN
         def jnum(v: Double): String =
           if (java.lang.Double.isFinite(v)) v.toString else "null"

@@ -934,28 +934,35 @@ object Advanced {
     * to the correctness parquet, so the sketch rows carry their measured
     * deltas in the artifact the driver reads rather than a bare pass.
     * Rows are (op, group, metric, estimate, exact) — report-sized
-    * collects (5-6 groups per op). */
-  def approxDeltas(spark: SparkSession,
-      sfDir: String): Seq[(String, String, String, Double, Double)] = {
-    val p = percentileApproxJoined(spark, sfDir).collect().toSeq.flatMap { r =>
-      val g = r.getAs[String]("o_orderstatus")
-      Seq(("agg_percentile_approx", g, "p50",
-            r.getAs[Double]("p50_est"), r.getAs[Double]("e50")),
-          ("agg_percentile_approx", g, "p90",
-            r.getAs[Double]("p90_est"), r.getAs[Double]("e90")))
-    }
-    val m = medianMadApproxJoined(spark, sfDir).collect().toSeq.flatMap { r =>
-      val g = r.getAs[String]("c_mktsegment")
-      Seq(("agg_median_mad_approx", g, "median",
-            r.getAs[Double]("med_est"), r.getAs[Double]("median_price")),
-          ("agg_median_mad_approx", g, "mad",
-            r.getAs[Double]("mad_est"), r.getAs[Double]("mad")))
-    }
-    val d = profileApproxJoined(spark, sfDir).collect().toSeq.map { r =>
-      ("agg_profile_approx", r.getAs[String]("column"), "n_distinct",
-        r.getAs[Double]("n_distinct_approx"),
-        r.getAs[Long]("n_distinct").toDouble)
-    }
+    * collects (5-6 groups per op), restricted to `ops` so a subset Verify
+    * never publishes deltas for rows whose dumps it did not refresh
+    * (review r15). The joined frames re-execute here rather than reusing
+    * the dump pass's results — a verify-time-only double cost of seconds,
+    * taken for the simpler one-shot shape. */
+  def approxDeltas(spark: SparkSession, sfDir: String,
+      ops: Set[String]): Seq[(String, String, String, Double, Double)] = {
+    val p = if (!ops("agg_percentile_approx")) Nil
+      else percentileApproxJoined(spark, sfDir).collect().toSeq.flatMap { r =>
+        val g = r.getAs[String]("o_orderstatus")
+        Seq(("agg_percentile_approx", g, "p50",
+              r.getAs[Double]("p50_est"), r.getAs[Double]("e50")),
+            ("agg_percentile_approx", g, "p90",
+              r.getAs[Double]("p90_est"), r.getAs[Double]("e90")))
+      }
+    val m = if (!ops("agg_median_mad_approx")) Nil
+      else medianMadApproxJoined(spark, sfDir).collect().toSeq.flatMap { r =>
+        val g = r.getAs[String]("c_mktsegment")
+        Seq(("agg_median_mad_approx", g, "median",
+              r.getAs[Double]("med_est"), r.getAs[Double]("median_price")),
+            ("agg_median_mad_approx", g, "mad",
+              r.getAs[Double]("mad_est"), r.getAs[Double]("mad")))
+      }
+    val d = if (!ops("agg_profile_approx")) Nil
+      else profileApproxJoined(spark, sfDir).collect().toSeq.map { r =>
+        ("agg_profile_approx", r.getAs[String]("column"), "n_distinct",
+          r.getAs[Double]("n_distinct_approx"),
+          r.getAs[Long]("n_distinct").toDouble)
+      }
     p ++ m ++ d
   }
 

@@ -8,6 +8,11 @@ import java.nio.file.{Files, Path, Paths}
 object Scratch {
   private val root = "/root/repo/target/scratch"
 
+  /** The scratch root, for callers that walk it (ScaleCheck's sink-audit
+    * snapshot) — one spelling, here (review r15: a hardcoded copy going
+    * stale would make the audit silently report 0 bytes for every op). */
+  def rootDir: String = root
+
   /** Fresh (emptied) scratch directory for an operator run. */
   def dir(name: String): String = {
     val p = Paths.get(root, name)
@@ -23,6 +28,18 @@ object Scratch {
     val p = Paths.get(root, name)
     Files.createDirectories(p)
     p.toString
+  }
+
+  /** [[keep]] with a one-time reset: wiped NOW, preserved thereafter. For
+    * spark.local.dir (review r15): the keep-dir is exempt from every
+    * later wipe because the live session owns it, but Spark only removes
+    * its blockmgr-* and spark-* children via shutdown hook — a killed or
+    * OOMed previous run leaves hundreds of MB there that every subsequent
+    * run would otherwise preserve forever, on the same device the io
+    * probes measure. Call strictly BEFORE the SparkContext exists. */
+  def resetKeep(name: String): String = {
+    delete(Paths.get(root, name))
+    keep(name)
   }
 
   /** Wipe every child of the scratch root except the named keep-dirs —
