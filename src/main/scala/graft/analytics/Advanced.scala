@@ -922,12 +922,50 @@ object Advanced {
           <= lit(0.05) * col("n_distinct")).as("dist_ok"))
       .orderBy("column")
 
+  private def hllMergeableJoined(spark: SparkSession, sfDir: String) = {
+    val exact = Tables(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    aggHllMergeable(spark, sfDir).join(exact, Seq("event_type"))
+  }
+
+  private[graft] val verifyHllMergeable: QFn = (spark, sfDir) =>
+    hllMergeableJoined(spark, sfDir)
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= lit(0.05) * col("exact_users")).as("hll_ok"))
+      .orderBy("event_type")
+
+  private def heavyHittersCmsJoined(spark: SparkSession, sfDir: String) = {
+    val ev = Tables(spark, sfDir, "events")
+    val exact = ev.filter(col("user_id") < 50)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    // total-count scalar rides in broadcast (1 row) — the eps·N band needs N
+    val n = ev.agg(count(lit(1)).as("n_total"))
+    aggHeavyHittersCms(spark, sfDir)
+      .join(exact, Seq("user_id")).crossJoin(broadcast(n))
+  }
+
+  private[graft] val verifyHeavyHittersCms: QFn = (spark, sfDir) =>
+    heavyHittersCmsJoined(spark, sfDir)
+      .select(col("user_id"), col("exact_cnt"),
+        // deterministic CMS guarantee: counters only add, never undercount
+        (col("est_cnt") >= col("exact_cnt")).as("lower_ok"),
+        // eps·N band with the same 2× slack ApproxSpec uses (seed fixed,
+        // so the w.p.-0.99 bound is deterministic for this data)
+        (col("est_cnt") <= col("exact_cnt") +
+          greatest(lit(1L), ceil(lit(2 * 0.0001) * col("n_total")).cast("long")))
+          .as("upper_ok"))
+      .orderBy("user_id")
+
   /** Verification-frame overrides, keyed by the op they verify — applied
     * by Verify in place of the raw op dump (and nowhere else). */
   val verifyQueries: Map[String, QFn] = Map(
     "agg_percentile_approx" -> verifyPercentileApprox,
     "agg_median_mad_approx" -> verifyMedianMadApprox,
-    "agg_profile_approx" -> verifyProfileApprox)
+    "agg_profile_approx" -> verifyProfileApprox,
+    "agg_hll_mergeable" -> verifyHllMergeable,
+    "agg_heavy_hitters_cms" -> verifyHeavyHittersCms)
 
   /** Machine-readable estimate-vs-exact evidence for the weak-oracle rows
     * (VERDICT r14 queue #9): Verify dumps this as approx_deltas.json next
@@ -963,7 +1001,19 @@ object Advanced {
           r.getAs[Double]("n_distinct_approx"),
           r.getAs[Long]("n_distinct").toDouble)
       }
-    p ++ m ++ d
+    val h = if (!ops("agg_hll_mergeable")) Nil
+      else hllMergeableJoined(spark, sfDir).collect().toSeq.map { r =>
+        ("agg_hll_mergeable", r.getAs[String]("event_type"), "distinct_users",
+          r.getAs[Long]("approx_users").toDouble,
+          r.getAs[Long]("exact_users").toDouble)
+      }
+    val c = if (!ops("agg_heavy_hitters_cms")) Nil
+      else heavyHittersCmsJoined(spark, sfDir).collect().toSeq.map { r =>
+        ("agg_heavy_hitters_cms", r.getAs[Long]("user_id").toString, "count",
+          r.getAs[Long]("est_cnt").toDouble,
+          r.getAs[Long]("exact_cnt").toDouble)
+      }
+    p ++ m ++ d ++ h ++ c
   }
 
   /** First/last order per customer carried onto every row — the
@@ -1364,10 +1414,10 @@ object Advanced {
         "WHERE o_orderstatus = 'O' AND o_totalprice > 300000.0) o " +
         "ON l_orderkey = o_orderkey " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
-    // agg_hll_mergeable: estimate not oracle-replayable → ApproxSpec
-    // Weak-form oracles (VERDICT r14 queue #4): Verify dumps the
-    // verifyQueries frame for these three keys — exact columns (DuckDB
-    // replays them verbatim) + bound booleans the oracle pins to TRUE.
+    // Weak-form oracles (VERDICT r14 queue #4, extended to the HLL/CMS
+    // sketches in round 15): Verify dumps the verifyQueries frame for
+    // these five keys — exact columns (DuckDB replays them verbatim) +
+    // bound booleans the oracle pins to TRUE.
     "agg_percentile_approx" ->
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         "ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact, " +
@@ -1392,5 +1442,13 @@ object Advanced {
           s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
           s"count(DISTINCT $c) AS n_distinct, TRUE AS dist_ok FROM orders")
         .mkString(" UNION ALL ") + " ORDER BY \"column\""),
+    "agg_hll_mergeable" ->
+      ("SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days, " +
+        "count(DISTINCT user_id) AS exact_users, TRUE AS hll_ok " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "agg_heavy_hitters_cms" ->
+      ("SELECT user_id, count(*) AS exact_cnt, " +
+        "TRUE AS lower_ok, TRUE AS upper_ok " +
+        "FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1"),
   )
 }

@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** agg_hll_mergeable has no DuckDB oracle (estimate algorithms differ
-  * across engines) — pin its accuracy against the exact distinct count
-  * instead, and pin the mergeability property: unioning per-day sketches
-  * must give the same estimate as sketching the whole column at once. */
+/** Sketch estimates are not DuckDB-replayable (estimate algorithms differ
+  * across engines) — pin accuracy against the exact twins here, and pin
+  * the mergeability property: unioning per-day sketches must give the
+  * same estimate as sketching the whole column at once. The weak-form
+  * oracle frames (verifyQueries) carry the same bounds into the driver's
+  * DuckDB compare; the dual pin at the bottom keeps their column contract
+  * honest in CI. */
 class ApproxSpec extends AnyFunSuite {
   import SparkFixture.{spark, sfDir}
 
@@ -183,7 +186,11 @@ class ApproxSpec extends AnyFunSuite {
       "agg_median_mad_approx" ->
         Seq("c_mktsegment", "n_orders", "median_exact", "mad_exact", "med_ok", "mad_ok"),
       "agg_profile_approx" ->
-        Seq("column", "n_rows", "n_nulls", "n_distinct", "dist_ok"))
+        Seq("column", "n_rows", "n_nulls", "n_distinct", "dist_ok"),
+      "agg_hll_mergeable" ->
+        Seq("event_type", "n_days", "exact_users", "hll_ok"),
+      "agg_heavy_hitters_cms" ->
+        Seq("user_id", "exact_cnt", "lower_ok", "upper_ok"))
     assert(SparkEntry.verifyQueries.keySet == expectedCols.keySet)
     for (dir <- dirs; (name, fn) <- SparkEntry.verifyQueries) {
       val df = fn(spark, dir)

@@ -29,12 +29,11 @@ class ContractSpec extends AnyFunSuite {
     // here WITH its spec, never silently.
     val waived = Map(
       // round 15: agg_percentile_approx / agg_profile_approx /
-      // agg_median_mad_approx left this list — they carry WEAK-FORM
+      // agg_median_mad_approx — then agg_hll_mergeable and
+      // agg_heavy_hitters_cms — left this list: they carry WEAK-FORM
       // oracles now (Verify dumps estimate⋈exact-twin frames whose exact
       // columns DuckDB hash-matches and whose bound booleans the oracle
       // pins TRUE; SparkEntry.verifyQueries).
-      "agg_hll_mergeable" -> "ApproxSpec",
-      "agg_heavy_hitters_cms" -> "ApproxSpec",
       "llm_dedup_minhash" -> "NearDupSpec",
       "llm_dedup_minhash_indexed" -> "NearDupSpec (byte-equality vs in-memory)",
       "llm_sig_index_build" -> "NearDupSpec (profile equality)",
