@@ -56,7 +56,19 @@ object SparkEntry {
     * estimate to its exact twin — exact columns DuckDB replays verbatim
     * plus bound booleans the oracle pins to TRUE (weak-form oracles,
     * VERDICT r14 queue #4). */
-  def verifyQueries: Map[String, QFn] = graft.analytics.Advanced.verifyQueries
+  def verifyQueries: Map[String, QFn] =
+    graft.analytics.Advanced.verifyQueries ++
+      DedupOps.verifyQueries ++ SimilarityOps.verifyQueries ++
+      TextOps.verifyQueries
+
+  /** Estimate-vs-exact evidence rows for approx_deltas.json, restricted
+    * to ops that ran (see Verify) — aggregated across the modules that
+    * own weak-form-oracle ops. */
+  def approxDeltas(spark: SparkSession, sfDir: String,
+      ops: Set[String]): Seq[(String, String, String, Double, Double)] =
+    graft.analytics.Advanced.approxDeltas(spark, sfDir, ops) ++
+      DedupOps.approxDeltas(spark, sfDir, ops) ++
+      SimilarityOps.approxDeltas(spark, sfDir, ops)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

@@ -80,7 +80,7 @@ object Verify {
     val deltaOps = selected.keySet.intersect(SparkEntry.verifyQueries.keySet)
     if (deltaOps.nonEmpty)
       try {
-        val deltas = graft.analytics.Advanced.approxDeltas(spark, sfDir, deltaOps)
+        val deltas = SparkEntry.approxDeltas(spark, sfDir, deltaOps)
         // non-finite doubles are not JSON — emit null rather than NaN
         def jnum(v: Double): String =
           if (java.lang.Double.isFinite(v)) v.toString else "null"

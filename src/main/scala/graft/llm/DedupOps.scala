@@ -1355,6 +1355,208 @@ object DedupOps {
     "llm_dedup_cluster" -> llmDedupCluster,
   )
 
+  // -----------------------------------------------------------------------
+  // Weak-form oracles for the xxhash-sketch dedup/index ops (round 15 —
+  // the same estimate⋈exact-twin pattern Advanced.verifyQueries set for
+  // the approx aggregates): Verify dumps a VERIFICATION frame whose exact
+  // columns DuckDB replays verbatim and whose bound booleans the oracle
+  // pins TRUE. Consumed ONLY by Verify — Bench times the production plans.
+  // -----------------------------------------------------------------------
+
+  /** MinHash recall/accuracy frame, shared by the three signature-pair
+    * producers (in-memory, indexed, two-generation append — byte-identical
+    * outputs, each frame exercising ITS OWN path): one row per TRUE
+    * Jaccard≥0.5 pair (exact hashed-shingle Jaccard via [[verifiedPairs]],
+    * whose pair SET DuckDB replays from raw 5-gram substrings — the
+    * llm_dedup_ngram_jaccard argument, so a banding regression that drops
+    * a true pair fails rows_match), `detected` asserting the pair also
+    * cleared the est_jaccard≥0.5 sketch gate, and `est_ok` asserting the
+    * K=32 signature estimate sits within 0.25 of the exact Jaccard
+    * (measured max |est−exact| across tiers: 0.17 at sf0.1; binomial σ at
+    * J=0.5, K=32 is 0.088 — 0.25 is ~2.8σ). Pairs the sketch detects
+    * SPURIOUSLY (est≥0.5, exact<0.5 — one at sf0.1) are intentionally
+    * absent: the frame grades recall + estimate accuracy, the documented
+    * LSH near-dup guarantees. */
+  private def minhashVerifyFrame(out: QFn): QFn = (spark, sfDir) => {
+    val det = out(spark, sfDir).select(col("doc_a"), col("doc_b"),
+      col("est_jaccard"))
+    verifiedPairs(spark, sfDir)
+      .join(det, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("est_jaccard").isNotNull.as("detected"),
+        (col("est_jaccard").isNotNull &&
+          abs(col("est_jaccard") - col("jaccard")) <= 0.25).as("est_ok"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash verification frame (shared by the in-memory and indexed
+    * twins): the top-200 ranking itself is sketch-valued, but three
+    * engine-independent claims about it are checkable — the output is
+    * exactly the 200-pair panel (`n_pairs`, hash-matched against DuckDB's
+    * least(200, C(n,2))), every EXACT-duplicate document pair appears in
+    * it with Hamming 0 (identical text ⇒ identical 128-bit fingerprint ⇒
+    * collides on every chunk and its own length band — pinned TRUE over
+    * the 8 planted dup pairs at sf0.1, vacuous at the dup-free tiers),
+    * and no reported distance exceeds the 128-bit space's midpoint
+    * (measured max: 17). Jaccard≥0.9 pairs are NOT asserted: at sf0.1 the
+    * 200-pair cut drops 28 of 182 — the ranking's honest behavior, graded
+    * by FingerprintSpec's property tests instead. */
+  private def simhashVerifyFrame(out: QFn): QFn = (spark, sfDir) => {
+    val o = out(spark, sfDir).select("doc_a", "doc_b", "hamming")
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    val dups = docs.as("x").join(docs.as("y"),
+        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val dupOk = dups.join(o, Seq("doc_a", "doc_b"), "left")
+      .agg(coalesce(min(coalesce(col("hamming") === 0, lit(false))),
+        lit(true)).as("dup_zero_ok"))
+    val stats = o.agg(count(lit(1)).as("n_pairs"), max(col("hamming")).as("mh"))
+    Tables(spark, sfDir, "documents").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dupOk))
+      .select(col("n_docs"), col("n_pairs"), col("dup_zero_ok"),
+        (col("mh") <= 64).as("ham_bound_ok"))
+  }
+
+  /** Span-dedup verification frame (shared by the in-memory and indexed
+    * twins): rare-fp blocking makes the detected pair SET df-dependent at
+    * the fingerprint level (not DuckDB-expressible — a long shared run of
+    * COMMON vocabulary is invisible once its winnowed fps exceed df 5),
+    * so the frame asserts the operator's sound half: every reported pair
+    * genuinely shares ≥2 distinct 8-gram shingles (n_shared_fp≥2 implies
+    * it by construction — fps ARE selected 8-gram hashes — re-verified
+    * here against the full per-doc shingle sets), and the pair list is
+    * non-empty at every tier. */
+  private def spanVerifyFrame(out: QFn): QFn = (spark, sfDir) => {
+    val h8 = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("ngram_hashes(lower(trim(text)), 8)").as("h8"))
+    val checked = out(spark, sfDir).select("doc_a", "doc_b")
+      .join(h8.select(col("doc_id").as("doc_a"), col("h8").as("h_a")),
+        Seq("doc_a"))
+      .join(h8.select(col("doc_id").as("doc_b"), col("h8").as("h_b")),
+        Seq("doc_b"))
+      .agg(coalesce(min(size(array_intersect(col("h_a"), col("h_b"))) >= 2),
+          lit(true)).as("precision_ok"),
+        (count(lit(1)) >= 1).as("nonempty_ok"))
+    Tables(spark, sfDir, "documents").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(checked))
+  }
+
+  /** Signature-index profile frame: per-band row count is STRUCTURAL
+    * (every doc emits exactly one row per band — hash-matched against
+    * DuckDB's corpus count), and the distinct band-hash count is bounded
+    * above by the distinct-normalized-text count (equal text ⇒ equal
+    * signature ⇒ equal band hash) and below by 3/5 of it (collisions only
+    * from near-dup banding agreement — measured floor across tiers: 0.83
+    * at sf0.1's 45k-pair l23 regime). */
+  private val sigIndexVerifyFrame: QFn = (spark, sfDir) => {
+    val texts = Tables(spark, sfDir, "documents")
+      .agg(countDistinct(lower(trim(col("text")))).as("n_texts"))
+    llmSigIndexBuild(spark, sfDir).crossJoin(broadcast(texts))
+      .select(col("band"), col("n_rows"),
+        (col("n_buckets") <= col("n_texts") &&
+          col("n_buckets") >= col("n_texts") * 3 / 5).as("buckets_ok"))
+      .orderBy("band")
+  }
+
+  /** SimHash-index profile frame: chunk count replays [[simChunkGeom]]
+    * from the corpus count in SQL (8 below 1M docs, 4 past it — the same
+    * derive-in-both-engines pattern as projBitsSqlDuck), per-chunk rows
+    * are structural (= corpus count), and distinct chunk values are
+    * bounded by [n_texts/8, min(n_texts, 2^w)] (equal text ⇒ equal chunk
+    * value; the floor holds 2× margin under the 31-word fixture's heavy
+    * fingerprint correlation — measured min ratio 0.21 at sf0.1). */
+  private val simIndexVerifyFrame: QFn = (spark, sfDir) => {
+    val (_, w) = simGeomOverride.getOrElse(simChunkGeom(docCount(spark, sfDir)))
+    val texts = Tables(spark, sfDir, "documents")
+      .agg(countDistinct(lower(trim(col("text")))).as("n_texts"))
+    llmSimIndexBuild(spark, sfDir).crossJoin(broadcast(texts))
+      .select(col("chunk"), col("n_rows"),
+        (col("n_cvals") <= least(col("n_texts"), lit(1L << w)) &&
+          col("n_cvals") >= col("n_texts") / 8).as("cvals_ok"))
+      .orderBy("chunk")
+  }
+
+  /** Winnow-posting profile frame: gram-position total replays in DuckDB
+    * (Σ max(len−7, 1) over normalized text), and the posting size must
+    * sit inside the winnow density envelope — selection picks one min per
+    * 16-window, so density is ≥ 1/16 by the window guarantee and ≈ 2/17
+    * expected (measured 10.5-10.6% at every tier); the [1/16, 1/5] band
+    * gives ~2× headroom both ways without admitting a broken winnow. */
+  private val spanIndexVerifyFrame: QFn = (spark, sfDir) => {
+    val d = Tables(spark, sfDir, "documents")
+      .select(length(lower(trim(col("text")))).as("len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(greatest(col("len") - 7, lit(1))).cast("long").as("n_positions"))
+    llmSpanIndexBuild(spark, sfDir).crossJoin(broadcast(d))
+      .select(col("n_docs"), col("n_positions"),
+        (col("n_fp_rows") >= col("n_positions") / 16 &&
+          col("n_fp_rows") <= col("n_positions") / 5).as("density_ok"),
+        (col("n_distinct_fps") <= col("n_fp_rows")).as("distinct_ok"))
+  }
+
+  /** Verification-frame overrides consumed by Verify (SparkEntry wires
+    * them next to Advanced.verifyQueries). */
+  val verifyQueries: Map[String, QFn] = Map(
+    "llm_dedup_minhash" -> minhashVerifyFrame(llmDedupMinhash),
+    "llm_dedup_minhash_indexed" -> minhashVerifyFrame(llmDedupMinhashIndexed),
+    "llm_sig_index_append" -> minhashVerifyFrame(llmSigIndexAppend),
+    "llm_dedup_simhash" -> simhashVerifyFrame(llmDedupSimhash),
+    "llm_dedup_simhash_indexed" -> simhashVerifyFrame(llmDedupSimhashIndexed),
+    "llm_dedup_span" -> spanVerifyFrame(llmDedupSpan),
+    "llm_dedup_span_indexed" -> spanVerifyFrame(llmDedupSpanIndexed),
+    "llm_sig_index_build" -> sigIndexVerifyFrame,
+    "llm_sim_index_build" -> simIndexVerifyFrame,
+    "llm_span_index_build" -> spanIndexVerifyFrame)
+
+  /** Estimate-vs-exact deltas for the sketch rows' approx_deltas.json
+    * evidence (companion to Advanced.approxDeltas): MinHash signature
+    * estimates against exact hashed-shingle Jaccard, one row per true
+    * pair — report-sized (≤256 pairs at sf0.1). Only the base operator
+    * reports (the indexed/append twins are byte-identical by NearDupSpec,
+    * so their deltas would be copies). */
+  def approxDeltas(spark: SparkSession, sfDir: String,
+      ops: Set[String]): Seq[(String, String, String, Double, Double)] =
+    if (!ops("llm_dedup_minhash")) Nil
+    else llmDedupMinhash(spark, sfDir)
+      .join(verifiedPairs(spark, sfDir), Seq("doc_a", "doc_b"))
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .collect().toSeq.map { r =>
+        ("llm_dedup_minhash",
+          s"${r.getAs[Long]("doc_a")}|${r.getAs[Long]("doc_b")}", "jaccard",
+          r.getAs[Double]("est_jaccard"), r.getAs[Double]("jaccard"))
+      }
+
+  // Weak-form oracle SQL for the sketch verification frames above. The
+  // MinHash frame's row set is the exact-Jaccard≥0.5 pair set — the same
+  // raw-substring replay as the ngram_jaccard oracle — with the sketch
+  // claims as TRUE-pinned booleans; shared verbatim by the three
+  // signature-pair producers (byte-identical outputs by NearDupSpec).
+  private val minhashVerifyOracleSql: String =
+    ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+      "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 5) AS gram " +
+      "FROM d, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)), " +
+      "n AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id), " +
+      "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i " +
+      "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, " +
+      "ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) AS jaccard, " +
+      "TRUE AS detected, TRUE AS est_ok " +
+      "FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
+      "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5 " +
+      "ORDER BY doc_a, doc_b")
+
+  private val simhashVerifyOracleSql: String =
+    ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(least(200, count(*) * (count(*) - 1) // 2) AS BIGINT) AS n_pairs, " +
+      "TRUE AS dup_zero_ok, TRUE AS ham_bound_ok FROM documents")
+
+  private val spanVerifyOracleSql: String =
+    ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+      "TRUE AS precision_ok, TRUE AS nonempty_ok FROM documents")
+
   // shared by the in-memory and indexed containment twins (see map below)
   private val containmentOracleSql: String =
     ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
@@ -1587,5 +1789,30 @@ object DedupOps {
         "SELECT doc_id, count(*) AS n_shared_grams " +
         "FROM g JOIN tr USING (gram) WHERE NOT is_train " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // weak-form oracles (round 15) — these keys' Verify dumps are the
+    // verification FRAMES above, not the raw sketch outputs
+    "llm_dedup_minhash" -> minhashVerifyOracleSql,
+    "llm_dedup_minhash_indexed" -> minhashVerifyOracleSql,
+    "llm_sig_index_append" -> minhashVerifyOracleSql,
+    "llm_dedup_simhash" -> simhashVerifyOracleSql,
+    "llm_dedup_simhash_indexed" -> simhashVerifyOracleSql,
+    "llm_dedup_span" -> spanVerifyOracleSql,
+    "llm_dedup_span_indexed" -> spanVerifyOracleSql,
+    "llm_sig_index_build" ->
+      ("WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) " +
+        "SELECT CAST(b AS INT) AS band, n_docs AS n_rows, TRUE AS buckets_ok " +
+        "FROM t, unnest(range(4)) AS u(b) ORDER BY band"),
+    // chunk geometry replayed from the corpus count (simChunkGeom: 8×16-bit
+    // below 1M docs, 4×32-bit past it)
+    "llm_sim_index_build" ->
+      ("WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) " +
+        "SELECT CAST(c AS INT) AS chunk, n_docs AS n_rows, TRUE AS cvals_ok " +
+        "FROM t, unnest(range(CASE WHEN n_docs <= 1000000 THEN 8 ELSE 4 END)) " +
+        "AS u(c) ORDER BY chunk"),
+    "llm_span_index_build" ->
+      ("WITH d AS (SELECT lower(trim(text)) AS t FROM documents) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(greatest(length(t) - 7, 1)) AS BIGINT) AS n_positions, " +
+        "TRUE AS density_ok, TRUE AS distinct_ok FROM d"),
   )
 }

@@ -497,6 +497,86 @@ object SimilarityOps {
       .drop("cents", "cnorms", "keys", "vnorm")
   }
 
+  // -----------------------------------------------------------------------
+  // Weak-form oracles (round 15) — verification frames Verify dumps in
+  // place of the raw outputs (Bench still times the production plans).
+  // -----------------------------------------------------------------------
+
+  /** IVF verification frame: single row with k and the 20th exact cosine
+    * (both DuckDB-replayed via the llm_similarity_topk machinery) plus a
+    * recall bound — the IVF probe must recover ≥15 of the exact top-20
+    * (measured: 19/17/18 across tiers; IvfTune's 50-query recall@20 is
+    * 0.902, and returned sims are exact cosines by construction, so
+    * recall IS the operator's entire approximation). */
+  private val ivfVerifyFrame: QFn = (spark, sfDir) => {
+    val exact = llmSimilarityTopk(spark, sfDir)
+    val found = exact.join(
+      llmSimilarityIvf(spark, sfDir).select("vec_id"),
+      Seq("vec_id"), "left_semi").agg(count(lit(1)).as("n_found"))
+    exact.agg(count(lit(1)).as("k"), min(col("sim")).as("sim20_exact"))
+      .crossJoin(broadcast(found))
+      .select(col("k"), col("sim20_exact"),
+        (col("n_found") >= 15).as("recall_ok"))
+  }
+
+  /** K-means verification frame: total assigned vectors and cell count
+    * are hash-matched (coverage — every vector lands in exactly one of
+    * the k=8 cells), and the clustered inertia Σ n·avg_dist2 must beat
+    * the k=1 baseline (total squared distance to the global mean, which
+    * DuckDB cannot see but the oracle pins as a TRUE bound — measured
+    * ratio 0.93-0.95 across tiers; Lloyd's with k=8 losing to a single
+    * centroid would mean the update loop is broken). */
+  private val kmeansVerifyFrame: QFn = (spark, sfDir) => {
+    val cells = llmClusterKmeans(spark, sfDir)
+    val agg = cells.agg(sum(col("n_vecs")).cast("long").as("n_vectors"),
+      count(lit(1)).as("n_cells"),
+      sum(col("n_vecs") * col("avg_dist2")).as("inertia"))
+    val dims = DedupOps.embIndex(spark, sfDir)
+      .select(posexplode(col("emb")).as(Seq("dim", "v")))
+    val mu = dims.groupBy("dim").agg(avg(col("v")).as("mu"))
+    val gi = dims.join(broadcast(mu), Seq("dim"))
+      .agg(sum(pow(col("v") - col("mu"), 2)).as("gi"))
+    agg.crossJoin(broadcast(gi))
+      .select(col("n_vectors"), col("n_cells"),
+        (col("inertia") < col("gi")).as("inertia_ok"))
+  }
+
+  val verifyQueries: Map[String, QFn] = Map(
+    "llm_similarity_ivf" -> ivfVerifyFrame,
+    "llm_cluster_kmeans" -> kmeansVerifyFrame)
+
+  /** approx_deltas.json evidence for the two frames above: IVF recall
+    * (found-of-20) and k-means inertia vs the k=1 global baseline. */
+  def approxDeltas(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      ops: Set[String]): Seq[(String, String, String, Double, Double)] = {
+    val ivf = if (!ops("llm_similarity_ivf")) Nil
+      else {
+        val exact = llmSimilarityTopk(spark, sfDir)
+        val nf = exact.join(llmSimilarityIvf(spark, sfDir).select("vec_id"),
+          Seq("vec_id"), "left_semi").count()
+        Seq(("llm_similarity_ivf", "vec0", "recall_found_of_20",
+          nf.toDouble, 20.0))
+      }
+    val km = if (!ops("llm_cluster_kmeans")) Nil
+      else {
+        val r = kmeansDeltaRow(spark, sfDir)
+        Seq(("llm_cluster_kmeans", "all", "inertia_vs_k1", r._1, r._2))
+      }
+    ivf ++ km
+  }
+
+  private def kmeansDeltaRow(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (Double, Double) = {
+    val inertia = llmClusterKmeans(spark, sfDir)
+      .agg(sum(col("n_vecs") * col("avg_dist2"))).head.getDouble(0)
+    val dims = DedupOps.embIndex(spark, sfDir)
+      .select(posexplode(col("emb")).as(Seq("dim", "v")))
+    val mu = dims.groupBy("dim").agg(avg(col("v")).as("mu"))
+    val gi = dims.join(broadcast(mu), Seq("dim"))
+      .agg(sum(pow(col("v") - col("mu"), 2))).head.getDouble(0)
+    (inertia, gi)
+  }
+
   val queries: Map[String, QFn] = Map(
     "llm_cluster_kmeans" -> llmClusterKmeans,
     "llm_embedding_quantize" -> llmEmbeddingQuantize,
@@ -593,5 +673,17 @@ object SimilarityOps {
         "SELECT qid, label AS pred_label, votes FROM v " +
         "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, best_sim DESC, label) = 1 " +
         "ORDER BY qid"),
+    // weak-form oracles (round 15): these keys' Verify dumps are the
+    // verification frames above. IVF: the 20th exact cosine replays the
+    // llm_similarity_topk machinery; recall bound pinned TRUE.
+    "llm_similarity_ivf" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        s"t AS (SELECT $cosineSql AS sim, vec_id FROM embeddings, q " +
+        "WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20) " +
+        "SELECT CAST(count(*) AS BIGINT) AS k, min(sim) AS sim20_exact, " +
+        "TRUE AS recall_ok FROM t"),
+    "llm_cluster_kmeans" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_vectors, " +
+        "CAST(8 AS BIGINT) AS n_cells, TRUE AS inertia_ok FROM embeddings"),
   )
 }

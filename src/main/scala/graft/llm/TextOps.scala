@@ -1038,6 +1038,86 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -----------------------------------------------------------------------
+  // Weak-form oracles (round 15) — verification frames Verify dumps in
+  // place of the raw outputs (Bench still times the production plans).
+  // -----------------------------------------------------------------------
+
+  /** Fingerprint verification frame: the distinct-shingle count is
+    * hash-independent (distinct-of-hashes = distinct-of-8-grams, the
+    * llm_decontaminate collision argument), so `n_shingles` hash-matches
+    * DuckDB verbatim — the stronger half of the op's output; the min-hash
+    * itself is pinned by `dup_consistent` (identical raw text ⇒ identical
+    * shingle set ⇒ identical fp_min, checked per raw-text group). */
+  private val fingerprintVerifyFrame: QFn = (spark, sfDir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+    llmFingerprint(spark, sfDir)
+      .join(Tables(spark, sfDir, "documents").select("doc_id", "text"),
+        Seq("doc_id"))
+      .withColumn("gmin", min(col("fp_min")).over(w))
+      .withColumn("gmax", max(col("fp_min")).over(w))
+      .select(col("doc_id"), col("n_shingles"),
+        (col("gmin") === col("gmax")).as("dup_consistent"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-train verification frame: the FIRST merge is fully
+    * DuckDB-replayable (argmax adjacent-character pair over the weighted
+    * distinct-word table, ties to the lexicographically smallest — the
+    * trainer's own rule before any engine-specific state exists), and the
+    * remaining iterative sequence is pinned by structure: consecutive
+    * 1..n steps, strictly positive exact counts, and a merge count inside
+    * [1, min(configured, Σ(len(w)−1))] — each merge removes ≥1 symbol
+    * from some distinct word, so the corpus cannot sustain more. */
+  private val bpeTrainVerifyFrame: QFn = (spark, sfDir) => {
+    val m = llmBpeTrain(spark, sfDir)
+    val firstM = m.filter(col("step") === 1)
+      .select(col("merge_left"), col("merge_right"), col("pair_count"))
+    val stats = m.agg(count(lit(1)).as("n"), min(col("step")).as("min_s"),
+      max(col("step")).as("max_s"), countDistinct(col("step")).as("nd_s"),
+      min(col("pair_count")).as("min_c"))
+    val sumLen = Tables(spark, sfDir, "documents")
+      .select(explode(tokens).as("w")).filter(length(col("w")) > 0)
+      .distinct()
+      .agg(sum(length(col("w")) - 1).cast("long").as("sum_len"))
+    firstM.crossJoin(broadcast(stats)).crossJoin(broadcast(sumLen))
+      .select(col("merge_left"), col("merge_right"), col("pair_count"),
+        (col("min_s") === 1 && col("max_s") === col("n") &&
+          col("nd_s") === col("n")).as("steps_ok"),
+        (col("min_c") >= 1).as("counts_ok"),
+        (col("n") >= 1 &&
+          col("n") <= least(lit(bpeNumMerges.toLong), col("sum_len")))
+          .as("merges_bounded"))
+  }
+
+  /** BPE-apply verification frame: per-doc word count hash-matches DuckDB
+    * (the tokenizer split is hash-free), and the subword count is pinned
+    * by its structural envelope — ≥ words (merging never splits) and
+    * ≤ total word characters (splitting never exceeds one symbol per code
+    * point). `fully_merged_ok` pins the train→apply contract at fixture
+    * scale: training EXHAUSTS the 31-word vocab (~89 merges < the 1000
+    * configured), so every vocab word encodes to ONE subword and
+    * n_bpe_tokens must equal n_words exactly — a merge-table or encode
+    * regression breaks this loudly. */
+  private val bpeApplyVerifyFrame: QFn = (spark, sfDir) => {
+    val chars = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id")
+      .agg(sum(length(col("w"))).cast("long").as("n_chars"))
+    llmBpeApply(spark, sfDir).join(chars, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        (col("n_bpe_tokens") >= col("n_words")).as("tokens_ge_words"),
+        (col("n_bpe_tokens") <= col("n_chars")).as("tokens_le_chars"),
+        (col("n_bpe_tokens") === col("n_words")).as("fully_merged_ok"))
+      .orderBy("doc_id")
+  }
+
+  val verifyQueries: Map[String, QFn] = Map(
+    "llm_fingerprint" -> fingerprintVerifyFrame,
+    "llm_bpe_train" -> bpeTrainVerifyFrame,
+    "llm_bpe_apply" -> bpeApplyVerifyFrame)
+
   val queries: Map[String, QFn] = Map(
     "llm_mask_spans" -> llmMaskSpans,
     "llm_contrastive_pairs" -> llmContrastivePairs,
@@ -1304,7 +1384,42 @@ object TextOps {
           "CAST(floor((end_tok - n_tokens) / 2048) AS INT) AS bin, " +
           "CAST((end_tok - n_tokens) % 2048 AS INT) AS bin_offset " +
           "FROM s ORDER BY doc_id"),
-      // llm_fingerprint: xxhash64 not expressible in DuckDB — rows-only check.
+      // weak-form oracles (round 15): these keys' Verify dumps are the
+      // verification frames above, not the raw sketch / merge outputs.
+      // fingerprint: distinct-of-hashes = distinct-of-grams, so the
+      // shingle count replays on raw substrings; the min-hash is pinned
+      // per raw-text group (equal text ⇒ equal fp_min).
+      "llm_fingerprint" ->
+        ("WITH g AS (SELECT doc_id, " +
+          "count(DISTINCT substr(text, CAST(i AS BIGINT), 8)) AS n_shingles " +
+          "FROM documents, " +
+          "unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS u(i) " +
+          "GROUP BY doc_id) " +
+          "SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles, " +
+          "TRUE AS dup_consistent FROM g ORDER BY doc_id"),
+      // bpe_train: the first merge is the plain weighted argmax over
+      // adjacent character pairs of the distinct-word table — replayed
+      // exactly, tie-break and all; the iterative rest is structural.
+      "llm_bpe_train" ->
+        ("WITH w AS (SELECT w, count(*) AS cnt FROM (SELECT " +
+          "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w " +
+          "FROM documents) WHERE len(w) > 0 GROUP BY w), " +
+          "p AS (SELECT substr(w, CAST(i AS BIGINT), 1) AS l, " +
+          "substr(w, CAST(i AS BIGINT) + 1, 1) AS r, " +
+          "CAST(sum(cnt) AS BIGINT) AS c " +
+          "FROM w, unnest(range(1, greatest(length(w) - 1, 0) + 1)) AS u(i) " +
+          "GROUP BY 1, 2) " +
+          "SELECT l AS merge_left, r AS merge_right, c AS pair_count, " +
+          "TRUE AS steps_ok, TRUE AS counts_ok, TRUE AS merges_bounded " +
+          "FROM p ORDER BY c DESC, l, r LIMIT 1"),
+      "llm_bpe_apply" ->
+        ("SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+          "CAST(sum(length(w)) AS BIGINT) AS n_chars, " +
+          "TRUE AS tokens_ge_words, TRUE AS tokens_le_chars, " +
+          "TRUE AS fully_merged_ok " +
+          "FROM (SELECT doc_id, " +
+          "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w " +
+          "FROM documents) WHERE len(w) > 0 GROUP BY doc_id ORDER BY doc_id"),
     )
   }
 }

@@ -191,8 +191,11 @@ class ApproxSpec extends AnyFunSuite {
         Seq("event_type", "n_days", "exact_users", "hll_ok"),
       "agg_heavy_hitters_cms" ->
         Seq("user_id", "exact_cnt", "lower_ok", "upper_ok"))
-    assert(SparkEntry.verifyQueries.keySet == expectedCols.keySet)
-    for (dir <- dirs; (name, fn) <- SparkEntry.verifyQueries) {
+    // Scoped to the approx-aggregate frames this spec owns — the round-15
+    // llm sketch frames (minhash/simhash/span/index/ivf/kmeans/bpe/
+    // fingerprint) are pinned by WeakOracleSpec.
+    assert(graft.analytics.Advanced.verifyQueries.keySet == expectedCols.keySet)
+    for (dir <- dirs; (name, fn) <- graft.analytics.Advanced.verifyQueries) {
       val df = fn(spark, dir)
       assert(df.columns.toSeq == expectedCols(name),
         s"$name verify-frame columns drifted: ${df.columns.toSeq}")

@@ -27,29 +27,14 @@ class ContractSpec extends AnyFunSuite {
     // spec. This list is the exhaustive set of such waivers; a new
     // operator landing without an oracle must either get one or be added
     // here WITH its spec, never silently.
-    val waived = Map(
-      // round 15: agg_percentile_approx / agg_profile_approx /
-      // agg_median_mad_approx — then agg_hll_mergeable and
-      // agg_heavy_hitters_cms — left this list: they carry WEAK-FORM
-      // oracles now (Verify dumps estimate⋈exact-twin frames whose exact
-      // columns DuckDB hash-matches and whose bound booleans the oracle
-      // pins TRUE; SparkEntry.verifyQueries).
-      "llm_dedup_minhash" -> "NearDupSpec",
-      "llm_dedup_minhash_indexed" -> "NearDupSpec (byte-equality vs in-memory)",
-      "llm_sig_index_build" -> "NearDupSpec (profile equality)",
-      "llm_sig_index_append" -> "NearDupSpec (byte-equality vs in-memory, two-generation append)",
-      "llm_dedup_simhash" -> "FingerprintSpec",
-      "llm_sim_index_build" -> "FingerprintSpec (profile vs index fold)",
-      "llm_dedup_simhash_indexed" -> "FingerprintSpec (byte-equality vs in-memory)",
-      "llm_fingerprint" -> "FingerprintSpec",
-      "llm_similarity_ivf" -> "SimilaritySpec",
-      "llm_cluster_kmeans" -> "KMeansSpec",
-      "llm_dedup_span" -> "TextHashSpec (winnow guarantee) + NearDupSpec (planted spans)",
-      "llm_span_index_build" -> "NearDupSpec (profile vs in-memory winnow pass)",
-      "llm_dedup_span_indexed" -> "NearDupSpec (byte-equality vs in-memory)",
-      "llm_bpe_train" -> "BpeSpec (single-threaded reference equality)",
-      "llm_bpe_apply" -> "BpeSpec (per-doc counts vs reference encoder)",
-    )
+    // Round 15 emptied this list: the last fifteen waivers (the xxhash/
+    // sketch/iterative llm ops) now carry WEAK-FORM oracles — Verify
+    // dumps verification frames whose exact columns DuckDB hash-matches
+    // and whose bound booleans the oracle pins TRUE (SparkEntry
+    // .verifyQueries; WeakOracleSpec pins the frames in CI). The list
+    // stays as the documented mechanism for any future op that genuinely
+    // cannot carry even a weak-form oracle.
+    val waived = Map.empty[String, String]
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val unexplained = unoracled -- waived.keySet
     assert(unexplained.isEmpty,
