@@ -1391,16 +1391,17 @@ object DedupOps {
 
   /** SimHash verification frame (shared by the in-memory and indexed
     * twins): the top-200 ranking itself is sketch-valued, but three
-    * engine-independent claims about it are checkable — the output is
-    * exactly the 200-pair panel (`n_pairs`, hash-matched against DuckDB's
-    * least(200, C(n,2))), every EXACT-duplicate document pair appears in
-    * it with Hamming 0 (identical text ⇒ identical 128-bit fingerprint ⇒
-    * collides on every chunk and its own length band — pinned TRUE over
-    * the 8 planted dup pairs at sf0.1, vacuous at the dup-free tiers),
-    * and no reported distance exceeds the 128-bit space's midpoint
-    * (measured max: 17). Jaccard≥0.9 pairs are NOT asserted: at sf0.1 the
-    * 200-pair cut drops 28 of 182 — the ranking's honest behavior, graded
-    * by FingerprintSpec's property tests instead. */
+    * engine-independent claims about it are checkable — the panel is
+    * non-empty and never exceeds its 200-pair cap (`pairs_bounded`; the
+    * candidate count itself is corpus-dependent chunk-collision structure,
+    * so exact size is NOT pinned — review r15), every EXACT-duplicate
+    * document pair appears in it with Hamming 0 (identical text ⇒
+    * identical 128-bit fingerprint ⇒ collides on every chunk and its own
+    * length band — pinned TRUE over the 8 planted dup pairs at sf0.1,
+    * vacuous at the dup-free tiers), and no reported distance exceeds the
+    * 128-bit space's midpoint (measured max: 17). Jaccard≥0.9 pairs are
+    * NOT asserted: at sf0.1 the 200-pair cut drops 28 of 182 — the
+    * ranking's honest behavior, graded by FingerprintSpec instead. */
   private def simhashVerifyFrame(out: QFn): QFn = (spark, sfDir) => {
     val o = out(spark, sfDir).select("doc_a", "doc_b", "hamming")
     val docs = Tables(spark, sfDir, "documents")
@@ -1414,8 +1415,9 @@ object DedupOps {
     val stats = o.agg(count(lit(1)).as("n_pairs"), max(col("hamming")).as("mh"))
     Tables(spark, sfDir, "documents").agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dupOk))
-      .select(col("n_docs"), col("n_pairs"), col("dup_zero_ok"),
-        (col("mh") <= 64).as("ham_bound_ok"))
+      .select(col("n_docs"),
+        (col("n_pairs").between(1, 200)).as("pairs_bounded"),
+        col("dup_zero_ok"), (col("mh") <= 64).as("ham_bound_ok"))
   }
 
   /** Span-dedup verification frame (shared by the in-memory and indexed
@@ -1549,8 +1551,7 @@ object DedupOps {
       "ORDER BY doc_a, doc_b")
 
   private val simhashVerifyOracleSql: String =
-    ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
-      "CAST(least(200, count(*) * (count(*) - 1) // 2) AS BIGINT) AS n_pairs, " +
+    ("SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS pairs_bounded, " +
       "TRUE AS dup_zero_ok, TRUE AS ham_bound_ok FROM documents")
 
   private val spanVerifyOracleSql: String =

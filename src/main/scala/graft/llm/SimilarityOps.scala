@@ -502,6 +502,19 @@ object SimilarityOps {
   // place of the raw outputs (Bench still times the production plans).
   // -----------------------------------------------------------------------
 
+  /** IVF-recall scalar (|IVF top-20 ∩ exact top-20|), computed once per
+    * (session, sfDir) — shared by the verify frame and approxDeltas so
+    * the exact scan + probe never run twice in one Verify pass. */
+  private val ivfFoundCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def ivfFoundOf20(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Long =
+    ivfFoundCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + sfDir,
+      llmSimilarityTopk(spark, sfDir)
+        .join(llmSimilarityIvf(spark, sfDir).select("vec_id"),
+          Seq("vec_id"), "left_semi").count())
+
   /** IVF verification frame: single row with k and the 20th exact cosine
     * (both DuckDB-replayed via the llm_similarity_topk machinery) plus a
     * recall bound — the IVF probe must recover ≥15 of the exact top-20
@@ -509,36 +522,49 @@ object SimilarityOps {
     * 0.902, and returned sims are exact cosines by construction, so
     * recall IS the operator's entire approximation). */
   private val ivfVerifyFrame: QFn = (spark, sfDir) => {
-    val exact = llmSimilarityTopk(spark, sfDir)
-    val found = exact.join(
-      llmSimilarityIvf(spark, sfDir).select("vec_id"),
-      Seq("vec_id"), "left_semi").agg(count(lit(1)).as("n_found"))
-    exact.agg(count(lit(1)).as("k"), min(col("sim")).as("sim20_exact"))
-      .crossJoin(broadcast(found))
-      .select(col("k"), col("sim20_exact"),
-        (col("n_found") >= 15).as("recall_ok"))
+    val recallOk = ivfFoundOf20(spark, sfDir) >= 15
+    llmSimilarityTopk(spark, sfDir)
+      .agg(count(lit(1)).as("k"), min(col("sim")).as("sim20_exact"))
+      .select(col("k"), col("sim20_exact"), lit(recallOk).as("recall_ok"))
   }
 
-  /** K-means verification frame: total assigned vectors and cell count
-    * are hash-matched (coverage — every vector lands in exactly one of
-    * the k=8 cells), and the clustered inertia Σ n·avg_dist2 must beat
-    * the k=1 baseline (total squared distance to the global mean, which
-    * DuckDB cannot see but the oracle pins as a TRUE bound — measured
-    * ratio 0.93-0.95 across tiers; Lloyd's with k=8 losing to a single
-    * centroid would mean the update loop is broken). */
+  /** K-means summary (n_vectors, n_cells, clustered inertia, k=1
+    * global-mean inertia), computed once per (session, sfDir): the
+    * 4-iteration Lloyd loop is the expensive part and is NOT otherwise
+    * cached, so the verify frame and approxDeltas share this instead of
+    * each re-running it (review, round 15). */
+  private val kmeansStatsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Long, Double, Double)]
+  private def kmeansStats(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (Long, Long, Double, Double) =
+    kmeansStatsCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + sfDir, {
+        val cells = llmClusterKmeans(spark, sfDir).collect() // <= k rows
+        val n = cells.map(_.getAs[Long]("n_vecs")).sum
+        val inertia = cells
+          .map(r => r.getAs[Long]("n_vecs") * r.getAs[Double]("avg_dist2")).sum
+        val dims = DedupOps.embIndex(spark, sfDir)
+          .select(posexplode(col("emb")).as(Seq("dim", "v")))
+        val mu = dims.groupBy("dim").agg(avg(col("v")).as("mu"))
+        val gi = dims.join(broadcast(mu), Seq("dim"))
+          .agg(sum(pow(col("v") - col("mu"), 2))).head.getDouble(0)
+        (n, cells.length.toLong, inertia, gi)
+      })
+
+  /** K-means verification frame: total assigned vectors hash-match the
+    * corpus count (coverage — every vector lands in exactly one cell),
+    * the cell count is bounded by (0, k] rather than pinned equal to k
+    * (the trainer's emptied-cell branch legitimately yields fewer
+    * non-empty cells on some corpora — review, round 15), and the
+    * clustered inertia Σ n·avg_dist2 must beat the k=1 baseline (total
+    * squared distance to the global mean — measured ratio 0.93-0.95
+    * across tiers; Lloyd's with k=8 losing to a single centroid would
+    * mean the update loop is broken). */
   private val kmeansVerifyFrame: QFn = (spark, sfDir) => {
-    val cells = llmClusterKmeans(spark, sfDir)
-    val agg = cells.agg(sum(col("n_vecs")).cast("long").as("n_vectors"),
-      count(lit(1)).as("n_cells"),
-      sum(col("n_vecs") * col("avg_dist2")).as("inertia"))
-    val dims = DedupOps.embIndex(spark, sfDir)
-      .select(posexplode(col("emb")).as(Seq("dim", "v")))
-    val mu = dims.groupBy("dim").agg(avg(col("v")).as("mu"))
-    val gi = dims.join(broadcast(mu), Seq("dim"))
-      .agg(sum(pow(col("v") - col("mu"), 2)).as("gi"))
-    agg.crossJoin(broadcast(gi))
-      .select(col("n_vectors"), col("n_cells"),
-        (col("inertia") < col("gi")).as("inertia_ok"))
+    import spark.implicits._
+    val (n, cells, inertia, gi) = kmeansStats(spark, sfDir)
+    Seq((n, cells >= 1 && cells <= 8, inertia < gi))
+      .toDF("n_vectors", "cells_ok", "inertia_ok")
   }
 
   val verifyQueries: Map[String, QFn] = Map(
@@ -546,35 +572,19 @@ object SimilarityOps {
     "llm_cluster_kmeans" -> kmeansVerifyFrame)
 
   /** approx_deltas.json evidence for the two frames above: IVF recall
-    * (found-of-20) and k-means inertia vs the k=1 global baseline. */
+    * (found-of-20) and k-means inertia vs the k=1 global baseline —
+    * read from the same cached scalars the frames use. */
   def approxDeltas(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       ops: Set[String]): Seq[(String, String, String, Double, Double)] = {
     val ivf = if (!ops("llm_similarity_ivf")) Nil
-      else {
-        val exact = llmSimilarityTopk(spark, sfDir)
-        val nf = exact.join(llmSimilarityIvf(spark, sfDir).select("vec_id"),
-          Seq("vec_id"), "left_semi").count()
-        Seq(("llm_similarity_ivf", "vec0", "recall_found_of_20",
-          nf.toDouble, 20.0))
-      }
+      else Seq(("llm_similarity_ivf", "vec0", "recall_found_of_20",
+        ivfFoundOf20(spark, sfDir).toDouble, 20.0))
     val km = if (!ops("llm_cluster_kmeans")) Nil
       else {
-        val r = kmeansDeltaRow(spark, sfDir)
-        Seq(("llm_cluster_kmeans", "all", "inertia_vs_k1", r._1, r._2))
+        val (_, _, inertia, gi) = kmeansStats(spark, sfDir)
+        Seq(("llm_cluster_kmeans", "all", "inertia_vs_k1", inertia, gi))
       }
     ivf ++ km
-  }
-
-  private def kmeansDeltaRow(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): (Double, Double) = {
-    val inertia = llmClusterKmeans(spark, sfDir)
-      .agg(sum(col("n_vecs") * col("avg_dist2"))).head.getDouble(0)
-    val dims = DedupOps.embIndex(spark, sfDir)
-      .select(posexplode(col("emb")).as(Seq("dim", "v")))
-    val mu = dims.groupBy("dim").agg(avg(col("v")).as("mu"))
-    val gi = dims.join(broadcast(mu), Seq("dim"))
-      .agg(sum(pow(col("v") - col("mu"), 2))).head.getDouble(0)
-    (inertia, gi)
   }
 
   val queries: Map[String, QFn] = Map(
@@ -682,8 +692,10 @@ object SimilarityOps {
         "WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20) " +
         "SELECT CAST(count(*) AS BIGINT) AS k, min(sim) AS sim20_exact, " +
         "TRUE AS recall_ok FROM t"),
+    // cell count is bounded, not pinned: the trainer's emptied-cell
+    // branch legitimately yields fewer than k non-empty cells
     "llm_cluster_kmeans" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_vectors, " +
-        "CAST(8 AS BIGINT) AS n_cells, TRUE AS inertia_ok FROM embeddings"),
+        "TRUE AS cells_ok, TRUE AS inertia_ok FROM embeddings"),
   )
 }

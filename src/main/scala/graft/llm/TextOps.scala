@@ -1076,9 +1076,13 @@ object TextOps {
     val stats = m.agg(count(lit(1)).as("n"), min(col("step")).as("min_s"),
       max(col("step")).as("max_s"), countDistinct(col("step")).as("nd_s"),
       min(col("pair_count")).as("min_c"))
+    // trainer bound over the PRUNED vocab — the same minCount gate
+    // boundedVocab applies (review r15: the unpruned sum over-counts the
+    // merge budget when SPARK_GRAFT_BPE_MINCOUNT > 1)
     val sumLen = Tables(spark, sfDir, "documents")
       .select(explode(tokens).as("w")).filter(length(col("w")) > 0)
-      .distinct()
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= bpeMinCount)
       .agg(sum(length(col("w")) - 1).cast("long").as("sum_len"))
     firstM.crossJoin(broadcast(stats)).crossJoin(broadcast(sumLen))
       .select(col("merge_left"), col("merge_right"), col("pair_count"),
@@ -1094,12 +1098,16 @@ object TextOps {
     * (the tokenizer split is hash-free), and the subword count is pinned
     * by its structural envelope — ≥ words (merging never splits) and
     * ≤ total word characters (splitting never exceeds one symbol per code
-    * point). `fully_merged_ok` pins the train→apply contract at fixture
-    * scale: training EXHAUSTS the 31-word vocab (~89 merges < the 1000
-    * configured), so every vocab word encodes to ONE subword and
-    * n_bpe_tokens must equal n_words exactly — a merge-table or encode
-    * regression breaks this loudly. */
+    * point). `fully_merged_ok` pins the train→apply contract CONDITIONED
+    * on exhaustion (review r15 — an unconditional pin false-reds under a
+    * small SPARK_GRAFT_BPE_MERGES override): when training stops BEFORE
+    * the configured merge count, the pair heap ran dry, every vocab word
+    * is one symbol, and n_bpe_tokens must equal n_words exactly (the
+    * fixture case: 31-word vocab exhausts at ~89 < 1000); when the merge
+    * budget is the binding constraint the implication doesn't hold and
+    * the boolean is vacuously true. */
   private val bpeApplyVerifyFrame: QFn = (spark, sfDir) => {
+    val exhausted = bpeMerges(spark, sfDir).length < bpeNumMerges
     val chars = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(tokens).as("w"))
       .filter(length(col("w")) > 0)
@@ -1109,7 +1117,8 @@ object TextOps {
       .select(col("doc_id"), col("n_words"), col("n_chars"),
         (col("n_bpe_tokens") >= col("n_words")).as("tokens_ge_words"),
         (col("n_bpe_tokens") <= col("n_chars")).as("tokens_le_chars"),
-        (col("n_bpe_tokens") === col("n_words")).as("fully_merged_ok"))
+        (if (exhausted) col("n_bpe_tokens") === col("n_words")
+         else lit(true)).as("fully_merged_ok"))
       .orderBy("doc_id")
   }
 
@@ -1170,7 +1179,11 @@ object TextOps {
           "ROUND(CAST(coalesce(pair_micro, 0) + first_q AS DOUBLE) / (coalesce(n_pairs, 0) + 1) / 1e6, 4) AS avg_nll " +
           "FROM fn LEFT JOIN body USING (doc_id) ORDER BY doc_id"
 
-  val oracleSql: Map[String, String] = {
+  // `def`, not `val` (review r15): the bpe_train oracle interpolates the
+  // SPARK_GRAFT_BPE_MINCOUNT knob, and an object-initializer val would
+  // surface a malformed env var as ExceptionInInitializerError — the same
+  // EnvKnobs failure mode the bpeNumMerges val→def change retired.
+  def oracleSql: Map[String, String] = {
     val hitsSql = markerWords.map { case (l, ws) => l -> markerHitsSql(ws) }.toMap
     Map(
       // same micro-nat grid as the unigram oracle; all post-ln arithmetic
@@ -1399,11 +1412,14 @@ object TextOps {
           "TRUE AS dup_consistent FROM g ORDER BY doc_id"),
       // bpe_train: the first merge is the plain weighted argmax over
       // adjacent character pairs of the distinct-word table — replayed
-      // exactly, tie-break and all; the iterative rest is structural.
+      // exactly, tie-break and all, INCLUDING the minCount tail prune the
+      // trainer applies (review r15: an unpruned replay diverges under
+      // SPARK_GRAFT_BPE_MINCOUNT > 1); the iterative rest is structural.
       "llm_bpe_train" ->
         ("WITH w AS (SELECT w, count(*) AS cnt FROM (SELECT " +
           "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w " +
-          "FROM documents) WHERE len(w) > 0 GROUP BY w), " +
+          s"FROM documents) WHERE len(w) > 0 GROUP BY w " +
+          s"HAVING count(*) >= $bpeMinCount), " +
           "p AS (SELECT substr(w, CAST(i AS BIGINT), 1) AS l, " +
           "substr(w, CAST(i AS BIGINT) + 1, 1) AS r, " +
           "CAST(sum(cnt) AS BIGINT) AS c " +

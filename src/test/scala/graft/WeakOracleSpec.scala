@@ -29,11 +29,11 @@ class WeakOracleSpec extends AnyFunSuite {
       (Seq("doc_a", "doc_b", "jaccard", "detected", "est_ok"),
         Seq("detected", "est_ok")),
     "llm_dedup_simhash" ->
-      (Seq("n_docs", "n_pairs", "dup_zero_ok", "ham_bound_ok"),
-        Seq("dup_zero_ok", "ham_bound_ok")),
+      (Seq("n_docs", "pairs_bounded", "dup_zero_ok", "ham_bound_ok"),
+        Seq("pairs_bounded", "dup_zero_ok", "ham_bound_ok")),
     "llm_dedup_simhash_indexed" ->
-      (Seq("n_docs", "n_pairs", "dup_zero_ok", "ham_bound_ok"),
-        Seq("dup_zero_ok", "ham_bound_ok")),
+      (Seq("n_docs", "pairs_bounded", "dup_zero_ok", "ham_bound_ok"),
+        Seq("pairs_bounded", "dup_zero_ok", "ham_bound_ok")),
     "llm_dedup_span" ->
       (Seq("n_docs", "precision_ok", "nonempty_ok"),
         Seq("precision_ok", "nonempty_ok")),
@@ -50,7 +50,8 @@ class WeakOracleSpec extends AnyFunSuite {
     "llm_similarity_ivf" ->
       (Seq("k", "sim20_exact", "recall_ok"), Seq("recall_ok")),
     "llm_cluster_kmeans" ->
-      (Seq("n_vectors", "n_cells", "inertia_ok"), Seq("inertia_ok")),
+      (Seq("n_vectors", "cells_ok", "inertia_ok"),
+        Seq("cells_ok", "inertia_ok")),
     "llm_fingerprint" ->
       (Seq("doc_id", "n_shingles", "dup_consistent"), Seq("dup_consistent")),
     "llm_bpe_train" ->
