@@ -295,6 +295,35 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** HLL SET ALGEBRA — audience overlap from mergeable sketches: distinct
+    * customers per order-status cohort, the pairwise UNION via sketch
+    * merge, and the INTERSECTION by inclusion-exclusion
+    * (|A∩B| = |A| + |B| − |A∪B|) — the question ("how many customers are
+    * in BOTH segments?") that raw distinct counts cannot answer without
+    * re-scanning the fact table per pair. At 100 TB this is the entire
+    * point of sketches-as-index: the corpus is scanned ONCE into
+    * per-segment HLL buffers (map-side-combined aggregate, O(2^lgK) state
+    * per segment), and every pairwise overlap is then metadata-side
+    * algebra on a |segments|-row sketch table — adding a segment pair
+    * costs nothing. Intersection carries the compounded error of three
+    * estimates (weak-form oracle bounds it at 5% of the UNION, the honest
+    * inclusion-exclusion scale; the direct estimates get the usual 5%). */
+  val aggHllOverlap: QFn = (spark, sfDir) => {
+    val sk = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus").as("st"))
+      .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+    val a = sk.select(col("st").as("status_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("st").as("status_b"), col("sk").as("sk_b"))
+    a.join(b, col("status_a") < col("status_b"))
+      .select(col("status_a"), col("status_b"),
+        expr("hll_sketch_estimate(sk_a)").as("users_a"),
+        expr("hll_sketch_estimate(sk_b)").as("users_b"),
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("users_union"))
+      .withColumn("users_intersect",
+        col("users_a") + col("users_b") - col("users_union"))
+      .orderBy("status_a", "status_b")
+  }
+
   /** LISTAGG/STRING_AGG export — the "one delimited cell per group" shape
     * warehouse feeds and legacy report extracts demand (order-priority
     * codes per status, alphabetized). Spark has no string_agg; the
@@ -958,6 +987,45 @@ object Advanced {
           .as("upper_ok"))
       .orderBy("user_id")
 
+  private def hllOverlapJoined(spark: SparkSession, sfDir: String) = {
+    val o = Tables(spark, sfDir, "orders")
+    val perSt = o.groupBy(col("o_orderstatus").as("st"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+    val pairs = perSt.select(col("st").as("status_a"), col("n").as("exact_a"))
+      .join(perSt.select(col("st").as("status_b"), col("n").as("exact_b")),
+        col("status_a") < col("status_b"))
+    // exact per-pair union: distinct (status, custkey) against the 3-row
+    // pair frame (broadcast nested loop on metadata, one fact distinct)
+    val du = o.select(col("o_orderstatus").as("st"),
+      col("o_custkey").as("ck")).distinct()
+    val exactUnion = broadcast(pairs.select("status_a", "status_b"))
+      .join(du, col("st") === col("status_a") || col("st") === col("status_b"))
+      .groupBy("status_a", "status_b")
+      .agg(countDistinct(col("ck")).as("exact_union"))
+    aggHllOverlap(spark, sfDir)
+      .join(pairs, Seq("status_a", "status_b"))
+      .join(exactUnion, Seq("status_a", "status_b"))
+      .withColumn("exact_intersect",
+        col("exact_a") + col("exact_b") - col("exact_union"))
+  }
+
+  private[graft] val verifyHllOverlap: QFn = (spark, sfDir) =>
+    hllOverlapJoined(spark, sfDir)
+      .select(col("status_a"), col("status_b"),
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_intersect"),
+        (abs(col("users_a") - col("exact_a"))
+          <= lit(0.05) * col("exact_a")).as("a_ok"),
+        (abs(col("users_b") - col("exact_b"))
+          <= lit(0.05) * col("exact_b")).as("b_ok"),
+        (abs(col("users_union") - col("exact_union"))
+          <= lit(0.05) * col("exact_union")).as("union_ok"),
+        // inclusion-exclusion compounds three estimates — the honest
+        // error scale is the UNION cardinality, not the intersection's
+        (abs(col("users_intersect") - col("exact_intersect"))
+          <= lit(0.05) * col("exact_union")).as("intersect_ok"))
+      .orderBy("status_a", "status_b")
+
   /** Verification-frame overrides, keyed by the op they verify — applied
     * by Verify in place of the raw op dump (and nowhere else). */
   val verifyQueries: Map[String, QFn] = Map(
@@ -965,7 +1033,8 @@ object Advanced {
     "agg_median_mad_approx" -> verifyMedianMadApprox,
     "agg_profile_approx" -> verifyProfileApprox,
     "agg_hll_mergeable" -> verifyHllMergeable,
-    "agg_heavy_hitters_cms" -> verifyHeavyHittersCms)
+    "agg_heavy_hitters_cms" -> verifyHeavyHittersCms,
+    "agg_hll_overlap" -> verifyHllOverlap)
 
   /** Machine-readable estimate-vs-exact evidence for the weak-oracle rows
     * (VERDICT r14 queue #9): Verify dumps this as approx_deltas.json next
@@ -1013,7 +1082,17 @@ object Advanced {
           r.getAs[Long]("est_cnt").toDouble,
           r.getAs[Long]("exact_cnt").toDouble)
       }
-    p ++ m ++ d ++ h ++ c
+    val ov = if (!ops("agg_hll_overlap")) Nil
+      else hllOverlapJoined(spark, sfDir).collect().toSeq.flatMap { r =>
+        val g = s"${r.getAs[String]("status_a")}|${r.getAs[String]("status_b")}"
+        Seq(("agg_hll_overlap", g, "union",
+              r.getAs[Long]("users_union").toDouble,
+              r.getAs[Long]("exact_union").toDouble),
+            ("agg_hll_overlap", g, "intersect",
+              r.getAs[Long]("users_intersect").toDouble,
+              r.getAs[Long]("exact_intersect").toDouble))
+      }
+    p ++ m ++ d ++ h ++ c ++ ov
   }
 
   /** First/last order per customer carried onto every row — the
@@ -1142,6 +1221,7 @@ object Advanced {
     "agg_pivot_status" -> aggPivotStatus,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_hll_mergeable" -> aggHllMergeable,
+    "agg_hll_overlap" -> aggHllOverlap,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_gini_revenue" -> aggGiniRevenue,
     "fn_string_agg_export" -> fnStringAggExport,
@@ -1450,5 +1530,23 @@ object Advanced {
       ("SELECT user_id, count(*) AS exact_cnt, " +
         "TRUE AS lower_ok, TRUE AS upper_ok " +
         "FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1"),
+    // weak-form (round 15): exact per-cohort / per-pair distinct counts
+    // replay verbatim; the estimate bounds are TRUE-pinned booleans
+    "agg_hll_overlap" ->
+      ("WITH s AS (SELECT DISTINCT o_orderstatus AS st FROM orders), " +
+        "n AS (SELECT o_orderstatus AS st, count(DISTINCT o_custkey) AS n " +
+        "FROM orders GROUP BY 1), " +
+        "p AS (SELECT a.st AS status_a, b.st AS status_b " +
+        "FROM s a JOIN s b ON a.st < b.st), " +
+        "u AS (SELECT p.status_a, p.status_b, " +
+        "count(DISTINCT o.o_custkey) AS exact_union FROM p JOIN orders o " +
+        "ON o.o_orderstatus IN (p.status_a, p.status_b) GROUP BY 1, 2) " +
+        "SELECT p.status_a, p.status_b, na.n AS exact_a, nb.n AS exact_b, " +
+        "u.exact_union, na.n + nb.n - u.exact_union AS exact_intersect, " +
+        "TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS intersect_ok " +
+        "FROM p JOIN n na ON na.st = p.status_a " +
+        "JOIN n nb ON nb.st = p.status_b " +
+        "JOIN u ON u.status_a = p.status_a AND u.status_b = p.status_b " +
+        "ORDER BY p.status_a, p.status_b"),
   )
 }

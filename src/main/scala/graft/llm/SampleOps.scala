@@ -105,6 +105,35 @@ object SampleOps {
       .limit(SampleK)
   }
 
+  /** WEIGHTED exact-k sample without replacement (Efraimidis–Spirakis
+    * A-ES): each row draws priority key −ln(u)/w and the k SMALLEST keys
+    * win — inclusion probability proportional to weight w, here n_chars
+    * (the "sample by content volume" policy a token-budgeted eval set or
+    * annotation batch wants: a 500-char doc is ~10× likelier than a
+    * 50-char one, without any per-group bookkeeping). u comes from the
+    * same deterministic Lehmer machinery as the uniform sampler
+    * (multiplier 45991 — fresh, so weighted membership is uncorrelated
+    * with every other sampling/split hash; +1 keeps u in (0,1] so ln
+    * never sees 0). The plan is the identical distributed reservoir:
+    * TakeOrderedAndProject keeps a local top-k per partition, only
+    * k·partitions rows ever move — the ONE scan + no shuffle shape a
+    * 100 TB weighted sample requires. The key is ROUNDED to 9 decimals
+    * before ranking on BOTH sides of the oracle so the selection can
+    * never hinge on a last-ulp ln() disagreement between engines (values
+    * sit in [1e-12, 0.5]; a 1-ulp ~1e-16-relative wobble cannot cross a
+    * 1e-9 rounding boundary except on exact hits that the fixed corpus
+    * is verified not to contain); rounded-key ties break on doc_id. */
+  val llmSampleWeightedK: QFn = (spark, sfDir) => {
+    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * 45991L,
+      lit(2147483647L))
+    val u = (h + lit(1L)).cast("double") / lit(2147483648.0)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        round(-log(u) / col("n_chars"), 9).as("key"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(SampleK)
+  }
+
   /** Target-driven domain mixture (the DoReMi/Pile-style "web 40%, books
     * 30%, code 30%" rebalance, by chars as the token proxy): given a target
     * weight per source, find the LARGEST corpus whose source shares match
@@ -213,6 +242,7 @@ object SampleOps {
     "llm_sample_temperature" -> llmSampleTemperature,
     "llm_train_test_split" -> llmTrainTestSplit,
     "llm_sample_exact_k" -> llmSampleExactK,
+    "llm_sample_weighted_k" -> llmSampleWeightedK,
   )
 
   private def quotaCaseSql: String =
@@ -280,5 +310,10 @@ object SampleOps {
     "llm_sample_exact_k" ->
       (s"SELECT doc_id, lang, source, ((doc_id % 1000003) * 69621) % 2147483647 AS h " +
         s"FROM documents ORDER BY h, doc_id LIMIT $SampleK"),
+    "llm_sample_weighted_k" ->
+      (s"SELECT doc_id, lang, source, n_chars, " +
+        "ROUND(-ln((((doc_id % 1000003) * 45991) % 2147483647 + 1) " +
+        "/ 2147483648.0) / n_chars, 9) AS key " +
+        s"FROM documents ORDER BY key, doc_id LIMIT $SampleK"),
   )
 }

@@ -26,6 +26,30 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL set algebra: union and inclusion-exclusion intersection within 5% of exact") {
+    // The intersection is DERIVED from three estimates, so its honest
+    // error scale is the union cardinality (each term contributes its own
+    // HLL error); the direct estimates get the usual per-estimate band.
+    val est = graft.analytics.Advanced.aggHllOverlap(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val o = graft.tables.Tables(spark, sfDir, "orders")
+      .select(col("o_orderstatus").as("st"), col("o_custkey").as("ck"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byStatus = o.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(est.nonEmpty)
+    est.foreach { case ((a, b), (ea, eb, eu, ei)) =>
+      val (sa, sb) = (byStatus(a), byStatus(b))
+      val (xa, xb, xu, xi) =
+        (sa.size, sb.size, (sa ++ sb).size, (sa & sb).size)
+      assert(math.abs(ea - xa) <= 0.05 * xa, s"($a,$b): |A| $ea vs $xa")
+      assert(math.abs(eb - xb) <= 0.05 * xb, s"($a,$b): |B| $eb vs $xb")
+      assert(math.abs(eu - xu) <= 0.05 * xu, s"($a,$b): |A∪B| $eu vs $xu")
+      assert(math.abs(ei - xi) <= 0.05 * xu,
+        s"($a,$b): |A∩B| $ei vs $xi (union scale $xu)")
+    }
+  }
+
   test("CMS heavy-hitter estimates respect both Count-Min bounds vs exact counts") {
     // Deterministic guarantee: a Count-Min estimate can NEVER undercount
     // (counters only add). Probabilistic guarantee: overcount <= eps*N
@@ -190,7 +214,10 @@ class ApproxSpec extends AnyFunSuite {
       "agg_hll_mergeable" ->
         Seq("event_type", "n_days", "exact_users", "hll_ok"),
       "agg_heavy_hitters_cms" ->
-        Seq("user_id", "exact_cnt", "lower_ok", "upper_ok"))
+        Seq("user_id", "exact_cnt", "lower_ok", "upper_ok"),
+      "agg_hll_overlap" ->
+        Seq("status_a", "status_b", "exact_a", "exact_b", "exact_union",
+          "exact_intersect", "a_ok", "b_ok", "union_ok", "intersect_ok"))
     // Scoped to the approx-aggregate frames this spec owns — the round-15
     // llm sketch frames (minhash/simhash/span/index/ivf/kmeans/bpe/
     // fingerprint) are pinned by WeakOracleSpec.

@@ -25,6 +25,9 @@ class DeterminismSpec extends AnyFunSuite {
   private val ops: Seq[(String, QFn)] = Seq(
     "llm_train_test_split" -> graft.llm.SampleOps.llmTrainTestSplit,
     "llm_sample_exact_k" -> graft.llm.SampleOps.llmSampleExactK,
+    // A-ES weighted reservoir: the rounded −ln(u)/w ranking key and the
+    // TakeOrderedAndProject top-k must survive any physical layout
+    "llm_sample_weighted_k" -> graft.llm.SampleOps.llmSampleWeightedK,
     "llm_sample_stratified" -> graft.llm.SampleOps.llmSampleStratified,
     "llm_shuffle_shards" -> graft.llm.TextOps.llmShuffleShards,
     "upsert_cdc_apply" -> graft.etl.Upsert.upsertCdcApply,

@@ -499,6 +499,16 @@ class PlanSpec extends AnyFunSuite {
       "top-3 filter must push down as a window group limit")
   }
 
+  test("weighted exact-k sample plans as TakeOrderedAndProject — no global sort") {
+    // The A-ES weighted reservoir must keep the same distributed-reservoir
+    // shape as the uniform sampler: each partition retains its local top-k
+    // by the −ln(u)/w key and only k rows per partition reach the merge; a
+    // Sort + GlobalLimit spelling would materialize a corpus-wide sort.
+    val p = plan(graft.llm.SampleOps.llmSampleWeightedK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan as TakeOrderedAndProject:\n$p")
+  }
+
   test("per-group top-N pushes down as a WindowGroupLimit") {
     // The rank-filter idiom must rewrite to WindowGroupLimit so each map
     // task keeps only its local top-3 per customer BEFORE the shuffle —
