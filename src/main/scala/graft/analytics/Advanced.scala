@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.QFn
 import graft.tables.Tables
+import graft.util.VerifyBounds
 
 /** SURVEY.md §2.5/§2.6 round-3 extensions — the BI-dashboard shapes one
   * step past the reference's plain group-bys (README.md:99-102 is the
@@ -512,7 +513,10 @@ object Advanced {
     // when() assigns to non-panel rows and its buffer is bounded by the
     // panel size, so the single-group aggregate stays map-side-partial.
     val sketchAndPanel = ev.agg(
-      expr("count_min_sketch(user_id, cast(0.0001 as double), cast(0.99 as double), 42)")
+      // eps interpolated from VerifyBounds so the verify frame's eps·N
+      // band provably matches the sketch it grades (ADVICE r15)
+      expr(s"count_min_sketch(user_id, cast(${VerifyBounds.CmsEps} as double), " +
+        "cast(0.99 as double), 42)")
         .as("sk"),
       sort_array(collect_set(when(col("user_id") < 50, col("user_id"))))
         .as("keys"))
@@ -886,10 +890,10 @@ object Advanced {
       .select(col("o_orderstatus"), col("cnt"),
         round(col("e50"), 4).as("p50_exact"),
         round(col("e90"), 4).as("p90_exact"),
-        (abs(col("p50_est") - col("e50")) <= lit(0.01) * abs(col("e50")))
-          .as("p50_ok"),
-        (abs(col("p90_est") - col("e90")) <= lit(0.01) * abs(col("e90")))
-          .as("p90_ok"))
+        (abs(col("p50_est") - col("e50"))
+          <= lit(VerifyBounds.PctRelTol) * abs(col("e50"))).as("p50_ok"),
+        (abs(col("p90_est") - col("e90"))
+          <= lit(VerifyBounds.PctRelTol) * abs(col("e90"))).as("p90_ok"))
       .orderBy("o_orderstatus")
 
   private def medianMadApproxJoined(spark: SparkSession, sfDir: String) = {
@@ -913,10 +917,11 @@ object Advanced {
     val slack = seg.join(broadcast(medRaw), Seq("c_mktsegment"))
       .groupBy("c_mktsegment")
       .agg(
-        expr("percentile(o_totalprice, 0.505) - " +
-          "percentile(o_totalprice, 0.495)").as("slack_med"),
-        expr("percentile(abs(o_totalprice - med_raw), 0.505) - " +
-          "percentile(abs(o_totalprice - med_raw), 0.495)").as("slack_mad"))
+        expr(s"percentile(o_totalprice, ${VerifyBounds.RankSlackHi}) - " +
+          s"percentile(o_totalprice, ${VerifyBounds.RankSlackLo})").as("slack_med"),
+        expr(s"percentile(abs(o_totalprice - med_raw), ${VerifyBounds.RankSlackHi}) - " +
+          s"percentile(abs(o_totalprice - med_raw), ${VerifyBounds.RankSlackLo})")
+          .as("slack_mad"))
     aggMedianMad(spark, sfDir)
       .join(est, Seq("c_mktsegment"))
       .join(slack, Seq("c_mktsegment"))
@@ -928,11 +933,11 @@ object Advanced {
         col("median_price").as("median_exact"),
         col("mad").as("mad_exact"),
         (abs(col("med_est") - col("median_price"))
-          <= greatest(lit(0.01) * abs(col("median_price")), col("slack_med")))
-          .as("med_ok"),
+          <= greatest(lit(VerifyBounds.PctRelTol) * abs(col("median_price")),
+            col("slack_med"))).as("med_ok"),
         (abs(col("mad_est") - col("mad"))
-          <= greatest(lit(0.01) * abs(col("mad")), col("slack_mad")))
-          .as("mad_ok"))
+          <= greatest(lit(VerifyBounds.PctRelTol) * abs(col("mad")),
+            col("slack_mad"))).as("mad_ok"))
       .orderBy("c_mktsegment")
 
   private def profileApproxJoined(spark: SparkSession, sfDir: String) = {
@@ -948,7 +953,7 @@ object Advanced {
     profileApproxJoined(spark, sfDir)
       .select(col("column"), col("n_rows"), col("n_nulls"), col("n_distinct"),
         (abs(col("n_distinct_approx") - col("n_distinct"))
-          <= lit(0.05) * col("n_distinct")).as("dist_ok"))
+          <= lit(VerifyBounds.HllRelErr) * col("n_distinct")).as("dist_ok"))
       .orderBy("column")
 
   private def hllMergeableJoined(spark: SparkSession, sfDir: String) = {
@@ -962,7 +967,7 @@ object Advanced {
     hllMergeableJoined(spark, sfDir)
       .select(col("event_type"), col("n_days"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users"))
-          <= lit(0.05) * col("exact_users")).as("hll_ok"))
+          <= lit(VerifyBounds.HllRelErr) * col("exact_users")).as("hll_ok"))
       .orderBy("event_type")
 
   private def heavyHittersCmsJoined(spark: SparkSession, sfDir: String) = {
@@ -983,8 +988,8 @@ object Advanced {
         // eps·N band with the same 2× slack ApproxSpec uses (seed fixed,
         // so the w.p.-0.99 bound is deterministic for this data)
         (col("est_cnt") <= col("exact_cnt") +
-          greatest(lit(1L), ceil(lit(2 * 0.0001) * col("n_total")).cast("long")))
-          .as("upper_ok"))
+          greatest(lit(1L), ceil(lit(VerifyBounds.CmsSlack * VerifyBounds.CmsEps)
+            * col("n_total")).cast("long"))).as("upper_ok"))
       .orderBy("user_id")
 
   private def hllOverlapJoined(spark: SparkSession, sfDir: String) = {
@@ -1015,15 +1020,15 @@ object Advanced {
         col("exact_a"), col("exact_b"), col("exact_union"),
         col("exact_intersect"),
         (abs(col("users_a") - col("exact_a"))
-          <= lit(0.05) * col("exact_a")).as("a_ok"),
+          <= lit(VerifyBounds.HllRelErr) * col("exact_a")).as("a_ok"),
         (abs(col("users_b") - col("exact_b"))
-          <= lit(0.05) * col("exact_b")).as("b_ok"),
+          <= lit(VerifyBounds.HllRelErr) * col("exact_b")).as("b_ok"),
         (abs(col("users_union") - col("exact_union"))
-          <= lit(0.05) * col("exact_union")).as("union_ok"),
+          <= lit(VerifyBounds.HllRelErr) * col("exact_union")).as("union_ok"),
         // inclusion-exclusion compounds three estimates — the honest
         // error scale is the UNION cardinality, not the intersection's
         (abs(col("users_intersect") - col("exact_intersect"))
-          <= lit(0.05) * col("exact_union")).as("intersect_ok"))
+          <= lit(VerifyBounds.HllRelErr) * col("exact_union")).as("intersect_ok"))
       .orderBy("status_a", "status_b")
 
   /** Verification-frame overrides, keyed by the op they verify — applied

