@@ -38,7 +38,7 @@ object ScaleCheck {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
       "dedup,sim,text,window,width,cluster,recall,containment,span,kmeans," +
-        "pipeline64,sink")
+        "pipeline64,planscale,sink")
       .split(",").toSet
     // Per-section scale-tier overrides (round 9): the width/sim curves
     // extend one octave per round and re-running the recorded lower tiers
@@ -585,6 +585,45 @@ object ScaleCheck {
           s""""simhash_nb_cands":$shNb,"simhash_nb_per_doc":${r2(shNb.toDouble / nDocs)},""" +
           s""""vecs":$nVecs,"rp_bits":$bits,"rp_pairs":$rp,"rp_per_vec":${r2(rp.toDouble / nVecs)}}""")
       }
+    }
+    if (sections("planscale")) {
+      // ---- round 16 (VERDICT r15 queue #8): plan-SHAPE regression guard
+      // at ×8. PlanSpec pins exchange-free bucketed index consumers at
+      // fixture scale; AQE re-planning at larger inputs was unverified —
+      // a runtime re-plan that reintroduced a shuffle on the index key
+      // would erase the build-once/consume-free contract exactly where it
+      // matters (the 100 TB shape is "the index IS the partitioning").
+      // Each consumer executes at ×8 first (the AQE final plan only
+      // exists after execution), then its executed plan is string-checked
+      // with the same predicates PlanSpec uses at fixture scale.
+      val planScale = graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_PLANSCALE", 8)
+      val ddir = docsDir(planScale, "planscale_docs")
+      val edir = embDir(planScale, "planscale_emb")
+      val checks: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        ("decontaminate_indexed", "g",
+          () => graft.llm.DedupOps.llmDecontaminateIndexed(spark, ddir)),
+        ("containment_indexed", "g",
+          () => graft.llm.DedupOps.llmDedupContainmentIndexed(spark, ddir)),
+        ("simhash_indexed", "chunk",
+          () => graft.llm.DedupOps.llmDedupSimhashIndexed(spark, ddir)),
+        ("minhash_indexed", "band",
+          () => graft.llm.DedupOps.llmDedupMinhashIndexed(spark, ddir)),
+        ("embedding_indexed", "bucket",
+          () => graft.llm.DedupOps.llmDedupEmbeddingIndexed(spark, edir)))
+      val planLines = checks.map { case (name, key, mk) =>
+        val df = mk()
+        val t = time(df.collect())
+        val p = df.queryExecution.executedPlan.toString
+        val bucketed = p.contains("Bucketed: true")
+        val noKeyExchange =
+          ("Exchange hashpartitioning\\(" + key + "#").r.findFirstIn(p).isEmpty
+        s""""$name":{"sec":${f2(t)},"bucketed":$bucketed,""" +
+          s""""no_${key}_exchange":$noKeyExchange}"""
+      }
+      println(s"""{"metric":"scale_check_planshape","scale":$planScale,""" +
+        planLines.mkString(",") + "}")
+      graft.llm.DedupOps.clearCaches()
+      graft.llm.SimilarityOps.clearCaches()
     }
     if (sections("sink")) {
       // ---- round 15 (VERDICT r14 queue #7): profile-guided sink audit —

@@ -35,32 +35,62 @@ class CatalogPersistSpec extends AnyFunSuite {
     out
   }
 
-  test("catalog table registered by one JVM resolves by name in a fresh JVM") {
+  test("full lake registered by one JVM resolves by name in a fresh JVM: " +
+      "tables, partitioned table via metastore, persistent view") {
     val base = graft.util.Scratch.dir("catalog_persist")
     val outFile = s"$base/read_result.csv"
     val wOut = forkCatalogPersist(Seq("write", sfDir, base))
-    assert(wOut.contains("registered cat_orders_persist"), wOut.takeRight(500))
+    assert(wOut.contains("registered 9 tables") &&
+      wOut.contains("view sales_by_category_persist"), wOut.takeRight(500))
     // metastore_db must exist on disk between the two processes — the
     // artifact that IS the persistence
     assert(new java.io.File(s"$base/metastore_db").isDirectory,
       "no metastore directory written")
     val rOut = forkCatalogPersist(Seq("read", base, outFile))
-    assert(rOut.contains("read") && rOut.contains("by name only"),
-      rOut.takeRight(500))
+    assert(rOut.contains("catalog facts by name only"), rOut.takeRight(500))
     val got = scala.io.Source.fromFile(outFile, "UTF-8").mkString.trim
       .split("\n").toSeq
-    // expected: the same aggregate straight off the parquet, this process
+
+    // expected: every fact recomputed straight off the parquet, this process
     import org.apache.spark.sql.functions._
-    val expected = graft.tables.Tables(spark, sfDir, "orders")
+    val rawTables = Seq("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "documents", "embeddings")
+    val exp = scala.collection.mutable.ArrayBuffer.empty[String]
+    rawTables.foreach { t =>
+      exp += s"table,$t,${graft.tables.Tables(spark, sfDir, t).count()}"
+    }
+    val sales = graft.tables.Tables(spark, sfDir, "lineitem")
+      .join(graft.tables.Tables(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .join(graft.tables.Tables(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("p_type"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("sold_cnt"))
+    val v = sales.agg(count(lit(1)), sum(col("sold_cnt"))).head()
+    exp += s"view,sales_by_category,${v.getLong(0)},${v.getLong(1)}"
+    val ev = graft.tables.Tables(spark, sfDir, "events")
+      .select(year(col("ts")).as("y"), month(col("ts")).as("m"))
+    val partsDf = ev.distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted
+    // SHOW PARTITIONS specs sort lexicographically (month=10 < month=2);
+    // replicate that ordering for the pruned-partition pick
+    val specs = partsDf.map { case (y, m) => (s"year=$y/month=$m", y, m) }
+      .sortBy(_._1)
+    exp += s"partitions,${specs.length}"
+    val (_, py, pm) = specs.head
+    val pruned = ev.filter(col("y") === py && col("m") === pm).count()
+    exp += s"pruned,$py,$pm,$pruned"
+    graft.tables.Tables(spark, sfDir, "orders")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
           .as("revenue"))
       .orderBy("o_orderstatus")
       .collect()
-      .map(r => s"${r.getString(0)},${r.getLong(1)},${r.getDouble(2)}")
-      .toSeq
-    assert(got == expected,
-      s"cross-JVM read diverges from direct parquet aggregate:\n got=$got\n exp=$expected")
+      .foreach(r => exp += s"orders_agg,${r.getString(0)},${r.getLong(1)},${r.getDouble(2)}")
+
+    assert(got == exp.toSeq,
+      s"cross-JVM catalog read diverges from direct parquet facts:\n" +
+        s" got=${got.mkString(" | ")}\n exp=${exp.mkString(" | ")}")
   }
 }
