@@ -432,15 +432,71 @@ object Bench {
     // progress events before the snapshot.
     Thread.sleep(500)
     val streamSplit = graft.streaming.StreamMetrics.snapshot
+    // Stream-phase adjudication (VERDICT r16 #1, closing r15 queue #4):
+    // per-op clean-regime medians of the SAME per-run phase split emitted
+    // below, recorded by tools/make_bands.py from >=2 clean captures and
+    // shipped as a classpath resource. With them, a degraded capture
+    // separates "io tax on WAL/state commits" from "work regression"
+    // mechanically — the adjudication VERDICT r16 performed by hand
+    // (stream_session_state 2.55x its wall band, but 3.9 of 6.8 s in
+    // commit → io window, not regression). Rule (documented in
+    // BASELINE.md round 17): a phase is ELEVATED when its per-run seconds
+    // exceed max(1.5 x band, band + 0.5 s) — ratio gate for multi-second
+    // phases, absolute gate for sub-second ones (same two-sided shape as
+    // the repeat-on-spike threshold, tighter because phase medians are
+    // already per-run and commit-noise-free). work elevated ->
+    // "work_regression" (code got slower — commit io cannot explain it);
+    // only wal+state elevated -> "io_tax" (the disk/fsync path, the
+    // regime the io probes measure); neither -> "at_band"; no recorded
+    // median -> "no_band" (new op before its first phase band —
+    // fail-safe toward reporting, not guessing).
+    val phaseBands: Map[String, Map[String, Double]] =
+      try {
+        val is = getClass.getResourceAsStream("/graft/bench_stream_phases.json")
+        if (is == null) Map.empty
+        else {
+          val txt = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+                    finally is.close()
+          """"([A-Za-z0-9_]+)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(txt).map { m =>
+            val fields =
+              """"(work_sec|wal_sec|state_sec)"\s*:\s*(-?[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?)""".r
+                .findAllMatchIn(m.group(2))
+                .map(f => f.group(1) -> f.group(2).toDouble)
+                .filter { case (_, v) => java.lang.Double.isFinite(v) && v >= 0 }
+                .toMap
+            m.group(1) -> fields
+          }.toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    def phaseElevated(v: Double, band: Double): Boolean =
+      v > math.max(1.5 * band, band + 0.5)
     val ssJson = streamSplit.toSeq.sortBy(_._1).map { case (k, s) =>
       val runs = math.max(1, streamRuns.getOrElse(k, 1))
+      val workSec = s.workMs / 1000.0 / runs
+      val ioSec = (s.walMs + s.stateMs) / 1000.0 / runs
+      val verdictJson = phaseBands.get(k) match {
+        case Some(b) if b.contains("work_sec") =>
+          val bw = b("work_sec")
+          val bio = b.getOrElse("wal_sec", 0.0) + b.getOrElse("state_sec", 0.0)
+          val verdict =
+            if (phaseElevated(workSec, bw)) "work_regression"
+            else if (bio > 0 && phaseElevated(ioSec, bio)) "io_tax"
+            else "at_band"
+          // ratios carried alongside the verdict so a reader sees HOW far
+          // off-band each phase is, not just which side tripped; -1 when
+          // the band phase is zero (ratio undefined, absolute gate only)
+          ",\"work_ratio\":" + f3(if (bw > 0) workSec / bw else -1.0) +
+            ",\"io_ratio\":" + f3(if (bio > 0) ioSec / bio else -1.0) +
+            ",\"phase_verdict\":\"" + verdict + "\""
+        case _ => ",\"phase_verdict\":\"no_band\""
+      }
       "\"" + k + "\":{\"batches\":" + (s.batches / runs) +
         ",\"runs\":" + runs +
         ",\"trigger_sec\":" + f3(s.triggerMs / 1000.0 / runs) +
         ",\"commit_sec\":" + f3(s.commitMs / 1000.0 / runs) +
         ",\"wal_sec\":" + f3(s.walMs / 1000.0 / runs) +
         ",\"state_sec\":" + f3(s.stateMs / 1000.0 / runs) +
-        ",\"work_sec\":" + f3(s.workMs / 1000.0 / runs) + "}"
+        ",\"work_sec\":" + f3(workSec) + verdictJson + "}"
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE",
       "/root/repo/target/bench_detail.json")

@@ -599,26 +599,33 @@ object ScaleCheck {
       val planScale = graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_PLANSCALE", 8)
       val ddir = docsDir(planScale, "planscale_docs")
       val edir = embDir(planScale, "planscale_emb")
-      val checks: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
-        ("decontaminate_indexed", "g",
+      // Per-consumer key ALTERNATIONS (ADVICE r16): these regexes are the
+      // literal predicates PlanSpec asserts at fixture scale — minhash's
+      // consume join may legally shuffle-check on either spelling of its
+      // band hash (band before the r11 native-sig rework, bhash after),
+      // so the ×8 guard must reject BOTH, exactly as PlanSpec does. A
+      // single-key check here would pass an AQE re-plan shuffling on
+      // bhash that PlanSpec fails.
+      val checks: Seq[(String, String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        ("decontaminate_indexed", "g", "g",
           () => graft.llm.DedupOps.llmDecontaminateIndexed(spark, ddir)),
-        ("containment_indexed", "g",
+        ("containment_indexed", "g", "g",
           () => graft.llm.DedupOps.llmDedupContainmentIndexed(spark, ddir)),
-        ("simhash_indexed", "chunk",
+        ("simhash_indexed", "chunk", "chunk",
           () => graft.llm.DedupOps.llmDedupSimhashIndexed(spark, ddir)),
-        ("minhash_indexed", "band",
+        ("minhash_indexed", "band", "(band|bhash)",
           () => graft.llm.DedupOps.llmDedupMinhashIndexed(spark, ddir)),
-        ("embedding_indexed", "bucket",
+        ("embedding_indexed", "bucket", "bucket",
           () => graft.llm.DedupOps.llmDedupEmbeddingIndexed(spark, edir)))
-      val planLines = checks.map { case (name, key, mk) =>
+      val planLines = checks.map { case (name, label, keyRe, mk) =>
         val df = mk()
         val t = time(df.collect())
         val p = df.queryExecution.executedPlan.toString
         val bucketed = p.contains("Bucketed: true")
         val noKeyExchange =
-          ("Exchange hashpartitioning\\(" + key + "#").r.findFirstIn(p).isEmpty
+          ("Exchange hashpartitioning\\(" + keyRe + "#").r.findFirstIn(p).isEmpty
         s""""$name":{"sec":${f2(t)},"bucketed":$bucketed,""" +
-          s""""no_${key}_exchange":$noKeyExchange}"""
+          s""""no_${label}_exchange":$noKeyExchange}"""
       }
       println(s"""{"metric":"scale_check_planshape","scale":$planScale,""" +
         planLines.mkString(",") + "}")

@@ -71,7 +71,7 @@ object StreamOps {
     * the shared session's conf is never mutated — a toggle-and-restore on
     * the shared conf could leak n=4 into any query planned concurrently
     * (e.g. parallel test suites). */
-  private def streamSession(spark: SparkSession, n: Int): SparkSession = {
+  private[graft] def streamSession(spark: SparkSession, n: Int): SparkSession = {
     val ss = spark.newSession()
     StreamMetrics.ensure(ss) // commit/work attribution (VERDICT r9 #6)
     ss.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -332,7 +332,7 @@ object StreamOps {
     * slot forever — the unbounded-state leak SURVEY §2.9 calls out; an
     * idle-timeout flush is how a 100 TB stream keeps its state stores
     * proportional to concurrent users, not lifetime users. */
-  private def closeSessions(uid: Long, it: Iterator[SEv],
+  private[graft] def closeSessions(uid: Long, it: Iterator[SEv],
                             state: GroupState[OpenSess]): Iterator[ClosedSess] = {
     if (state.hasTimedOut) {
       // no new events and the watermark passed last + gap: the session is
@@ -372,7 +372,7 @@ object StreamOps {
   /** Stage each frame of `drops` as one mtime-ordered part-file under
     * `base`/src, so `maxFilesPerTrigger=1` delivers exactly one
     * micro-batch per drop in drop order. */
-  private def stageDrops(drops: Seq[DataFrame], base: String): Unit = {
+  private[graft] def stageDrops(drops: Seq[DataFrame], base: String): Unit = {
     val now = System.currentTimeMillis()
     var stamped = Set.empty[String]
     drops.zipWithIndex.foreach { case (d, i) =>

@@ -11,10 +11,12 @@ Writes:
                                                      medians (work/wal/state
                                                      per-run seconds)
 
-The phase file (round 16, VERDICT r15 queue #4) is what lets a degraded
-capture separate "io tax on WAL/state commits" from "work regression"
-mechanically: Bench compares each stream op's per-run work_sec and
-commit_sec against these medians and emits a phase_verdict per op.
+The phase file (generated round 17, closing VERDICT r15 queue #4) is what
+lets a degraded capture separate "io tax on WAL/state commits" from "work
+regression" mechanically: Bench.scala loads it and compares each stream
+op's per-run work_sec and wal_sec+state_sec against these medians,
+emitting work_ratio / io_ratio / phase_verdict per op on the
+stream_commit line (rule documented in BASELINE.md round 17).
 
 Plain positive decimals only — failed rows (-1) are dropped; a query
 missing from every run simply has no band, which the policies treat as
@@ -23,6 +25,12 @@ missing from every run simply has no band, which the policies treat as
 --phases-only: update ONLY the stream-phase resource (bands for query
 wall-clock stay untouched — use when the capture host is clean enough for
 phase ratios but the query bands were recorded on better evidence).
+
+Both inputs are validated BEFORE either output is written (ADVICE r16):
+default mode with <2 query runs exits with nothing written; default mode
+with <2 stream_commit lines (a pre-round-15 band file) writes the query
+bands and warns-and-skips the phase file; only --phases-only hard-exits
+on missing stream_commit lines.
 """
 import json
 import statistics
@@ -45,8 +53,20 @@ def main(path, phases_only=False):
             d = json.loads(line)
             if d.get("metric") == "stream_commit":
                 phase_runs.append(d["detail"])
+    # Validate BOTH inputs before writing EITHER output (ADVICE r16): the
+    # old order sys.exited on a short phase input after the band file was
+    # already overwritten — a nonzero exit with a partial write.
     if len(runs) < 2 and not phases_only:
         sys.exit(f"need >= 2 runs in {path}, found {len(runs)}")
+    skip_phases = False
+    if len(phase_runs) < 2:
+        if phases_only:
+            sys.exit(f"need >= 2 stream_commit lines in {path}, found {len(phase_runs)}")
+        # pre-round-15 band files carry no stream_commit lines — still a
+        # valid source for query bands, so warn and skip the phase file
+        print(f"WARNING: only {len(phase_runs)} stream_commit lines in {path} "
+              f"(need 2) — phase resource NOT updated", file=sys.stderr)
+        skip_phases = True
 
     if not phases_only:
         keys = sorted(set().union(*[set(r) for r in runs]))
@@ -61,8 +81,8 @@ def main(path, phases_only=False):
             f.write("\n}\n")
         print(f"wrote {OUT}: {len(bands)} bands from {len(runs)} runs")
 
-    if len(phase_runs) < 2:
-        sys.exit(f"need >= 2 stream_commit lines in {path}, found {len(phase_runs)}")
+    if skip_phases:
+        return
     ops = sorted(set().union(*[set(r) for r in phase_runs]))
     phases = {}
     for op in ops:
