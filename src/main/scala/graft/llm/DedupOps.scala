@@ -1135,25 +1135,29 @@ object DedupOps {
 
   /** Containment dedup over the MATERIALIZED gram index — the scale-path
     * twin of [[llmDedupContainment]], same semantics and same full DuckDB
-    * oracle: the df profile, the rare-gram posting join, and the
-    * candidate self-join all consume the table BUCKETED on g, so no
-    * stage re-derives grams and nothing exchanges on g (PlanSpec asserts
-    * both) — the per-gram df aggregate and the posting self-join run
-    * partial-per-bucket/co-located. The only shuffles left are the ones
-    * keyed on doc pairs (candidate distinct, per-doc set assembly),
-    * which any layout pays. This is the build-once/consume-many shape:
-    * at 100 TB the gram pass runs at index-build time and containment,
-    * decontamination, and passage profiling all ride the same files. */
+    * oracle. Candidate generation is ONE exchange-free pass over the
+    * g-bucketed table (round 17, VERDICT r16 #6): `groupBy(g).
+    * collect_list(doc_id)` runs partial-per-bucket with no exchange on g,
+    * the rare filter keeps groups with df ∈ [2,5], and the ≤C(5,2)=10
+    * ordered pairs per surviving gram explode out of the grouped row —
+    * replacing the previous df-aggregate + left_semi + posting-self-join
+    * shape that read the same bucketed files in THREE subtrees (profiled
+    * at 4.98 s warm vs 1.28 s for this plan, identical 254 rows at sf0.1;
+    * tools/ContainProfile, BASELINE.md round 17). The only shuffles left
+    * are the ones keyed on doc pairs (candidate distinct, per-doc set
+    * assembly), which any layout pays. This is the build-once/
+    * consume-many shape: at 100 TB the gram pass runs at index-build
+    * time and containment, decontamination, and passage profiling all
+    * ride the same files; the per-gram group is bounded by the rare cap,
+    * so the explode can never amplify a hot gram. */
   val llmDedupContainmentIndexed: QFn = (spark, sfDir) => {
     val grams = spark.table(gramTable(spark, sfDir)).select("doc_id", "g")
-    val rare = grams.groupBy("g").agg(count(lit(1)).as("nd"))
-      .filter(col("nd").between(2, 5)).select("g")
-    val posting = grams.join(rare, Seq("g"), "left_semi")
-    val cand = posting
-      .hint("merge")
-      .join(posting.withColumnRenamed("doc_id", "doc_b"), Seq("g"))
-      .filter(col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    val cand = grams
+      .groupBy("g").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 5))
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
     val sets = grams.groupBy("doc_id")
       .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("n"))

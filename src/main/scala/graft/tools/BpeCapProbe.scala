@@ -14,7 +14,9 @@ package graft.tools
   *
   *   sbt -batch "runMain graft.tools.BpeCapProbe [nWords] [nMerges]"
   *
-  * Results are recorded in BASELINE.md (round 16). The structural
+  * Results are recorded in BASELINE.md (round 17): 70.6 s total =
+  * 70.6 ms/merge at nWords=2,000,000, nMerges=1000 — the linear argmax
+  * stays; no heap needed. The structural
   * argument for why the argmax scan is NOT the quadratic threat it reads
   * as: initial symbols are single code points, so the live pair map
   * starts at ≤ |alphabet|² entries and each merge adds only the new

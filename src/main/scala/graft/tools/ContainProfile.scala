@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   *      rows per gram), then the same set-verification join;
   * and asserts (a) and (c) produce IDENTICAL rows before printing the
   * comparison. Run: sbt -batch "runMain graft.tools.ContainProfile [sfDir]".
-  * Results recorded in BASELINE.md (round 17). */
+  *
+  * Results recorded in BASELINE.md (round 17): op 4.98 s warm vs 1.28 s
+  * for the one-scan variant (identical 254 rows at sf0.1) — so the
+  * registered op was SWAPPED to the one-scan shape the same round;
+  * `candCurrent` below preserves the pre-swap candidate plan so the
+  * comparison stays re-runnable. */
 object ContainProfile {
 
   def main(args: Array[String]): Unit = {

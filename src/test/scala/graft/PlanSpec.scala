@@ -247,10 +247,11 @@ class PlanSpec extends AnyFunSuite {
     val df = graft.llm.DedupOps.llmDedupContainmentIndexed(spark, sfDir)
     df.collect() // AQE: final plan only exists after execution
     val p = plan(df)
-    // df profile, rare-gram semi-join, and candidate self-join all read
-    // the stored g-bucketed files: no gram re-derivation, no shuffle
-    // keyed on g; only the doc-pair-keyed stages (candidate distinct,
-    // per-doc set assembly) may exchange
+    // candidate generation is one groupBy(g).collect_list pass over the
+    // stored g-bucketed files (round 17 — replaced the df-profile +
+    // semi-join + posting-self-join shape): no gram re-derivation, no
+    // shuffle keyed on g; only the doc-pair-keyed stages (candidate
+    // distinct, per-doc set assembly) may exchange
     assert(p.contains("Bucketed: true"), s"scan must report bucketed reads:\n$p")
     assert(!p.contains("xxhash64"),
       s"grams must come from the stored index, not re-derivation:\n$p")
