@@ -1273,21 +1273,25 @@ object DedupOps {
         countDistinct(col("fp")).as("n_distinct_fps"))
 
   /** Span dedup over the MATERIALIZED winnow index — byte-identical
-    * results to [[llmDedupSpan]] (NearDupSpec asserts): the df profile,
-    * rare-fp posting filter, and candidate self-join all read the
-    * fp-bucketed table, so no stage re-derives fingerprints and nothing
-    * exchanges on fp (PlanSpec asserts); only the doc-pair aggregate
-    * shuffles. */
+    * results to [[llmDedupSpan]] (NearDupSpec asserts). Candidate pairs
+    * come from ONE exchange-free pass over the fp-bucketed table (round
+    * 17 — the same one-scan shape as the re-planned containment twin):
+    * `groupBy(fp).collect_list(doc_id)` runs partial-per-bucket with no
+    * exchange on fp, the rare gate keeps fps in 2..5 docs, and the
+    * ≤C(5,2)=10 ordered pairs per surviving fp explode out of the
+    * grouped row — replacing the df-profile + left_semi +
+    * posting-self-join shape that read the same bucketed files in three
+    * subtrees. Only the doc-pair aggregate shuffles (PlanSpec asserts
+    * bucketed scans + zero fp-keyed exchanges). */
   val llmDedupSpanIndexed: QFn = (spark, sfDir) => {
     val fps = spark.table(spanTable(spark, sfDir))
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
-      .filter(col("nd").between(2, 5)).select("fp")
-    val posting = fps.join(rare, Seq("fp"), "left_semi")
-    posting
-      .hint("merge")
-      .join(posting.withColumnRenamed("doc_id", "doc_b"), Seq("fp"))
-      .filter(col("doc_id") < col("doc_b"))
-      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+    fps
+      .groupBy("fp").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 5))
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_fp"))
       .filter(col("n_shared_fp") >= 2)
       .withColumn("est_span_chars", expr("n_shared_fp * 17 div 2"))
