@@ -37,15 +37,36 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
   * At 100 TB this is the stateful-streaming recovery contract: executors
   * and drivers die with million-user session maps in flight, and the
   * versioned store (changelog/SST upload per commit) is what makes the
-  * restarted job's output bit-identical to a never-crashed run's. */
+  * restarted job's output bit-identical to a never-crashed run's.
+  *
+  * The `crash-native`/`resume-native` mode pair (round 17 follow-on) runs
+  * the ENGINE's `session_window` merge aggregate — the zero-user-code
+  * complement of the custom-state path, with its own state layout (the
+  * merging-session store) — through the identical crash/resume protocol;
+  * its twin is StreamOps.runSessionWindow over the same drops. */
 object StateRecover {
 
   def main(args: Array[String]): Unit = args.toSeq match {
-    case Seq("crash", sfDir, baseDir) => crash(sfDir, baseDir)
-    case Seq("resume", sfDir, baseDir, outFile) => resume(sfDir, baseDir, outFile)
+    case Seq("crash", sfDir, baseDir) => crash(sfDir, baseDir, "custom")
+    case Seq("resume", sfDir, baseDir, outFile) =>
+      resume(sfDir, baseDir, outFile, "custom")
+    // `-native` variants run the ENGINE's session_window aggregate (its
+    // merging-session state store) through the same crash/resume protocol
+    // — zero user state code, the complement of the custom-state path
+    case Seq("crash-native", sfDir, baseDir) => crash(sfDir, baseDir, "native")
+    case Seq("resume-native", sfDir, baseDir, outFile) =>
+      resume(sfDir, baseDir, outFile, "native")
+    // `-join` variants run the stream-stream interval join (the
+    // symmetric-join store — the last stateful layout without a
+    // cross-process proof): matched pairs accumulate across batches,
+    // the buffered-but-unmatched rows ARE the state that must survive
+    case Seq("crash-join", sfDir, baseDir) => crash(sfDir, baseDir, "join")
+    case Seq("resume-join", sfDir, baseDir, outFile) =>
+      resume(sfDir, baseDir, outFile, "join")
     case other =>
       System.err.println(
-        s"usage: StateRecover crash <sfDir> <baseDir> | resume <sfDir> <baseDir> <outFile>; got $other")
+        s"usage: StateRecover crash[-native|-join] <sfDir> <baseDir> | " +
+          s"resume[-native|-join] <sfDir> <baseDir> <outFile>; got $other")
       sys.exit(2)
   }
 
@@ -64,29 +85,80 @@ object StateRecover {
       ev.filter(col("ts_us") >= cuts(1)))
   }
 
+  /** Drops for the join mode: event_type rides along so each micro-batch
+    * carries BOTH sides of the interval join (views and purchases from
+    * the same time slice — matches straddle batch boundaries through the
+    * buffered join state, which is the thing under test). */
+  private[graft] def joinDrops(spark: SparkSession, sfDir: String): Seq[DataFrame] = {
+    val ev = graft.tables.Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val cuts = Splits.map(s => to_timestamp(lit(s)))
+    Seq(
+      ev.filter(col("ts") < cuts(0)),
+      ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+      ev.filter(col("ts") >= cuts(1)))
+  }
+
   /** One stream definition for both processes: the registered op's exact
-    * stateful pipeline (watermark + flatMapGroupsWithState session closer,
+    * stateful pipeline (watermark + flatMapGroupsWithState session closer
+    * — or, `native = true`, the engine's session_window merge aggregate —
     * RocksDB stores via StreamOps.streamSession) over the staged drops,
     * sunk through the manifest-guarded epoch commit so batch output
-    * survives the JVM and replays idempotently. */
+    * survives the JVM and replays idempotently. The native path flattens
+    * the window struct to the SAME column shape the custom path emits
+    * ((user_id, start_us, end_us, n_events, sum_value)), so resume/
+    * verification code is shared. */
   private def runStream(spark: SparkSession, sfDir: String, baseDir: String,
-      afterWrite: Long => Unit): Unit = {
+      mode: String, afterWrite: Long => Unit): Unit = {
     val manifest = java.nio.file.Paths.get(s"$baseDir/manifest")
     java.nio.file.Files.createDirectories(manifest)
     val ss = graft.streaming.StreamOps.streamSession(spark, 4)
     import ss.implicits._
-    val schema = drops(ss, sfDir).head.schema
-    val q = ss.readStream.schema(schema)
+    def watermarked = ss.readStream
+      .schema(drops(ss, sfDir).head.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$baseDir/src")
       .withWatermark("ts", graft.streaming.StreamOps.sessionWmDelay)
-      .as[graft.streaming.StreamOps.SEv]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(
-        graft.streaming.StreamOps.closeSessions)
-      .toDF()
+    val out: DataFrame = mode match {
+      case "native" =>
+        watermarked
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n_events"),
+            round(col("sum_dec").cast("double"), 2).as("sum_value"))
+      case "custom" =>
+        watermarked.as[graft.streaming.StreamOps.SEv]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(
+            graft.streaming.StreamOps.closeSessions)
+          .toDF()
+      case "join" =>
+        // the registered stream_stream_join's exact shape over the staged
+        // drops: both sides read the SAME source files, so each
+        // micro-batch advances both sides one drop and cross-batch
+        // matches ride the buffered join state
+        def side(tpe: String, uid: String, eid: String, ts: String) =
+          ss.readStream.schema(joinDrops(ss, sfDir).head.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$baseDir/src")
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(uid), col("event_id").as(eid),
+              col("ts").as(ts))
+            .withWatermark(ts, "1 hour")
+        side("view", "v_user", "view_id", "view_ts")
+          .join(side("purchase", "p_user", "purchase_id", "purchase_ts"),
+            expr("v_user = p_user AND purchase_ts >= view_ts " +
+              "AND purchase_ts <= view_ts + interval 1 hour"))
+          .select(col("v_user").as("user_id"), col("view_id"),
+            col("purchase_id"))
+      case other => sys.error(s"unknown mode $other")
+    }
+    val q = out
       .writeStream
-      .queryName("state_recover")
+      .queryName(s"state_recover_$mode")
       .foreachBatch { (b: DataFrame, id: Long) =>
         graft.streaming.StreamOps.commitEpoch(
           b, id, s"$baseDir/out", manifest, afterWrite)
@@ -98,17 +170,19 @@ object StateRecover {
     q.awaitTermination()
   }
 
-  private def crash(sfDir: String, baseDir: String): Unit = {
+  private def crash(sfDir: String, baseDir: String, mode: String): Unit = {
     val spark = session(baseDir)
     try {
       // stageDrops writes mtime-ordered one-file drops under <base>/src —
       // the same fixture stager the registered op uses
-      graft.streaming.StreamOps.stageDrops(drops(spark, sfDir), baseDir)
+      graft.streaming.StreamOps.stageDrops(
+        if (mode == "join") joinDrops(spark, sfDir) else drops(spark, sfDir),
+        baseDir)
       val died =
         try {
-          runStream(spark, sfDir, baseDir, afterWrite = id =>
+          runStream(spark, sfDir, baseDir, mode, afterWrite = id =>
             if (id == 1) throw new RuntimeException(
-              "injected crash: epoch-1 sessions written, marker not yet created"))
+              "injected crash: epoch-1 rows written, marker not yet created"))
           false
         } catch {
           case e: org.apache.spark.sql.streaming.StreamingQueryException =>
@@ -137,37 +211,48 @@ object StateRecover {
         else Option(f.listFiles()).getOrElse(Array.empty).exists(anyFile)
       require(stateDir.isDirectory && anyFile(stateDir),
         "no state-store files in the checkpoint — nothing for resume to recover")
-      // poison the orphan so "trust the orphaned output" is observable
+      // poison the orphan so "trust the orphaned output" is observable:
+      // negate a value column (sessions) / an id column (join pairs)
+      val poisonCol = if (mode == "join") "purchase_id" else "sum_value"
       val poisoned = spark.read.parquet(orphan.getPath)
-        .withColumn("sum_value", -col("sum_value"))
+        .withColumn(poisonCol, -col(poisonCol))
       // read fully into driver memory before the overwrite (tiny frame)
       val rows = poisoned.collect()
       val schema = poisoned.schema
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .write.mode("overwrite").parquet(orphan.getPath)
-      println("[state-recover] crashed mid-epoch-1: marker0=present " +
-        "marker1=absent orphan=present(poisoned) state-files=present")
+      println(s"[state-recover] crashed mid-epoch-1 (mode=$mode): " +
+        "marker0=present marker1=absent orphan=present(poisoned) state-files=present")
     } finally spark.stop()
   }
 
-  private def resume(sfDir: String, baseDir: String, outFile: String): Unit = {
+  private def resume(sfDir: String, baseDir: String, outFile: String,
+      mode: String): Unit = {
     val spark = session(baseDir)
     try {
       // no staging, no injection — this JVM knows only checkpoint + dirs
-      runStream(spark, sfDir, baseDir, afterWrite = _ => ())
+      runStream(spark, sfDir, baseDir, mode, afterWrite = _ => ())
       val m1 = java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$baseDir/manifest/batch-1"))
       require(m1, "resume did not commit epoch 1 — WAL replay failed")
-      val rows = spark.read.parquet(s"$baseDir/out")
-        .select(col("user_id"), col("start_us"), col("end_us"),
-          col("n_events"), col("sum_value"))
-        .orderBy("user_id", "start_us")
-        .collect()
-        .map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}," +
-          s"${r.getLong(3)},${r.getDouble(4)}")
+      val rows =
+        if (mode == "join")
+          spark.read.parquet(s"$baseDir/out")
+            .select(col("user_id"), col("view_id"), col("purchase_id"))
+            .orderBy("user_id", "view_id", "purchase_id")
+            .collect()
+            .map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}")
+        else
+          spark.read.parquet(s"$baseDir/out")
+            .select(col("user_id"), col("start_us"), col("end_us"),
+              col("n_events"), col("sum_value"))
+            .orderBy("user_id", "start_us")
+            .collect()
+            .map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}," +
+              s"${r.getLong(3)},${r.getDouble(4)}")
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         rows.mkString("\n").getBytes("UTF-8"))
-      println(s"[state-recover] resumed from checkpoint: ${rows.length} sessions")
+      println(s"[state-recover] resumed from checkpoint: ${rows.length} rows")
     } finally spark.stop()
   }
 

@@ -84,4 +84,90 @@ class StateRecoverSpec extends AnyFunSuite {
         s"got ${got.length} sessions, expected ${expected.length}; " +
         s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
   }
+
+  test("native session_window state recovers exactly in a fresh JVM after a mid-epoch crash") {
+    // same protocol, the ENGINE's merging-session store instead of the
+    // flatMapGroupsWithState user state — a different state layout with
+    // its own recovery path (session merge metadata, not an opaque blob)
+    val base = graft.util.Scratch.dir("state_recover_native")
+    val outFile = s"$base/resume_result.csv"
+
+    val cOut = forkStateRecover(Seq("crash-native", sfDir, base))
+    assert(cOut.contains("crashed mid-epoch-1 (mode=native)") &&
+      cOut.contains("marker1=absent") && cOut.contains("orphan=present") &&
+      cOut.contains("state-files=present"),
+      cOut.takeRight(500))
+    assert(!new java.io.File(s"$base/manifest/batch-1").exists())
+
+    val rOut = forkStateRecover(Seq("resume-native", sfDir, base, outFile))
+    assert(rOut.contains("resumed from checkpoint"), rOut.takeRight(500))
+
+    val got = scala.io.Source.fromFile(outFile, "UTF-8").mkString.trim
+      .split("\n").toSeq
+
+    import org.apache.spark.sql.functions._
+    val twinBase = graft.util.Scratch.dir("state_recover_native_twin")
+    val expected = graft.streaming.StreamOps.runSessionWindow(
+        spark, graft.tools.StateRecover.drops(spark, sfDir), twinBase)
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+      .collect()
+      .map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}," +
+        s"${r.getLong(3)},${r.getDouble(4)}")
+      .toSeq
+
+    assert(got.nonEmpty, "native resume produced zero sessions")
+    assert(got == expected,
+      s"cross-process native session_window resume diverges from the twin: " +
+        s"got ${got.length} sessions, expected ${expected.length}; " +
+        s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  test("stream-stream join state recovers exactly in a fresh JVM after a mid-epoch crash") {
+    // the symmetric-join store: buffered-but-unmatched rows from earlier
+    // batches must survive the process boundary so cross-batch matches
+    // still land after the restart
+    val base = graft.util.Scratch.dir("state_recover_join")
+    val outFile = s"$base/resume_result.csv"
+
+    val cOut = forkStateRecover(Seq("crash-join", sfDir, base))
+    assert(cOut.contains("crashed mid-epoch-1 (mode=join)") &&
+      cOut.contains("marker1=absent") && cOut.contains("orphan=present") &&
+      cOut.contains("state-files=present"),
+      cOut.takeRight(500))
+    assert(!new java.io.File(s"$base/manifest/batch-1").exists())
+
+    val rOut = forkStateRecover(Seq("resume-join", sfDir, base, outFile))
+    assert(rOut.contains("resumed from checkpoint"), rOut.takeRight(500))
+
+    val got = scala.io.Source.fromFile(outFile, "UTF-8").mkString.trim
+      .split("\n").toSeq
+
+    // batch oracle: the interval join computed directly — the streamed
+    // union over all batches must equal it exactly (no drop is late, so
+    // watermark eviction never removes a still-matchable row)
+    import org.apache.spark.sql.functions._
+    val ev = graft.tables.Tables(spark, sfDir, "events")
+    def side(tpe: String, uid: String, eid: String, ts: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("user_id").as(uid), col("event_id").as(eid),
+          col("ts").as(ts))
+    val expected = side("view", "v_user", "view_id", "view_ts")
+      .join(side("purchase", "p_user", "purchase_id", "purchase_ts"),
+        expr("v_user = p_user AND purchase_ts >= view_ts " +
+          "AND purchase_ts <= view_ts + interval 1 hour"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"))
+      .orderBy("user_id", "view_id", "purchase_id")
+      .collect()
+      .map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}")
+      .toSeq
+
+    assert(got.nonEmpty, "join resume produced zero matched pairs")
+    assert(got == expected,
+      s"cross-process join-state resume diverges from the batch oracle: " +
+        s"got ${got.length} pairs, expected ${expected.length}; " +
+        s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
 }
