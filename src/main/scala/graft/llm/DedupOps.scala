@@ -46,6 +46,19 @@ object DedupOps {
   private def cacheKey(spark: SparkSession, sfDir: String): String =
     spark.sparkContext.applicationId + "|" + sfDir
 
+  /** File-bucket count for every materialized index table (gram / sig /
+    * sim / emb / span). Bucketed scans do not split within a bucket, so
+    * this is the scan-parallelism AND the co-located-join width of every
+    * index consumer — a BUILD-TIME layout decision that must follow
+    * corpus size (round 17: the fixed 16-bucket layout capped the x32
+    * containment consumer at 16-way scans — 5.2x cost for 4x data; with
+    * buckets scaled to the tier the growth is ~linear, BASELINE r17).
+    * 16 suits the sf0.1 fixture; a 100 TB build sets
+    * SPARK_GRAFT_INDEX_BUCKETS to executor-count x cores. Read once per
+    * JVM — the count is baked into each table at build time. */
+  private[graft] val indexBuckets: Int =
+    graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_INDEX_BUCKETS", 16)
+
   /** Every frame this module persists, INCLUDING intermediates that are not
     * themselves cache values (simIndex's bitsums barrier) — so a long-lived
     * session embedding these operators can release executor storage instead
@@ -634,9 +647,9 @@ object DedupOps {
       val tbl = s"emb_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"emb_index_$suffix")
       embIndex(spark, sfDir)
-        .repartition(16, col("bucket"))
+        .repartition(indexBuckets, col("bucket"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(16, "bucket").sortBy("bucket")
+        .bucketBy(indexBuckets, "bucket").sortBy("bucket")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       tbl
     })
@@ -690,9 +703,9 @@ object DedupOps {
       val tbl = s"sig_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"sig_index_$suffix")
       bandedIndex(spark, sfDir)
-        .repartition(16, col("band"), col("bhash"))
+        .repartition(indexBuckets, col("band"), col("bhash"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(16, "band", "bhash").sortBy("band", "bhash")
+        .bucketBy(indexBuckets, "band", "bhash").sortBy("band", "bhash")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       tbl
     })
@@ -731,14 +744,14 @@ object DedupOps {
       val sig = bandedIndex(spark, sfDir)
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       sig.filter(pmod(col("doc_id"), lit(2)) === 0)
-        .repartition(16, col("band"), col("bhash"))
+        .repartition(indexBuckets, col("band"), col("bhash"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(16, "band", "bhash").sortBy("band", "bhash")
+        .bucketBy(indexBuckets, "band", "bhash").sortBy("band", "bhash")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       sig.filter(pmod(col("doc_id"), lit(2)) === 1)
-        .repartition(16, col("band"), col("bhash"))
+        .repartition(indexBuckets, col("band"), col("bhash"))
         .write.mode("append").format("parquet")
-        .bucketBy(16, "band", "bhash").sortBy("band", "bhash")
+        .bucketBy(indexBuckets, "band", "bhash").sortBy("band", "bhash")
         .saveAsTable(tbl)
       tbl
     })
@@ -811,9 +824,9 @@ object DedupOps {
             s"transform(sequence(0, ${nChunks - 1}), " +
               s"c -> shiftright(IF(c < $perHalf, simhash, simhash2), $w * (c % $perHalf)) & $mask)"))
             .as(Seq("chunk", "cval")))
-        .repartition(16, col("chunk"), col("cval"))
+        .repartition(indexBuckets, col("chunk"), col("cval"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(16, "chunk", "cval").sortBy("chunk", "cval")
+        .bucketBy(indexBuckets, "chunk", "cval").sortBy("chunk", "cval")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       tbl
     })
@@ -1012,11 +1025,12 @@ object DedupOps {
     * pass over the corpus runs ONCE at index-build time, and every
     * downstream consumer (decontamination, passage profiling, future eval
     * sets) scans the bucketed files with NO exchange on g — the bucketed
-    * scan already reports HashPartitioning(g, 16), so gram-keyed distincts
+    * scan already reports HashPartitioning(g, N), so gram-keyed distincts
     * and joins are co-located for free (the Bucketing.sinkBucketedColocated
     * pattern applied to an index instead of a fact table). Built once per
-    * (session, sfDir); consumers call this idempotently. repartition(16, g)
-    * before the bucketed write = one file per bucket, not 32×16 fragments. */
+    * (session, sfDir); consumers call this idempotently. repartition(N, g)
+    * before the bucketed write = one file per bucket, not cores×N
+    * fragments; N = [[indexBuckets]] (SPARK_GRAFT_INDEX_BUCKETS). */
   private val gramTableCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -1026,9 +1040,9 @@ object DedupOps {
       val tbl = s"grams_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"gram_index_$suffix")
       gramIndex(spark, sfDir)
-        .repartition(16, col("g"))
+        .repartition(indexBuckets, col("g"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(16, "g").sortBy("g")
+        .bucketBy(indexBuckets, "g").sortBy("g")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       tbl
     })
@@ -1253,9 +1267,9 @@ object DedupOps {
       Tables(spark, sfDir, "documents")
         .select(col("doc_id"), lower(trim(col("text"))).as("t"))
         .select(col("doc_id"), explode(expr("winnow_fps(t, 8, 16)")).as("fp"))
-        .repartition(16, col("fp"))
+        .repartition(indexBuckets, col("fp"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(16, "fp").sortBy("fp")
+        .bucketBy(indexBuckets, "fp").sortBy("fp")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       tbl
     })
