@@ -1,5 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** The band / stream-phase resource parsers, shared by [[Bench]] (the
+  * consumer) and BandResourceSpec (the pin) — extracted (ADVICE r17) so
+  * the spec exercises the PRODUCTION parse by construction instead of a
+  * copy-pasted regex that silently de-synchronizes on the next widening. */
+private[graft] object BenchParse {
+  /** bench_bands.json → op → clean-median seconds. Accepts exponent/sign
+    * forms (ADVICE r12 #5); drops non-finite/negative values. */
+  def bands(txt: String): Map[String, Double] =
+    """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?)""".r
+      .findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter { case (_, v) => java.lang.Double.isFinite(v) && v >= 0 }
+      .toMap
+
+  /** bench_stream_phases.json → op → {work_sec, wal_sec, state_sec}. */
+  def phases(txt: String): Map[String, Map[String, Double]] =
+    """"([A-Za-z0-9_]+)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(txt).map { m =>
+      val fields =
+        """"(work_sec|wal_sec|state_sec)"\s*:\s*(-?[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?)""".r
+          .findAllMatchIn(m.group(2))
+          .map(f => f.group(1) -> f.group(2).toDouble)
+          .filter { case (_, v) => java.lang.Double.isFinite(v) && v >= 0 }
+          .toMap
+      m.group(1) -> fields
+    }.toMap
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -215,14 +243,7 @@ object Bench {
         else {
           val txt = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
                     finally is.close()
-          // ADVICE r12 #5: accept exponent/sign forms (a regenerated band
-          // like 9.0E-2 must not silently disable the repeat policy for
-          // that row), and drop non-finite/negative values explicitly.
-          """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?)""".r
-            .findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter { case (_, v) => java.lang.Double.isFinite(v) && v >= 0 }
-            .toMap
+          BenchParse.bands(txt)
         }
       } catch { case _: Throwable => Map.empty }
     // Startup visibility (ADVICE r12 #5): name every selected analytic row
@@ -457,15 +478,7 @@ object Bench {
         else {
           val txt = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
                     finally is.close()
-          """"([A-Za-z0-9_]+)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(txt).map { m =>
-            val fields =
-              """"(work_sec|wal_sec|state_sec)"\s*:\s*(-?[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?)""".r
-                .findAllMatchIn(m.group(2))
-                .map(f => f.group(1) -> f.group(2).toDouble)
-                .filter { case (_, v) => java.lang.Double.isFinite(v) && v >= 0 }
-                .toMap
-            m.group(1) -> fields
-          }.toMap
+          BenchParse.phases(txt)
         }
       } catch { case _: Throwable => Map.empty }
     def phaseElevated(v: Double, band: Double): Boolean =

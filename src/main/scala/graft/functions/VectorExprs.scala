@@ -288,6 +288,10 @@ object GraftFunctions {
       require(exprs.length == 3, "winnow_fps(text, n, w) takes exactly 3 arguments")
       WinnowFps(exprs.head, exprs(1), exprs(2))
     },
+    "collect_upto" -> { exprs =>
+      require(exprs.length == 2, "collect_upto(key, cap) takes exactly 2 arguments")
+      CollectUpto(exprs.head, exprs(1))
+    },
     "bitmap_distinct" -> { exprs =>
       require(exprs.length == 1, "bitmap_distinct(key) takes exactly 1 argument")
       BitmapDistinct(exprs.head)

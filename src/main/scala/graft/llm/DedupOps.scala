@@ -85,8 +85,8 @@ object DedupOps {
     docCountCache.clear()
     gramIndexCache.clear()
     gramSetsCache.clear()
-    rarePostingCache.clear()
-    spanPostingCache.clear()
+    rareGroupsCache.clear()
+    spanGroupsCache.clear()
     bloomCache.clear()
     gramTableCache.clear()
     embTableCache.clear()
@@ -931,23 +931,53 @@ object DedupOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
-  /** Rare-gram posting list (grams with df ∈ [2,5], one row per (doc,
-    * gram)) — the candidate-generation operand of the in-memory
-    * containment, persisted once per corpus (round 11: a self-join's two
-    * sides each re-derive their subtree, so the un-persisted spelling ran
-    * the 12M-row df aggregate + gram scan TWICE per call — the heaviest
-    // recurring work in the bench session, and the source of the
-    * containment row's run-to-run wobble). A few hundred thousand rows at
-    * sf0.1 — candidate joins read it, never the raw gram index. */
-  private val rarePostingCache =
+  /** Upper df bound of rare-key blocking: only keys (gram hashes / winnow
+    * fps) present in 2..RareDfCap docs generate candidate pairs, so the
+    * candidate count is ≤ rare_keys · C(RareDfCap, 2) — linear in corpus
+    * size. Shared by the containment and span families (and their
+    * oracles' BETWEEN 2 AND 5 literals). */
+  private[graft] val RareDfCap = 5
+
+  /** THE shared one-scan candidate generator of the rare-key blocking
+    * family (round 18 — VERDICT r17 #1 unified the four call sites):
+    * one `groupBy(key).collect_upto(doc_id, RareDfCap+1)` pass over any
+    * (doc_id, key) source — the raw in-memory posting or a key-bucketed
+    * stored table (where the aggregate runs partial-per-bucket with no
+    * exchange on the key) — keeping groups with df ∈ [2, RareDfCap].
+    * `collect_upto` (native, graft.functions.CollectUpto) bounds the
+    * aggregation state at RareDfCap+1 longs per key, so a hot stopword-
+    * like key never materializes its posting list before being discarded
+    * (ADVICE r17 — plain collect_list held O(df) state per hot key);
+    * capped groups read as size RareDfCap+1 and fail the BETWEEN, which
+    * is exactly the old count-then-semi-join semantics in one scan. */
+  private[graft] def rareGroups(src: DataFrame, key: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(src.sparkSession)
+    src.groupBy(key)
+      .agg(expr(s"collect_upto(doc_id, ${RareDfCap + 1})").as("ds"))
+      .filter(size(col("ds")).between(2, RareDfCap))
+  }
+
+  /** Ordered candidate pairs out of [[rareGroups]] output: the ≤
+    * C(RareDfCap,2)=10 (doc_a < doc_b) pairs per surviving key explode
+    * out of the grouped row — one row per (key, pair) occurrence, so
+    * callers `.distinct()` (containment) or count multiplicity per pair
+    * (span's n_shared_fp). */
+  private[graft] def rarePairs(groups: DataFrame): DataFrame =
+    groups
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+
+  /** Rare-gram candidate groups (g, ds) of the IN-MEMORY containment,
+    * persisted once per corpus (round 18; successor of the round-11
+    * rarePosting persist — the grouped form is smaller than the posting
+    * rows and the timed op starts directly at the pair explode). */
+  private val rareGroupsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private[graft] def rarePosting(spark: SparkSession, sfDir: String): DataFrame =
-    rarePostingCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      val grams = gramIndex(spark, sfDir).select("doc_id", "g")
-      val rare = grams.groupBy("g").agg(count(lit(1)).as("nd"))
-        .filter(col("nd").between(2, 5)).select("g")
-      tracked(grams.join(rare, Seq("g"), "left_semi")
+  private[graft] def rareGramGroups(spark: SparkSession, sfDir: String): DataFrame =
+    rareGroupsCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      tracked(rareGroups(gramIndex(spark, sfDir).select("doc_id", "g"), "g")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
@@ -1116,21 +1146,29 @@ object DedupOps {
     * 13-grams appearing in 2..5 docs generate pairs, so the candidate
     * count is bounded by Σ_rare-grams C(df,2) ≤ rare_grams · C(5,2) —
     * linear in corpus size by construction, where an unblocked
-    * posting-list self-join is quadratic in the head gram's df. Exact
+    * posting-list self-join is quadratic in the head gram's df.
+    * Candidate generation is the shared ONE-SCAN [[rareGroups]] shape
+    * (round 18 — the same re-plan the indexed twin got in round 17,
+    * VERDICT r17 #1): pairs explode out of the persisted bounded-state
+    * groups, replacing the posting self-join that shuffled the rare
+    * posting twice per call. Exact
     * verification intersects the full per-doc gram-hash sets
     * (array_intersect on longs, the ngram_jaccard machinery) for
     * candidates only. Reads the SAME persisted gram index as
     * decontaminate/passage — one linear gram pass serves all three.
     * Both containment directions are reported; the ≥0.5 keep-gate is on
     * the max. */
-  val llmDedupContainment: QFn = (spark, sfDir) => {
-    val posting = rarePosting(spark, sfDir)
-    val cand = posting
-      .join(posting.withColumnRenamed("doc_id", "doc_b"), Seq("g"))
-      .filter(col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b"))
-      .distinct()
-    val sets = gramSets(spark, sfDir)
+  val llmDedupContainment: QFn = (spark, sfDir) =>
+    containmentVerified(
+      rarePairs(rareGramGroups(spark, sfDir)).distinct(),
+      gramSets(spark, sfDir))
+
+  /** Exact-verification stage shared by the containment twins: intersect
+    * the full per-doc gram-hash sets for candidates only, keep pairs
+    * whose max containment direction clears 0.5, report both directions.
+    * The twins differ ONLY in where candidates and sets come from (the
+    * executor-memory persists vs the g-bucketed stored table). */
+  private def containmentVerified(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"),
         col("n").as("n_a")), Seq("doc_a"))
@@ -1145,50 +1183,33 @@ object DedupOps {
         round(col("n_shared").cast("double") / col("n_a"), 4).as("cont_a"),
         round(col("n_shared").cast("double") / col("n_b"), 4).as("cont_b"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Containment dedup over the MATERIALIZED gram index — the scale-path
     * twin of [[llmDedupContainment]], same semantics and same full DuckDB
     * oracle. Candidate generation is ONE exchange-free pass over the
-    * g-bucketed table (round 17, VERDICT r16 #6): `groupBy(g).
-    * collect_list(doc_id)` runs partial-per-bucket with no exchange on g,
-    * the rare filter keeps groups with df ∈ [2,5], and the ≤C(5,2)=10
-    * ordered pairs per surviving gram explode out of the grouped row —
-    * replacing the previous df-aggregate + left_semi + posting-self-join
-    * shape that read the same bucketed files in THREE subtrees (profiled
-    * at 4.98 s warm vs 1.28 s for this plan, identical 254 rows at sf0.1;
+    * g-bucketed table (round 17, VERDICT r16 #6; unified into
+    * [[rareGroups]] round 18): `groupBy(g).collect_upto(doc_id, 6)` runs
+    * partial-per-bucket with no exchange on g, the rare filter keeps
+    * groups with df ∈ [2,5], and the ≤C(5,2)=10 ordered pairs per
+    * surviving gram explode out of the grouped row — replacing the
+    * previous df-aggregate + left_semi + posting-self-join shape that
+    * read the same bucketed files in THREE subtrees (profiled at 4.98 s
+    * warm vs 1.28 s for this plan, identical 254 rows at sf0.1;
     * tools/ContainProfile, BASELINE.md round 17). The only shuffles left
     * are the ones keyed on doc pairs (candidate distinct, per-doc set
     * assembly), which any layout pays. This is the build-once/
     * consume-many shape: at 100 TB the gram pass runs at index-build
     * time and containment, decontamination, and passage profiling all
-    * ride the same files; the per-gram group is bounded by the rare cap,
-    * so the explode can never amplify a hot gram. */
+    * ride the same files. The explode is bounded by the rare cap AND —
+    * since round 18's collect_upto — so is the aggregation state itself:
+    * a hot stopword-like gram holds at most 6 doc_ids in its buffer
+    * instead of its whole posting list (ADVICE r17). */
   val llmDedupContainmentIndexed: QFn = (spark, sfDir) => {
     val grams = spark.table(gramTable(spark, sfDir)).select("doc_id", "g")
-    val cand = grams
-      .groupBy("g").agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, 5))
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .distinct()
-    val sets = grams.groupBy("doc_id")
-      .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("n"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"),
-        col("n").as("n_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"),
-        col("n").as("n_b")), Seq("doc_b"))
-      .withColumn("n_shared",
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
-      .filter(greatest(col("n_shared") / col("n_a"),
-        col("n_shared") / col("n_b")) >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
-        col("n_b"),
-        round(col("n_shared").cast("double") / col("n_a"), 4).as("cont_a"),
-        round(col("n_shared").cast("double") / col("n_b"), 4).as("cont_b"))
-      .orderBy("doc_a", "doc_b")
+    containmentVerified(
+      rarePairs(rareGroups(grams, "g")).distinct(),
+      grams.groupBy("doc_id")
+        .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("n")))
   }
 
   /** Substring-level (span) dedup via WINNOWING fingerprints
@@ -1211,36 +1232,38 @@ object DedupOps {
     * DuckDB); NearDupSpec plants spliced spans and brute-checks
     * soundness. */
   val llmDedupSpan: QFn = (spark, sfDir) =>
-    spanPairsFromPosting(spanPosting(spark, sfDir))
+    spanPairsFromGroups(spanGroups(spark, sfDir))
 
-  /** Rare-fp winnow posting, persisted once per corpus — the same
-    * double-subtree fix as [[rarePosting]]: a self-join of an un-persisted
-    * posting would re-run the winnow explode and the df aggregate on BOTH
-    * sides per call. */
-  private val spanPostingCache =
+  /** Rare-fp candidate groups (fp, ds), persisted once per corpus — the
+    * span twin of [[rareGramGroups]] (round 18; successor of the
+    * round-11 rare-posting persist): the winnow explode + the bounded
+    * [[rareGroups]] aggregate run once at warmup, and the timed op
+    * starts directly at the pair explode — replacing the posting
+    * self-join that shuffled the persisted posting twice per call. */
+  private val spanGroupsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private[graft] def spanPosting(spark: SparkSession, sfDir: String): DataFrame =
-    spanPostingCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      tracked(rareSpanPosting(
-        Tables(spark, sfDir, "documents").select("doc_id", "text"))
+  private[graft] def spanGroups(spark: SparkSession, sfDir: String): DataFrame =
+    spanGroupsCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      tracked(rareGroups(spanFps(
+        Tables(spark, sfDir, "documents").select("doc_id", "text")), "fp")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
-  private def rareSpanPosting(docs: DataFrame): DataFrame = {
-    val fps = docs
+  /** (doc_id, fp) winnow-fingerprint rows of a (doc_id, text) frame —
+    * the linear scan both the in-memory persist and the bucketed
+    * [[spanTable]] build start from. */
+  private def spanFps(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .select(col("doc_id"), explode(expr("winnow_fps(t, 8, 16)")).as("fp"))
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
-      .filter(col("nd").between(2, 5)).select("fp")
-    fps.join(rare, Seq("fp"), "left_semi")
-  }
 
-  private def spanPairsFromPosting(posting: DataFrame): DataFrame =
-    posting
-      .join(posting.withColumnRenamed("doc_id", "doc_b"), Seq("fp"))
-      .filter(col("doc_id") < col("doc_b"))
-      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+  /** Pair scoring shared by the span twins: multiplicity per ordered pair
+    * = shared-rare-fp count, ≥2 to report, with the estimated shared-span
+    * chars (n_fp·(w+1)/2 — the winnow density inverted). */
+  private def spanPairsFromGroups(groups: DataFrame): DataFrame =
+    rarePairs(groups)
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_fp"))
       .filter(col("n_shared_fp") >= 2)
       .withColumn("est_span_chars", expr("n_shared_fp * 17 div 2"))
@@ -1250,7 +1273,7 @@ object DedupOps {
     * replays it on corpora with planted spliced spans (uncached; spec
     * corpora are synthetic one-shots). */
   private[graft] def spanPairs(docs: DataFrame): DataFrame =
-    spanPairsFromPosting(rareSpanPosting(docs))
+    spanPairsFromGroups(rareGroups(spanFps(docs), "fp"))
 
   private val spanTableCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1264,9 +1287,7 @@ object DedupOps {
       val suffix = graft.util.Scratch.pathTag(sfDir)
       val tbl = s"span_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"span_index_$suffix")
-      Tables(spark, sfDir, "documents")
-        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-        .select(col("doc_id"), explode(expr("winnow_fps(t, 8, 16)")).as("fp"))
+      spanFps(Tables(spark, sfDir, "documents").select("doc_id", "text"))
         .repartition(indexBuckets, col("fp"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(indexBuckets, "fp").sortBy("fp")
@@ -1289,28 +1310,19 @@ object DedupOps {
   /** Span dedup over the MATERIALIZED winnow index — byte-identical
     * results to [[llmDedupSpan]] (NearDupSpec asserts). Candidate pairs
     * come from ONE exchange-free pass over the fp-bucketed table (round
-    * 17 — the same one-scan shape as the re-planned containment twin):
-    * `groupBy(fp).collect_list(doc_id)` runs partial-per-bucket with no
-    * exchange on fp, the rare gate keeps fps in 2..5 docs, and the
-    * ≤C(5,2)=10 ordered pairs per surviving fp explode out of the
-    * grouped row — replacing the df-profile + left_semi +
-    * posting-self-join shape that read the same bucketed files in three
-    * subtrees. Only the doc-pair aggregate shuffles (PlanSpec asserts
-    * bucketed scans + zero fp-keyed exchanges). */
-  val llmDedupSpanIndexed: QFn = (spark, sfDir) => {
-    val fps = spark.table(spanTable(spark, sfDir))
-    fps
-      .groupBy("fp").agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, 5))
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared_fp"))
-      .filter(col("n_shared_fp") >= 2)
-      .withColumn("est_span_chars", expr("n_shared_fp * 17 div 2"))
-      .orderBy("doc_a", "doc_b")
-  }
+    * 17; unified into [[rareGroups]] round 18): `groupBy(fp).
+    * collect_upto(doc_id, 6)` runs partial-per-bucket with no exchange
+    * on fp AND with bounded per-fp aggregate state (ADVICE r17 — a hot
+    * boilerplate fingerprint holds ≤6 doc_ids, never its posting list),
+    * the rare gate keeps fps in 2..5 docs, and the ≤C(5,2)=10 ordered
+    * pairs per surviving fp explode out of the grouped row — replacing
+    * the df-profile + left_semi + posting-self-join shape that read the
+    * same bucketed files in three subtrees. Only the doc-pair aggregate
+    * shuffles (PlanSpec asserts bucketed scans + zero fp-keyed
+    * exchanges). */
+  val llmDedupSpanIndexed: QFn = (spark, sfDir) =>
+    spanPairsFromGroups(
+      rareGroups(spark.table(spanTable(spark, sfDir)).select("doc_id", "fp"), "fp"))
 
   /** End-to-end corpus-cleaning pipeline — the composition a real
     * training-data build runs, as ONE operator with per-stage survivor

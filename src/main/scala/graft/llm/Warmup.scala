@@ -23,8 +23,8 @@ object Warmup {
     timed("embIndex") { DedupOps.embIndex(spark, sfDir).count() }
     timed("gramIndex") { DedupOps.gramIndex(spark, sfDir).count() }
     timed("gramSets") { DedupOps.gramSets(spark, sfDir).count() }
-    timed("rarePosting") { DedupOps.rarePosting(spark, sfDir).count() }
-    timed("spanPosting") { DedupOps.spanPosting(spark, sfDir).count() }
+    timed("rareGramGroups") { DedupOps.rareGramGroups(spark, sfDir).count() }
+    timed("spanGroups") { DedupOps.spanGroups(spark, sfDir).count() }
     timed("trainBloom") { DedupOps.trainBloom(spark, sfDir).count() }
     timed("ivfIndex") { SimilarityOps.ivfIndex(spark, sfDir)._1.count() }
     timed("unigramModel") { TextOps.unigramModel(spark, sfDir).count() }

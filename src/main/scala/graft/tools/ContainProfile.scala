@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   *      generation collapses three bucketed-table subtrees into one
   *      exchange-free aggregate (df ≤ 5 caps the explode at C(5,2)=10
   *      rows per gram), then the same set-verification join;
+  *   d) (round 18) the candidate stage of the registered op itself —
+  *      the same one-scan shape with the STATE-BOUNDED collect_upto
+  *      aggregate (ADVICE r17): timing (c) vs (d) prices the state cap
+  *      on this corpus, and the equality gate below proves the cap is
+  *      result-invisible;
   * and asserts (a) and (c) produce IDENTICAL rows before printing the
   * comparison. Run: sbt -batch "runMain graft.tools.ContainProfile [sfDir]".
   *
@@ -26,7 +31,10 @@ import org.apache.spark.sql.functions._
   * for the one-scan variant (identical 254 rows at sf0.1) — so the
   * registered op was SWAPPED to the one-scan shape the same round;
   * `candCurrent` below preserves the pre-swap candidate plan so the
-  * comparison stays re-runnable. */
+  * comparison stays re-runnable. Round 18: the registered twins (both
+  * in-memory and indexed) moved to collect_upto via the shared
+  * DedupOps.rareGroups generator; this probe's equality gate now also
+  * pins capped-vs-uncapped equivalence. */
 object ContainProfile {
 
   def main(args: Array[String]): Unit = {
@@ -88,6 +96,11 @@ object ContainProfile {
       .distinct()
     val candOneScanSec = med3(candOneScan.count())
 
+    // ---- (d) the registered candidate stage: one-scan with BOUNDED state
+    def candCapped = graft.llm.DedupOps
+      .rarePairs(graft.llm.DedupOps.rareGroups(grams, "g")).distinct()
+    val candCappedSec = med3(candCapped.count())
+
     def variantFull = {
       val sets = grams.groupBy("doc_id")
         .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("n"))
@@ -121,6 +134,7 @@ object ContainProfile {
       s""""op_sec":${f2(opSec)},"df_profile_sec":${f2(dfProfileSec)},""" +
       s""""cand_current_sec":${f2(candSec)},"sets_sec":${f2(setsSec)},""" +
       s""""cand_onescan_sec":${f2(candOneScanSec)},""" +
+      s""""cand_capped_sec":${f2(candCappedSec)},""" +
       s""""variant_full_sec":${f2(variantSec)},"rows":${a.length},""" +
       s""""equal":true}""")
     spark.stop()

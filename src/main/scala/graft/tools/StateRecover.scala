@@ -187,8 +187,12 @@ object StateRecover {
         } catch {
           case e: org.apache.spark.sql.streaming.StreamingQueryException =>
             require(
-              Option(e.getCause).exists(_.getMessage.contains("injected crash")) ||
-                e.getMessage.contains("injected crash"),
+              // null-guard BOTH messages (ADVICE r17): a wrapped runtime
+              // error with a null message must surface the real "wrong
+              // cause" diagnostic, not an NPE inside the check itself
+              Option(e.getCause).flatMap(c => Option(c.getMessage))
+                .exists(_.contains("injected crash")) ||
+                Option(e.getMessage).exists(_.contains("injected crash")),
               s"stream died of the WRONG cause: $e")
             true
         }

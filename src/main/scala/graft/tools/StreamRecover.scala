@@ -106,8 +106,12 @@ object StreamRecover {
         } catch {
           case e: org.apache.spark.sql.streaming.StreamingQueryException =>
             require(
-              Option(e.getCause).exists(_.getMessage.contains("injected crash")) ||
-                e.getMessage.contains("injected crash"),
+              // null-guard BOTH messages (ADVICE r17, same fix as
+              // StateRecover): a wrapped cause with a null message must
+              // surface the "wrong cause" diagnostic, not an NPE
+              Option(e.getCause).flatMap(c => Option(c.getMessage))
+                .exists(_.contains("injected crash")) ||
+                Option(e.getMessage).exists(_.contains("injected crash")),
               s"stream died of the WRONG cause: $e")
             true
         }

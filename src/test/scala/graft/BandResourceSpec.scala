@@ -7,8 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * either file degrades the repeat-on-spike policy / phase verdicts to
   * their fail-safe modes WITHOUT failing anything — exactly the class of
   * "claims without evidence" drift the weak-oracle work exists to
-  * prevent. This spec re-parses both resources with the SAME regexes
-  * Bench.scala uses and requires:
+  * prevent. This spec re-parses both resources with the SAME parser
+  * Bench.scala calls ([[BenchParse]] — shared by construction, ADVICE
+  * r17) and requires:
   *  - every entry keys a registered query (no orphan bands surviving an
   *    operator rename),
   *  - every value is finite and non-negative,
@@ -29,17 +30,14 @@ class BandResourceSpec extends AnyFunSuite {
 
   test("bench_bands.json parses with Bench's regex and keys only registered queries") {
     val txt = resource("/graft/bench_bands.json")
-    // Bench.scala's band parse, verbatim
-    val bands =
-      """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?)""".r
-        .findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .toMap
+    // the PRODUCTION parse (BenchParse is shared with Bench.scala —
+    // ADVICE r17: pinning by construction, not by copy-paste)
+    val bands = BenchParse.bands(txt)
     assert(bands.nonEmpty, "no band entries parsed — repeat policy would be disabled")
     val unknown = bands.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"bands for unregistered queries: $unknown")
-    val bad = bands.filter { case (_, v) => !java.lang.Double.isFinite(v) || v < 0 }
-    assert(bad.isEmpty, s"non-finite/negative bands: $bad")
+    // (non-finite/negative entries are DROPPED by the production parse,
+    // so a band that went bad in the resource surfaces as `missing` below)
     // every registered query should have a band after a full-run regen;
     // allow none missing so a partial regen is caught here, not by the
     // judge reading the startup warning
@@ -50,16 +48,8 @@ class BandResourceSpec extends AnyFunSuite {
 
   test("bench_stream_phases.json parses with Bench's regex and covers every stream op") {
     val txt = resource("/graft/bench_stream_phases.json")
-    // Bench.scala's phase parse, verbatim
-    val phases =
-      """"([A-Za-z0-9_]+)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(txt).map { m =>
-        val fields =
-          """"(work_sec|wal_sec|state_sec)"\s*:\s*(-?[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?)""".r
-            .findAllMatchIn(m.group(2))
-            .map(f => f.group(1) -> f.group(2).toDouble)
-            .toMap
-        m.group(1) -> fields
-      }.toMap
+    // the PRODUCTION parse, shared with Bench.scala (ADVICE r17)
+    val phases = BenchParse.phases(txt)
     assert(phases.nonEmpty, "no phase entries parsed — every verdict would be no_band")
     val streamOps = SparkEntry.queries.keySet.filter(_.startsWith("stream_"))
     val unknown = phases.keySet -- streamOps

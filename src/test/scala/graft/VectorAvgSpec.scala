@@ -53,7 +53,7 @@ class VectorAvgSpec extends AnyFunSuite {
     assert(byName.keySet == Set("vector_dot", "vector_avg", "vector_sumq",
       "cms_estimate", "bloom_might_contain", "bloom_filter_agg",
       "ngram_hashes", "minhash_sig", "bitmap_distinct", "winnow_fps",
-      "nfc_normalize"))
+      "nfc_normalize", "collect_upto"))
     val lit = Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val bin = Literal.create(Array[Byte](1),
@@ -94,6 +94,9 @@ class VectorAvgSpec extends AnyFunSuite {
     assert(byName("nfc_normalize")(Seq(str))
       .isInstanceOf[graft.functions.NfcNormalize])
     intercept[IllegalArgumentException](byName("nfc_normalize")(Seq(str, str)))
+    assert(byName("collect_upto")(Seq(one, n))
+      .isInstanceOf[graft.functions.CollectUpto])
+    intercept[IllegalArgumentException](byName("collect_upto")(Seq(one)))
     // and the class itself applies cleanly to a fresh extensions object
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
