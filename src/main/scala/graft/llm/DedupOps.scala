@@ -59,6 +59,23 @@ object DedupOps {
   private[graft] val indexBuckets: Int =
     graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_INDEX_BUCKETS", 16)
 
+  /** Per-family bucket override (round 18, VERDICT r17 #4):
+    * SPARK_GRAFT_INDEX_BUCKETS_<FAM> for FAM ∈ {GRAM, SIG, SIM, EMB,
+    * SPAN}, falling back to [[indexBuckets]]. Exists because the right
+    * bucket count follows the family's CONSUMER-SIDE data, not the
+    * corpus alone: posting-sized families (gram/span) want buckets ∝
+    * corpus, but the signature family's consume join probes a
+    * collision-sized frame — the r17 ×32 A/B showed minhash_indexed
+    * REGRESSING 3.65 → 4.36 s when its buckets followed the corpus
+    * 16 → 64 (more tasks than probe rows warrant). Sizing rule recorded
+    * in BASELINE.md round 18: scale a family's buckets with the corpus
+    * only when its consumer scans posting-sized data; keep probe-sided
+    * families (SIG) at the fixture default until the probe side itself
+    * grows past ~buckets × a task's worth of rows. */
+  private[graft] def indexBucketsFor(family: String): Int =
+    graft.util.EnvKnobs.positiveInt(
+      s"SPARK_GRAFT_INDEX_BUCKETS_$family", indexBuckets)
+
   /** Every frame this module persists, INCLUDING intermediates that are not
     * themselves cache values (simIndex's bitsums barrier) — so a long-lived
     * session embedding these operators can release executor storage instead
@@ -647,9 +664,9 @@ object DedupOps {
       val tbl = s"emb_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"emb_index_$suffix")
       embIndex(spark, sfDir)
-        .repartition(indexBuckets, col("bucket"))
+        .repartition(indexBucketsFor("EMB"), col("bucket"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(indexBuckets, "bucket").sortBy("bucket")
+        .bucketBy(indexBucketsFor("EMB"), "bucket").sortBy("bucket")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       tbl
     })
@@ -703,9 +720,9 @@ object DedupOps {
       val tbl = s"sig_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"sig_index_$suffix")
       bandedIndex(spark, sfDir)
-        .repartition(indexBuckets, col("band"), col("bhash"))
+        .repartition(indexBucketsFor("SIG"), col("band"), col("bhash"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(indexBuckets, "band", "bhash").sortBy("band", "bhash")
+        .bucketBy(indexBucketsFor("SIG"), "band", "bhash").sortBy("band", "bhash")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       tbl
     })
@@ -744,14 +761,14 @@ object DedupOps {
       val sig = bandedIndex(spark, sfDir)
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       sig.filter(pmod(col("doc_id"), lit(2)) === 0)
-        .repartition(indexBuckets, col("band"), col("bhash"))
+        .repartition(indexBucketsFor("SIG"), col("band"), col("bhash"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(indexBuckets, "band", "bhash").sortBy("band", "bhash")
+        .bucketBy(indexBucketsFor("SIG"), "band", "bhash").sortBy("band", "bhash")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       sig.filter(pmod(col("doc_id"), lit(2)) === 1)
-        .repartition(indexBuckets, col("band"), col("bhash"))
+        .repartition(indexBucketsFor("SIG"), col("band"), col("bhash"))
         .write.mode("append").format("parquet")
-        .bucketBy(indexBuckets, "band", "bhash").sortBy("band", "bhash")
+        .bucketBy(indexBucketsFor("SIG"), "band", "bhash").sortBy("band", "bhash")
         .saveAsTable(tbl)
       tbl
     })
@@ -824,9 +841,9 @@ object DedupOps {
             s"transform(sequence(0, ${nChunks - 1}), " +
               s"c -> shiftright(IF(c < $perHalf, simhash, simhash2), $w * (c % $perHalf)) & $mask)"))
             .as(Seq("chunk", "cval")))
-        .repartition(indexBuckets, col("chunk"), col("cval"))
+        .repartition(indexBucketsFor("SIM"), col("chunk"), col("cval"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(indexBuckets, "chunk", "cval").sortBy("chunk", "cval")
+        .bucketBy(indexBucketsFor("SIM"), "chunk", "cval").sortBy("chunk", "cval")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       tbl
     })
@@ -1060,7 +1077,8 @@ object DedupOps {
     * pattern applied to an index instead of a fact table). Built once per
     * (session, sfDir); consumers call this idempotently. repartition(N, g)
     * before the bucketed write = one file per bucket, not cores×N
-    * fragments; N = [[indexBuckets]] (SPARK_GRAFT_INDEX_BUCKETS). */
+    * fragments; N = [[indexBucketsFor]]("GRAM") — SPARK_GRAFT_INDEX_BUCKETS
+    * with an optional per-family override (round 18). */
   private val gramTableCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -1070,9 +1088,9 @@ object DedupOps {
       val tbl = s"grams_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"gram_index_$suffix")
       gramIndex(spark, sfDir)
-        .repartition(indexBuckets, col("g"))
+        .repartition(indexBucketsFor("GRAM"), col("g"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(indexBuckets, "g").sortBy("g")
+        .bucketBy(indexBucketsFor("GRAM"), "g").sortBy("g")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       tbl
     })
@@ -1288,9 +1306,9 @@ object DedupOps {
       val tbl = s"span_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"span_index_$suffix")
       spanFps(Tables(spark, sfDir, "documents").select("doc_id", "text"))
-        .repartition(indexBuckets, col("fp"))
+        .repartition(indexBucketsFor("SPAN"), col("fp"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(indexBuckets, "fp").sortBy("fp")
+        .bucketBy(indexBucketsFor("SPAN"), "fp").sortBy("fp")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
       tbl
     })
@@ -1360,7 +1378,46 @@ object DedupOps {
       .orderBy("stage")
   }
 
+  /** Inter-source contamination matrix (round 18, VERDICT r17 #3) — the
+    * dataset-mixing signal a multi-source corpus build reads BEFORE
+    * weighting sources: for every (source_a, source_b) with any overlap,
+    * the count and fraction of source A's docs that have an exact-verified
+    * Jaccard≥0.5 near-dup partner in source B ("which crawls duplicate
+    * each other", including the A=B diagonal — a source's internal dup
+    * rate). Pure composition over the persisted verified-pair graph
+    * ([[verifiedPairs]] — exact hashed-shingle Jaccard over LSH
+    * candidates, the llm_dedup_ngram_jaccard argument, so the matrix is
+    * FULLY DuckDB-replayable from raw text) symmetrized and labeled by
+    * documents.source. Scale shape: the pair graph is collision-sized
+    * (≪ corpus), the label join is keyed on doc_id, the matrix aggregate
+    * is keyed on (source_a, source_b) with map-side partials, and the
+    * per-source size table (|sources| rows) broadcasts — nothing here
+    * rescans text. Docs with multiple partners in B count ONCE
+    * (distinct doc_a). */
+  val llmSourceOverlap: QFn = (spark, sfDir) => {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "source")
+    val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
+    val sym = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val labeled = sym
+      .join(docs.withColumnsRenamed(
+        Map("doc_id" -> "doc_a", "source" -> "source_a")), Seq("doc_a"))
+      .join(docs.withColumnsRenamed(
+        Map("doc_id" -> "doc_b", "source" -> "source_b")), Seq("doc_b"))
+    val overlap = labeled.groupBy("source_a", "source_b")
+      .agg(countDistinct(col("doc_a")).as("n_overlap_docs"))
+    val sizes = docs.groupBy(col("source").as("source_a"))
+      .agg(count(lit(1)).as("n_docs_a"))
+    overlap.join(broadcast(sizes), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("n_overlap_docs"),
+        col("n_docs_a"),
+        round(col("n_overlap_docs").cast("double") / col("n_docs_a"), 4)
+          .as("overlap_rate"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "llm_source_overlap" -> llmSourceOverlap,
     "llm_pipeline_clean_corpus" -> llmPipelineCleanCorpus,
     "llm_gram_index_build" -> llmGramIndexBuild,
     "llm_decontaminate_indexed" -> llmDecontaminateIndexed,
@@ -1644,6 +1701,33 @@ object DedupOps {
       "ORDER BY s.doc_a, s.doc_b")
 
   val oracleSql: Map[String, String] = Map(
+    // full replay: the same exact-Jaccard pair CTE as ngram_jaccard,
+    // symmetrized, labeled with documents.source, counted per source
+    // pair with distinct-doc semantics, normalized by source size
+    "llm_source_overlap" ->
+      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 5) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)), " +
+        "n AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        "p AS (SELECT doc_a, doc_b FROM c JOIN n na ON na.doc_id = doc_a " +
+        "JOIN n nb ON nb.doc_id = doc_b " +
+        "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5), " +
+        "e AS (SELECT doc_a, doc_b FROM p " +
+        "UNION ALL SELECT doc_b, doc_a FROM p), " +
+        "lab AS (SELECT da.source AS source_a, db.source AS source_b, e.doc_a " +
+        "FROM e JOIN documents da ON da.doc_id = e.doc_a " +
+        "JOIN documents db ON db.doc_id = e.doc_b), " +
+        "o AS (SELECT source_a, source_b, count(DISTINCT doc_a) AS n_overlap_docs " +
+        "FROM lab GROUP BY 1, 2), " +
+        "s AS (SELECT source AS source_a, count(*) AS n_docs_a " +
+        "FROM documents GROUP BY 1) " +
+        "SELECT o.source_a, o.source_b, n_overlap_docs, n_docs_a, " +
+        "ROUND(CAST(n_overlap_docs AS DOUBLE) / n_docs_a, 4) AS overlap_rate " +
+        "FROM o JOIN s ON s.source_a = o.source_a " +
+        "ORDER BY o.source_a, o.source_b"),
     // raw-substring replay (the decontaminate/ngram_jaccard argument: only
     // gram EQUALITY matters, so the xxhash64 in the index is invisible)
     "llm_dedup_passage" ->

@@ -77,6 +77,15 @@ object StreamOps {
     ss.conf.set("spark.sql.shuffle.partitions", n.toString)
     val p = provider
     ss.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+    // round 18 (VERDICT r17 #7): checkpoint RETENTION is commit-path
+    // cleanup work — every batch N prunes offsets/commits/state versions
+    // older than N − minBatchesToRetain (Spark default 100). The knob
+    // exists for the bounded A/B in BASELINE r18; default deliberately
+    // untouched so recovery semantics (StateRecoverSpec/StreamRecoverSpec
+    // resume from the LAST committed batch, which any retention ≥ 2
+    // preserves) cannot drift without a recorded decision.
+    sys.env.get("SPARK_GRAFT_MIN_BATCHES_RETAIN").foreach(v =>
+      ss.conf.set("spark.sql.streaming.minBatchesToRetain", v))
     if (p == RocksProvider)
       // changelog checkpointing: upload per-batch CHANGELOGS instead of
       // SST snapshots — attacks exactly the per-batch commit floor the

@@ -151,6 +151,20 @@ class ContractSpec extends AnyFunSuite {
       s"SURVEY header says $full full oracles, registry has $liveFull")
     assert(waived == liveTotal - liveFull,
       s"SURVEY header says $waived no_oracle, registry implies ${liveTotal - liveFull}")
+    // VERDICT r17 #5: the weak-frame COUNT ("N of the M are sketch-…")
+    // was prose-only — right every round so far, but nothing failed if a
+    // new verification-frame op landed without the sentence moving. Pin
+    // it against the live verifyQueries registry like the three numbers
+    // above.
+    val weakRe = """(\d+) of the (\d+) are sketch-""".r
+    val wm = weakRe.findFirstMatchIn(text)
+    assert(wm.isDefined, "SURVEY.md §2 weak-frame count sentence not found/parseable")
+    val liveWeak = SparkEntry.verifyQueries.size
+    assert(wm.get.group(1).toInt == liveWeak,
+      s"SURVEY header says ${wm.get.group(1)} weak-frame ops, " +
+        s"verifyQueries has $liveWeak")
+    assert(wm.get.group(2).toInt == liveTotal,
+      s"SURVEY weak-frame sentence says ${wm.get.group(2)} total, registry has $liveTotal")
   }
 
   test("query names are unique across modules") {
