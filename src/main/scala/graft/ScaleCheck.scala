@@ -22,16 +22,8 @@ import graft.tables.Tables
   * can run without re-timing everything.
   */
 object ScaleCheck {
-  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
-
-  /** Per-replica alphabet permutation, seeded by r. A plain rotation
-    * (Alpha rotated by r % 26) repeats every 26 replicas, so at ×32/×64
-    * replicas r and r+26 would carry IDENTICAL texts — planting
-    * n·(scale/26) exact dups the linear-growth model does not intend.
-    * 26! seeded shuffles keep every replica's text disjoint. */
-  private def perm(r: Int): String =
-    if (r == 0) Alpha
-    else new scala.util.Random(1000 + r).shuffle(Alpha.toList).mkString
+  // replica machinery lives in graft.util.Replicas since round 18, shared
+  // with the probe tools (same seeds → probes replicate IDENTICAL corpora)
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,17 +71,7 @@ object ScaleCheck {
     /** ×scale documents corpus (seeded-permutation replicas), written once
       * per (scale) to scratch; returns its dir. */
     def docsDir(scale: Int, tag: String): String =
-      if (scale == 1) base
-      else {
-        val d = graft.util.Scratch.dir(s"scale_${tag}_x$scale")
-        val docs = spark.read.parquet(s"$base/documents.parquet")
-        (0 until scale).map { r =>
-          docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
-            .withColumn("text", translate(col("text"), Alpha, perm(r)))
-        }.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$d/documents.parquet")
-        d
-      }
+      graft.util.Replicas.docsDir(spark, base, scale, tag)
 
     /** ×scale embeddings corpus: replica r rotated by r % 64 dimensions —
       * norm-preserving but direction-new, so replicas add new points (as a
@@ -617,10 +599,24 @@ object ScaleCheck {
           () => graft.llm.DedupOps.llmDedupMinhashIndexed(spark, ddir)),
         ("embedding_indexed", "bucket", "bucket",
           () => graft.llm.DedupOps.llmDedupEmbeddingIndexed(spark, edir)))
-      // Round 18: repetitions per consumer (median reported, every rep
-      // recorded) — two identical-config ×32 runs differed by 26% on the
-      // containment row (page-cache state of a freshly written corpus),
-      // so a single cold sample cannot support a growth-curve claim.
+      // Round 18: build every stored table FIRST, then release the
+      // executor-memory builder persists before timing — the offline
+      // index build of a real pipeline ends with tables on disk and heap
+      // returned, and measuring consumers beside a ×128 gram persist
+      // (~30 GB co-resident in this 48g JVM) inflated the signature
+      // consumers 3-6× via storage/GC pressure (SigScaleProbe isolated
+      // it; BASELINE r18). Table-name caches survive the release, so the
+      // timed consumers read the files they would in production.
+      println(s"""{"metric":"scale_check_planshape_build","scale":$planScale,""" +
+        s""""gram_sec":${f2(time(graft.llm.DedupOps.gramTable(spark, ddir)))},""" +
+        s""""sig_sec":${f2(time(graft.llm.DedupOps.sigTable(spark, ddir)))},""" +
+        s""""sim_sec":${f2(time(graft.llm.DedupOps.simTable(spark, ddir)))},""" +
+        s""""emb_sec":${f2(time(graft.llm.DedupOps.embTable(spark, edir)))}}""")
+      graft.llm.DedupOps.releaseBuilderPersists()
+      // Repetitions per consumer (median reported, every rep recorded) —
+      // two identical-config ×32 runs differed by 26% on the containment
+      // row (page-cache state of a freshly written corpus), so a single
+      // cold sample cannot support a growth-curve claim.
       // Default stays 1 (the r17 methodology); the r18 curve runs reps=3.
       val planReps = graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_PLANSCALE_REPS", 1)
       val planLines = checks.map { case (name, label, keyRe, mk) =>

@@ -113,6 +113,35 @@ object DedupOps {
     spanTableCache.clear()
   }
 
+  /** Release the executor-memory BUILDER persists but KEEP the stored
+    * tables (names + files) — the post-index-build state of a real
+    * pipeline: the linear passes that assembled the bucketed tables ran
+    * once, their working frames are dead weight afterwards, and the
+    * consumers read the files. Round 18: ScaleCheck's planscale section
+    * calls this between building the tables and timing the consumers —
+    * a ×128 gram persist (~30 GB MEMORY_AND_DISK) co-resident in the
+    * measuring JVM inflated the signature consumers 3-6× via storage/GC
+    * pressure (tools/SigScaleProbe isolated it: minhash ×128 consume
+    * 3.3 s alone vs 19.6-32.5 s beside the persists). In-memory frame
+    * caches are cleared with their persists so a later in-memory
+    * consumer rebuilds instead of silently recomputing per use. */
+  def releaseBuilderPersists(): Unit = persistedFrames.synchronized {
+    persistedFrames.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    persistedFrames.clear()
+    sigIndexCache.clear()
+    candidatesCache.clear()
+    verifiedPairsCache.clear()
+    simIndexCache.clear()
+    embIndexCache.clear()
+    gramIndexCache.clear()
+    gramSetsCache.clear()
+    rareGroupsCache.clear()
+    spanGroupsCache.clear()
+    bloomCache.clear()
+  }
+
   private[graft] def sigIndex(spark: SparkSession, sfDir: String): DataFrame =
     sigIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
       tracked(Tables(spark, sfDir, "documents")

@@ -1,0 +1,43 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded-permutation corpus replication — the linear-growth model every
+  * scale check runs on (extracted from ScaleCheck round 18 so the probe
+  * tools replicate IDENTICAL corpora): replica r > 0 gets
+  * doc_id + r·10⁷ and a per-replica seeded alphabet permutation
+  * (translate), so cross-replica texts share no shingles — the corpus
+  * grows like fresh content, not like naive duplication (which would
+  * plant quadratic near-dup structure regardless of algorithm). */
+object Replicas {
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Per-replica alphabet permutation, seeded by r. A plain rotation
+    * repeats every 26 replicas (r and r+26 would carry IDENTICAL texts,
+    * planting n·(scale/26) exact dups); 26! seeded shuffles keep every
+    * replica's text disjoint. */
+  def perm(r: Int): String =
+    if (r == 0) Alpha
+    else new scala.util.Random(1000 + r).shuffle(Alpha.toList).mkString
+
+  /** ×scale documents corpus written once to scratch; returns its dir
+    * (the base dir unchanged at scale 1). */
+  def docsDir(spark: SparkSession, base: String, scale: Int, tag: String): String =
+    if (scale == 1) base
+    else {
+      val d = Scratch.dir(s"scale_${tag}_x$scale")
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      replicate(docs, scale, "doc_id")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+
+  /** The replication transform itself, for callers that stage their own
+    * writes: shift `idCol` by r·10⁷ and translate the text alphabet. */
+  def replicate(docs: DataFrame, scale: Int, idCol: String): DataFrame =
+    (0 until scale).map { r =>
+      docs.withColumn(idCol, col(idCol) + lit(r * 10000000L))
+        .withColumn("text", translate(col("text"), Alpha, perm(r)))
+    }.reduce(_ unionByName _)
+}
