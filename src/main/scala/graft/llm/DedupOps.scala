@@ -1250,12 +1250,51 @@ object DedupOps {
     * ride the same files. The explode is bounded by the rare cap AND —
     * since round 18's collect_upto — so is the aggregation state itself:
     * a hot stopword-like gram holds at most 6 doc_ids in its buffer
-    * instead of its whole posting list (ADVICE r17). */
+    * instead of its whole posting list (ADVICE r17).
+    *
+    * Verification sets are assembled for CANDIDATE DOCS ONLY (round 18,
+    * second re-plan — found by the corrected ×128 curve): the previous
+    * shape ran collect_set over the WHOLE table — a corpus-sized shuffle
+    * on doc_id (1.5B gram rows at ×128) feeding a join that discards
+    * every non-candidate group. The candidates' distinct doc_ids
+    * BROADCAST into a left_semi under the set aggregate, so grams of
+    * non-candidate docs die at the scan and the doc_id shuffle carries
+    * only verification work — set assembly scales with candidates, not
+    * corpus (×128: 130.3 → 100.8 s, BASELINE r18). The candidate
+    * subtree is referenced three times (pair join + both union branches
+    * of the doc restriction) but computed ONCE: it ends in the
+    * pair-distinct EXCHANGE, which Spark's exchange reuse shares across
+    * all consumers (PlanSpec pins the ReusedExchange) — cheaper than an
+    * eager localCheckpoint, whose extra materialization cost the
+    * fixture-scale row ~1.1 s in the bench session.
+    *
+    * The restriction is gated on corpus size (the simChunkGeom /
+    * projBitsFor precedent — a plan decision derived from n): below
+    * [[ContainRestrictFloor]] docs the full-corpus set aggregate is
+    * trivially cheap and the restriction's extra stages (candidate
+    * union/distinct, broadcast, semi-join) are pure orchestration
+    * overhead (~+1 s in the bench session at 5k docs), so small corpora
+    * keep the flat two-stage plan. */
+  private[graft] val ContainRestrictFloor = 50000L
+
+  /** Test hook (the simGeomOverride precedent): PlanSpec forces the
+    * restricted path at fixture scale to pin its plan shape. */
+  @volatile private[graft] var containRestrictFloorOverride: Option[Long] = None
+
   val llmDedupContainmentIndexed: QFn = (spark, sfDir) => {
     val grams = spark.table(gramTable(spark, sfDir)).select("doc_id", "g")
+    val cand = rarePairs(rareGroups(grams, "g")).distinct()
+    val floor = containRestrictFloorOverride.getOrElse(ContainRestrictFloor)
+    val setSrc =
+      if (docCount(spark, sfDir) < floor) grams
+      else {
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        grams.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      }
     containmentVerified(
-      rarePairs(rareGroups(grams, "g")).distinct(),
-      grams.groupBy("doc_id")
+      cand,
+      setSrc.groupBy("doc_id")
         .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("n")))
   }
 

@@ -179,6 +179,24 @@ class NearDupSpec extends AnyFunSuite {
     assert((prof.getLong(0), prof.getLong(1)) == (expRows, expDistinct))
   }
 
+  test("containment's candidate-restricted big-corpus path is result-invisible") {
+    // the ≥50k-doc plan (candidate-doc semi-join under the set aggregate,
+    // round 18) never runs at fixture scale, so the DuckDB oracle cannot
+    // cover it — force it via the test hook and require byte-identical
+    // rows to the default path AND the in-memory twin
+    val default = graft.llm.DedupOps.llmDedupContainmentIndexed(spark, sfDir)
+      .collect().map(_.toString).sorted
+    graft.llm.DedupOps.containRestrictFloorOverride = Some(0L)
+    val restricted =
+      try graft.llm.DedupOps.llmDedupContainmentIndexed(spark, sfDir)
+        .collect().map(_.toString).sorted
+      finally graft.llm.DedupOps.containRestrictFloorOverride = None
+    assert(restricted.sameElements(default) && default.nonEmpty)
+    val mem = graft.llm.DedupOps.llmDedupContainment(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(default.sameElements(mem))
+  }
+
   test("materialized signature index reproduces the in-memory minhash pairs exactly") {
     // the bucketed sig table is a LAYOUT decision — results must be
     // byte-identical to the in-memory banded-index path

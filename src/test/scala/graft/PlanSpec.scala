@@ -247,8 +247,8 @@ class PlanSpec extends AnyFunSuite {
     val df = graft.llm.DedupOps.llmDedupContainmentIndexed(spark, sfDir)
     df.collect() // AQE: final plan only exists after execution
     val p = plan(df)
-    // candidate generation is one groupBy(g).collect_list pass over the
-    // stored g-bucketed files (round 17 — replaced the df-profile +
+    // candidate generation is one groupBy(g).collect_upto pass over the
+    // stored g-bucketed files (round 17/18 — replaced the df-profile +
     // semi-join + posting-self-join shape): no gram re-derivation, no
     // shuffle keyed on g; only the doc-pair-keyed stages (candidate
     // distinct, per-doc set assembly) may exchange
@@ -257,6 +257,29 @@ class PlanSpec extends AnyFunSuite {
       s"grams must come from the stored index, not re-derivation:\n$p")
     assert("""Exchange hashpartitioning\(g#""".r.findFirstIn(p).isEmpty,
       s"gram-keyed stages must be exchange-free:\n$p")
+  }
+
+  test("indexed containment's big-corpus path restricts sets and reuses the candidate exchange") {
+    // round 18 (candidate-restricted verification sets, gated on corpus
+    // size): force the restricted path at fixture scale via the test
+    // hook. The candidate subtree is referenced three times (pair join +
+    // both branches of the doc-id restriction union) but must be
+    // COMPUTED once — its pair-distinct exchange is the reuse point. A
+    // refactor that breaks canonicalized-subtree equality (e.g.
+    // diverging column aliases between the references) would silently
+    // triple the gram pass at 100 TB.
+    graft.llm.DedupOps.containRestrictFloorOverride = Some(0L)
+    try {
+      val df = graft.llm.DedupOps.llmDedupContainmentIndexed(spark, sfDir)
+      df.collect()
+      val p = plan(df)
+      assert(p.contains("ReusedExchange"),
+        s"candidate exchange must be reused across its consumers:\n$p")
+      assert(p.contains("LeftSemi"),
+        s"set assembly must be restricted by the candidate-doc semi-join:\n$p")
+      assert("""Exchange hashpartitioning\(g#""".r.findFirstIn(p).isEmpty,
+        s"gram-keyed stages must stay exchange-free on the restricted path:\n$p")
+    } finally graft.llm.DedupOps.containRestrictFloorOverride = None
   }
 
   test("indexed simhash candidate join reads the bucketed table with no exchange on (chunk, cval)") {
