@@ -106,11 +106,14 @@ object DedupOps {
     spanGroupsCache.clear()
     bloomCache.clear()
     gramTableCache.clear()
+    gramAppendCache.clear()
     embTableCache.clear()
+    embAppendCache.clear()
     sigTableCache.clear()
     sigAppendCache.clear()
     simTableCache.clear()
     spanTableCache.clear()
+    baseClusterCache.clear()
   }
 
   /** Release the executor-memory BUILDER persists but KEEP the stored
@@ -140,36 +143,61 @@ object DedupOps {
     rareGroupsCache.clear()
     spanGroupsCache.clear()
     bloomCache.clear()
+    baseClusterCache.clear()
   }
+
+  /** Raw signature plan (doc_id, hsh, sig) — the linear pass behind both
+    * the executor-memory [[sigIndex]] persist AND (round 19) the stored
+    * table builds when that persist is cold: an offline index build pipes
+    * this straight into the bucketed write instead of staging a
+    * corpus-sized persist it will never read again (the ×128 build
+    * decomposition, BASELINE r19 — co-resident builder persists were the
+    * dominant superlinear term of the build curve). */
+  private[graft] def sigPlan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      // single-parquet-file input = one split; spread the hash-heavy
+      // signature compute across all cores before the linear pass (at
+      // 100 TB the file splits already provide this parallelism)
+      .repartition(spark.sparkContext.defaultParallelism)
+      // hsh: hashed 5-gram shingle set (64-bit, collision-negligible) —
+      // exact Jaccard verification intersects longs, never strings. The
+      // round-11 native ngram_hashes/minhash_sig expressions replace the
+      // HOF spelling (array_distinct∘transform∘substring∘xxhash64 and
+      // the K×|hsh| permutation lambdas): HOFs are interpreted per
+      // element, these run one tight loop per row over the original
+      // UTF8 bytes — element-exact equivalence pinned by TextHashSpec.
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id"), expr("ngram_hashes(t, 5)").as("hsh"))
+      .withColumn("sig", expr(s"minhash_sig(hsh, $K)"))
 
   private[graft] def sigIndex(spark: SparkSession, sfDir: String): DataFrame =
     sigIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      tracked(Tables(spark, sfDir, "documents")
-        // single-parquet-file input = one split; spread the hash-heavy
-        // signature compute across all cores before the linear pass (at
-        // 100 TB the file splits already provide this parallelism)
-        .repartition(spark.sparkContext.defaultParallelism)
-        // hsh: hashed 5-gram shingle set (64-bit, collision-negligible) —
-        // exact Jaccard verification intersects longs, never strings. The
-        // round-11 native ngram_hashes/minhash_sig expressions replace the
-        // HOF spelling (array_distinct∘transform∘substring∘xxhash64 and
-        // the K×|hsh| permutation lambdas): HOFs are interpreted per
-        // element, these run one tight loop per row over the original
-        // UTF8 bytes — element-exact equivalence pinned by TextHashSpec.
-        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-        .select(col("doc_id"), expr("ngram_hashes(t, 5)").as("hsh"))
-        .withColumn("sig", expr(s"minhash_sig(hsh, $K)"))
+      tracked(sigPlan(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
+
+  /** Build-side source selection (round 19): the table builders read the
+    * in-memory persist when an in-memory consumer already materialized it
+    * (the bench session — one signature pass serves both families), and
+    * the RAW plan when it is cold (the offline-build pipeline — where
+    * persisting would stage the whole corpus in executor storage just to
+    * write it out once; the r18 curve showed exactly that persist
+    * co-resident with later builds inflating them 3-9×). */
+  private def sigSource(spark: SparkSession, sfDir: String): DataFrame =
+    sigIndexCache.getOrElse(cacheKey(spark, sfDir), sigPlan(spark, sfDir))
+
+  /** Banding projection over any signature source. */
+  private[graft] def banded(src: DataFrame): DataFrame =
+    src.select(col("doc_id"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+        s"b -> xxhash64(${(1 to R).map(i => s"element_at(sig, $R * b + $i)").mkString(", ")}, b))"))
+        .as(Seq("band", "bhash")))
 
   /** (doc_id, sig, band, band_hash) — the LSH index: docs agreeing on all R
     * rows of a band collide. sig rides along so pair rows already carry both
     * signatures (no extra join back). */
   private[graft] def bandedIndex(spark: SparkSession, sfDir: String): DataFrame =
-    sigIndex(spark, sfDir).select(col("doc_id"), col("sig"),
-      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
-        s"b -> xxhash64(${(1 to R).map(i => s"element_at(sig, $R * b + $i)").mkString(", ")}, b))"))
-        .as(Seq("band", "bhash")))
+    banded(sigIndex(spark, sfDir))
 
   /** Candidate pairs (a < b) sharing >= 1 LSH band, with the signature-
     * estimated Jaccard. The join key is (band, bhash) — a plain shuffle
@@ -287,14 +315,24 @@ object DedupOps {
   private[graft] val lastClusterRounds =
     new java.util.concurrent.atomic.AtomicInteger(-1)
 
-  val llmDedupCluster: QFn = (spark, sfDir) => {
-    val pairs = verifiedPairs(spark, sfDir)
-      .select("doc_a", "doc_b")
+  val llmDedupCluster: QFn = (spark, sfDir) =>
+    connectedComponents(
+      sigIndex(spark, sfDir).select(col("doc_id"), col("doc_id").as("label")),
+      verifiedPairs(spark, sfDir).select("doc_a", "doc_b"))
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+
+  /** Min-label connected components over (seed: doc_id,label; pairs:
+    * doc_a,doc_b one direction) — the pointer-doubling loop shared by
+    * [[llmDedupCluster]] (full graph) and [[llmDedupClusterIncremental]]
+    * (base generation + contracted delta graph). Returns the converged
+    * (doc_id, label) frame, label = min reachable seed label. */
+  private[graft] def connectedComponents(seed: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint() // rejoined every round — materialize once
-    var labels = sigIndex(spark, sfDir)
-      .select(col("doc_id"), col("doc_id").as("label"))
+    var labels = seed
     // Iterate to fixpoint with a hard bound as a pathological-graph stop.
     // Convergence check: labels only ever move DOWNWARD (least of self and
     // neighbors), so sum(label) strictly decreases iff any label changed —
@@ -344,8 +382,84 @@ object DedupOps {
     }
     lastClusterRounds.set(rounds)
     labels
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).as("is_canonical"))
+  }
+
+  /** Stored cluster state of the BASE generation (even doc_ids — the
+    * driver-stable stand-in for "yesterday's corpus", the same split the
+    * other maintenance ops use): CC labels over the base-side verified
+    * pair graph, built once per (session, sfDir) like every other index
+    * artifact and persisted. The label of a base doc is the min doc_id of
+    * its base component — the cluster table a daily pipeline stores
+    * between runs. */
+  private val baseClusterCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def baseClusters(spark: SparkSession, sfDir: String): DataFrame =
+    baseClusterCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      val basePairs = verifiedPairs(spark, sfDir)
+        .filter(pmod(col("doc_a"), lit(2)) === 0 && pmod(col("doc_b"), lit(2)) === 0)
+        .select("doc_a", "doc_b")
+      tracked(connectedComponents(
+        Tables(spark, sfDir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("doc_id").as("label")),
+        basePairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  /** Incremental near-dup cluster maintenance (round 19, VERDICT r18 #7
+    * stretch — the consumer-side continuation of generation-append): fold
+    * a DELTA BATCH (odd doc_ids) into the STORED cluster state
+    * ([[baseClusters]]) without re-running connected components over the
+    * whole corpus. The algorithm is graph contraction — the standard
+    * incremental-CC move: every new pair's endpoints map through the
+    * stored labels (base docs collapse to their component representative;
+    * delta docs map to themselves), CC runs on the CONTRACTED graph whose
+    * nodes are base representatives + delta docs — delta-sized, not
+    * corpus-sized — and base docs take their representative's new label.
+    * Min-label composition is associative (min over a merged component =
+    * min(min of each part)), so the result is BYTE-IDENTICAL to
+    * [[llmDedupCluster]] run from scratch on the full corpus — the
+    * NearDupSpec pin and the shared recursive-CTE DuckDB oracle both
+    * enforce exactly that. At 100 TB: the from-scratch loop is O(log d)
+    * rounds of corpus-sized shuffles every day; this is the same rounds
+    * over pair-graph-plus-delta-sized frames — the stored labels are the
+    * only corpus-sized input, and they join once, keyed on label. */
+  val llmDedupClusterIncremental: QFn = (spark, sfDir) => {
+    val base = baseClusters(spark, sfDir)
+    val newPairs = verifiedPairs(spark, sfDir)
+      .filter(pmod(col("doc_a"), lit(2)) === 1 || pmod(col("doc_b"), lit(2)) === 1)
+      .select("doc_a", "doc_b")
+    // contract endpoints through the stored labels (delta docs are not in
+    // base → coalesce to themselves); self-loops drop
+    val contracted = newPairs
+      .join(base.select(col("doc_id").as("doc_a"), col("label").as("rep_a")),
+        Seq("doc_a"), "left")
+      .join(base.select(col("doc_id").as("doc_b"), col("label").as("rep_b")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("rep_a"), col("doc_a")).as("doc_a"),
+        coalesce(col("rep_b"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val deltaDocs = Tables(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 1).select("doc_id")
+    val reducedSeed = base.select(col("label").as("doc_id")).distinct()
+      .unionByName(deltaDocs)
+      .select(col("doc_id"), col("doc_id").as("label"))
+    val reduced = connectedComponents(reducedSeed, contracted)
+    // expand: base docs via their representative; delta docs directly.
+    // min over the contracted component = min(base reps ∪ delta docs) =
+    // min of the merged full component, since each base rep IS its
+    // component's min and delta ids are present verbatim.
+    val baseOut = base
+      .join(reduced.select(col("doc_id").as("label"), col("label").as("cl")),
+        Seq("label"))
+      .select(col("doc_id"), col("cl").as("cluster_id"))
+    val deltaOut = deltaDocs
+      .join(reduced, Seq("doc_id"))
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    baseOut.unionByName(deltaOut)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .orderBy("doc_id")
   }
 
@@ -373,29 +487,41 @@ object DedupOps {
     * computed ONCE via the struct transform, not once per bit. The
     * intermediate bitsums frame is tracked too, so clearCaches can
     * actually release it. */
+  /** Raw per-doc bitsums plan — the token-aggregate pass of the SimHash
+    * build. MUST be materialized (persist) before the 128-way fold reads
+    * it: the persist is a hard barrier, without which CollapseProject
+    * re-inlines the token aggregate into every bit (64× blowup measured
+    * at 276 s vs 3 s on sf0.1). */
+  private[graft] def bitsumsPlan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n_tok"),
+        expr(
+          "aggregate(transform(split(lower(trim(text)), '\\\\s+'), " +
+            "t -> struct(xxhash64(t) as h1, xxhash64(t, cast(1 as bigint)) as h2)), " +
+            "array_repeat(cast(0 as bigint), 128), " +
+            "(acc, s) -> zip_with(acc, transform(sequence(0, 127), " +
+            "j -> CASE WHEN (shiftright(IF(j < 64, s.h1, s.h2), j % 64) & 1) = 1 THEN cast(1 as bigint) ELSE cast(-1 as bigint) END), " +
+            "(a, b) -> a + b))").as("bitsums"))
+
+  /** Fingerprint fold over a MATERIALIZED bitsums frame. */
+  private[graft] def simFoldPlan(bitsums: DataFrame): DataFrame = {
+    def fold(lo: Int): String =
+      s"aggregate(sequence($lo, ${lo + 63}), cast(0 as bigint), (s, j) -> s + " +
+        "CASE WHEN element_at(bitsums, j + 1) > 0 " +
+        s"THEN shiftleft(cast(1 as bigint), j - $lo) ELSE cast(0 as bigint) END)"
+    bitsums.select(col("doc_id"),
+      expr(fold(0)).as("simhash"),
+      expr(fold(64)).as("simhash2"),
+      col("n_tok"))
+  }
+
   private[graft] def simIndex(spark: SparkSession, sfDir: String): DataFrame =
     simIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      val bitsums = tracked(Tables(spark, sfDir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          size(split(lower(trim(col("text"))), "\\s+")).as("n_tok"),
-          expr(
-            "aggregate(transform(split(lower(trim(text)), '\\\\s+'), " +
-              "t -> struct(xxhash64(t) as h1, xxhash64(t, cast(1 as bigint)) as h2)), " +
-              "array_repeat(cast(0 as bigint), 128), " +
-              "(acc, s) -> zip_with(acc, transform(sequence(0, 127), " +
-              "j -> CASE WHEN (shiftright(IF(j < 64, s.h1, s.h2), j % 64) & 1) = 1 THEN cast(1 as bigint) ELSE cast(-1 as bigint) END), " +
-              "(a, b) -> a + b))").as("bitsums"))
+      val bitsums = tracked(bitsumsPlan(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      def fold(lo: Int): String =
-        s"aggregate(sequence($lo, ${lo + 63}), cast(0 as bigint), (s, j) -> s + " +
-          "CASE WHEN element_at(bitsums, j + 1) > 0 " +
-          s"THEN shiftleft(cast(1 as bigint), j - $lo) ELSE cast(0 as bigint) END)"
-      tracked(bitsums
-        .select(col("doc_id"),
-          expr(fold(0)).as("simhash"),
-          expr(fold(64)).as("simhash2"),
-          col("n_tok"))
+      tracked(simFoldPlan(bitsums)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
@@ -591,16 +717,24 @@ object DedupOps {
   private val embIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Raw embedding-index plan — see [[sigPlan]] for the build-side split. */
+  private[graft] def embPlan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        expr("cast(embedding as array<double>)").as("emb"))
+      .withColumn("norm", sqrt(expr("vector_dot(emb, emb)")))
+      .withColumn("bucket", llmRpBucket(col("emb"), embBits(spark, sfDir)))
+
   private[graft] def embIndex(spark: SparkSession, sfDir: String): DataFrame =
     embIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      tracked(Tables(spark, sfDir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("label"),
-          expr("cast(embedding as array<double>)").as("emb"))
-        .withColumn("norm", sqrt(expr("vector_dot(emb, emb)")))
-        .withColumn("bucket", llmRpBucket(col("emb"), embBits(spark, sfDir)))
+      tracked(embPlan(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
+
+  /** Persist-if-hot / raw-if-cold build source (see [[sigSource]]). */
+  private def embSource(spark: SparkSession, sfDir: String): DataFrame =
+    embIndexCache.getOrElse(cacheKey(spark, sfDir), embPlan(spark, sfDir))
 
   /** Embedding-cosine near-dup candidates: top-100 most similar pairs among
     * RP-bucket collisions (testdata has no >= 0.95 pairs, so ranking — not
@@ -692,7 +826,7 @@ object DedupOps {
       val suffix = graft.util.Scratch.pathTag(sfDir)
       val tbl = s"emb_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"emb_index_$suffix")
-      embIndex(spark, sfDir)
+      embSource(spark, sfDir)
         .repartition(indexBucketsFor("EMB"), col("bucket"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(indexBucketsFor("EMB"), "bucket").sortBy("bucket")
@@ -731,6 +865,57 @@ object DedupOps {
       .limit(100)
   }
 
+  /** Two-generation embedding index (round 19, VERDICT r18 #3): the ANN
+    * serving family gets generation-append maintenance — the base half
+    * (even vec_ids) written as the bucketed table, the delta APPENDED
+    * under the identical (bucket)-hash spec, so every bucket-keyed
+    * consumer reads both generations co-located with zero exchanges.
+    * The RP bucket of a vector is generation-independent (seeded
+    * projections + width derived from the FULL corpus count), which is
+    * what makes append sound: a delta vector lands in the same bucket it
+    * would get in a full rebuild. */
+  private val embAppendCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def embAppendTable(spark: SparkSession, sfDir: String): String =
+    embAppendCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      val suffix = graft.util.Scratch.pathTag(sfDir)
+      val tbl = s"emb_app_$suffix"
+      val dir = graft.util.Scratch.dir(s"emb_append_$suffix")
+      val e = embSource(spark, sfDir)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      e.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .repartition(indexBucketsFor("EMB"), col("bucket"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(indexBucketsFor("EMB"), "bucket").sortBy("bucket")
+        .option("path", s"$dir/$tbl").saveAsTable(tbl)
+      e.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .repartition(indexBucketsFor("EMB"), col("bucket"))
+        .write.mode("append").format("parquet")
+        .bucketBy(indexBucketsFor("EMB"), "bucket").sortBy("bucket")
+        .saveAsTable(tbl)
+      tbl
+    })
+
+  /** Embedding near-dup served from the APPENDED two-generation index —
+    * byte-identical to [[llmDedupEmbeddingIndexed]] (NearDupSpec asserts)
+    * and sharing [[llmDedupEmbedding]]'s full DuckDB oracle verbatim: the
+    * generation split is a layout event, invisible to results. */
+  val llmEmbIndexAppend: QFn = (spark, sfDir) => {
+    val e = spark.table(embAppendTable(spark, sfDir))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"), col("bucket"))
+    a.hint("merge").join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dotExpr("emb_a", "emb_b") / (col("norm_a") * col("norm_b")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
   /** The banded MinHash signature index MATERIALIZED as a parquet table
     * bucketed on the LSH band hash (the join key of candidate generation).
     * The in-memory [[sigIndex]]/[[bandedIndex]] path recomputes shingles +
@@ -748,7 +933,7 @@ object DedupOps {
       val suffix = graft.util.Scratch.pathTag(sfDir)
       val tbl = s"sig_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"sig_index_$suffix")
-      bandedIndex(spark, sfDir)
+      banded(sigSource(spark, sfDir))
         .repartition(indexBucketsFor("SIG"), col("band"), col("bhash"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(indexBucketsFor("SIG"), "band", "bhash").sortBy("band", "bhash")
@@ -787,7 +972,7 @@ object DedupOps {
       val suffix = graft.util.Scratch.pathTag(sfDir)
       val tbl = s"sig_app_$suffix"
       val dir = graft.util.Scratch.dir(s"sig_append_$suffix")
-      val sig = bandedIndex(spark, sfDir)
+      val sig = banded(sigSource(spark, sfDir))
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       sig.filter(pmod(col("doc_id"), lit(2)) === 0)
         .repartition(indexBucketsFor("SIG"), col("band"), col("bhash"))
@@ -863,17 +1048,31 @@ object DedupOps {
         simGeomOverride.getOrElse(simChunkGeom(docCount(spark, sfDir)))
       val perHalf = nChunks / 2
       val mask = (1L << w) - 1
-      simIndex(spark, sfDir)
-        .withColumn("lb", length(bin(col("n_tok").cast("long"))))
-        .select(col("doc_id"), col("simhash"), col("simhash2"), col("lb"),
-          posexplode(expr(
-            s"transform(sequence(0, ${nChunks - 1}), " +
-              s"c -> shiftright(IF(c < $perHalf, simhash, simhash2), $w * (c % $perHalf)) & $mask)"))
-            .as(Seq("chunk", "cval")))
-        .repartition(indexBucketsFor("SIM"), col("chunk"), col("cval"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(indexBucketsFor("SIM"), "chunk", "cval").sortBy("chunk", "cval")
-        .option("path", s"$dir/$tbl").saveAsTable(tbl)
+      // Build source (round 19): the in-memory fingerprint persist when a
+      // consumer already built it, else a BUILD-LOCAL bitsums persist
+      // (the fold's semantic barrier — see bitsumsPlan) released the
+      // moment the files are written, instead of living co-resident with
+      // the next builder (the r18/r19 neighbor effect).
+      val (src, release) = simIndexCache.get(cacheKey(spark, sfDir)) match {
+        case Some(df) => (df, () => ())
+        case None =>
+          val bs = bitsumsPlan(spark, sfDir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (simFoldPlan(bs), () => { bs.unpersist(); () })
+      }
+      try {
+        src
+          .withColumn("lb", length(bin(col("n_tok").cast("long"))))
+          .select(col("doc_id"), col("simhash"), col("simhash2"), col("lb"),
+            posexplode(expr(
+              s"transform(sequence(0, ${nChunks - 1}), " +
+                s"c -> shiftright(IF(c < $perHalf, simhash, simhash2), $w * (c % $perHalf)) & $mask)"))
+              .as(Seq("chunk", "cval")))
+          .repartition(indexBucketsFor("SIM"), col("chunk"), col("cval"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(indexBucketsFor("SIM"), "chunk", "cval").sortBy("chunk", "cval")
+          .option("path", s"$dir/$tbl").saveAsTable(tbl)
+      } finally release()
       tbl
     })
 
@@ -997,6 +1196,11 @@ object DedupOps {
     * capped groups read as size RareDfCap+1 and fail the BETWEEN, which
     * is exactly the old count-then-semi-join semantics in one scan. */
   private[graft] def rareGroups(src: DataFrame, key: String): DataFrame = {
+    // the collected value column is doc_id by contract (ADVICE r18: a
+    // caller with a differently named id column would hit an opaque
+    // AnalysisException — or silently collect a stray doc_id column)
+    require(src.columns.contains("doc_id"),
+      s"rareGroups collects doc_id per $key group; source has ${src.columns.mkString(", ")}")
     graft.functions.GraftFunctions.ensure(src.sparkSession)
     src.groupBy(key)
       .agg(expr(s"collect_upto(doc_id, ${RareDfCap + 1})").as("ds"))
@@ -1027,18 +1231,28 @@ object DedupOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
+  /** Raw gram plan — shared by the [[gramIndex]] persist and (round 19)
+    * the stored-table builds when that persist is cold; see [[sigPlan]]
+    * for the build-side rationale. */
+  private[graft] def gramPlan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      // native ngram_hashes (round 11) — same distinct-gram-hash set as
+      // the HOF array_distinct∘transform∘xxhash64∘substring spelling,
+      // one tight eval per row instead of ~len interpreted lambdas
+      .select(col("doc_id"), (pmod(col("doc_id"), lit(2)) === 0).as("is_train"),
+        explode(expr("ngram_hashes(t, 13)")).as("g"))
+
   private[graft] def gramIndex(spark: SparkSession, sfDir: String): DataFrame =
     gramIndexCache.getOrElseUpdate(cacheKey(spark, sfDir), {
-      tracked(Tables(spark, sfDir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-        // native ngram_hashes (round 11) — same distinct-gram-hash set as
-        // the HOF array_distinct∘transform∘xxhash64∘substring spelling,
-        // one tight eval per row instead of ~len interpreted lambdas
-        .select(col("doc_id"), (pmod(col("doc_id"), lit(2)) === 0).as("is_train"),
-          explode(expr("ngram_hashes(t, 13)")).as("g"))
+      tracked(gramPlan(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
+
+  /** Persist-if-hot / raw-if-cold build source (see [[sigSource]]). */
+  private def gramSource(spark: SparkSession, sfDir: String): DataFrame =
+    gramIndexCache.getOrElse(cacheKey(spark, sfDir), gramPlan(spark, sfDir))
 
   val llmDecontaminate: QFn = (spark, sfDir) => {
     val grams = gramIndex(spark, sfDir)
@@ -1116,7 +1330,7 @@ object DedupOps {
       val suffix = graft.util.Scratch.pathTag(sfDir)
       val tbl = s"grams_bkt_$suffix"
       val dir = graft.util.Scratch.dir(s"gram_index_$suffix")
-      gramIndex(spark, sfDir)
+      gramSource(spark, sfDir)
         .repartition(indexBucketsFor("GRAM"), col("g"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(indexBucketsFor("GRAM"), "g").sortBy("g")
@@ -1137,6 +1351,60 @@ object DedupOps {
       .agg(count(lit(1)).as("n_gram_rows"),
         countDistinct(col("g")).as("n_distinct_grams"))
       .orderBy("is_train")
+
+  /** Two-generation gram index (round 19, VERDICT r18 #3): the most-
+    * consumed index family (decontaminate / containment / passage all
+    * read it) gets the generation-append maintenance [[sigAppendTable]]
+    * proved for signatures — "yesterday's" generation (train docs, even
+    * doc_ids) written as the bucketed table, "today's" delta (eval docs)
+    * APPENDED under the IDENTICAL bucket spec. Spark validates the spec
+    * on append, so both generations' files carry the same g-hash layout
+    * and every gram-keyed consumer still reads bucketed with zero
+    * exchanges on g (PlanSpec pins it) — at 100 TB a 0.1% delta costs
+    * one delta-sized gram pass + write instead of rebuilding the
+    * biggest table on the board (the ×128 build decomposition that
+    * motivated this is in BASELINE.md round 19). */
+  private val gramAppendCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def gramAppendTable(spark: SparkSession, sfDir: String): String =
+    gramAppendCache.getOrElseUpdate(cacheKey(spark, sfDir), {
+      val suffix = graft.util.Scratch.pathTag(sfDir)
+      val tbl = s"grams_app_$suffix"
+      val dir = graft.util.Scratch.dir(s"gram_append_$suffix")
+      val grams = gramSource(spark, sfDir)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      grams.filter(col("is_train"))
+        .repartition(indexBucketsFor("GRAM"), col("g"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(indexBucketsFor("GRAM"), "g").sortBy("g")
+        .option("path", s"$dir/$tbl").saveAsTable(tbl)
+      grams.filter(!col("is_train"))
+        .repartition(indexBucketsFor("GRAM"), col("g"))
+        .write.mode("append").format("parquet")
+        .bucketBy(indexBucketsFor("GRAM"), "g").sortBy("g")
+        .saveAsTable(tbl)
+      tbl
+    })
+
+  /** Decontamination served from the APPENDED two-generation gram index —
+    * the maintenance pattern's proof of consumption: the eval generation
+    * probes the train generation ACROSS the generation boundary, results
+    * byte-identical to [[llmDecontaminateIndexed]] (NearDupSpec asserts;
+    * the generation split is a LAYOUT event, invisible to results), and
+    * the oracle is [[llmDecontaminate]]'s full DuckDB replay verbatim.
+    * Plan shape matches the single-generation consumer: bucketed scans
+    * on both sides, no exchange on g. */
+  val llmGramIndexAppend: QFn = (spark, sfDir) => {
+    val grams = spark.table(gramAppendTable(spark, sfDir))
+    val trainGrams = grams.filter(col("is_train")).select("g").distinct()
+    grams.filter(!col("is_train"))
+      .hint("merge")
+      .join(trainGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
 
   /** Decontamination re-expressed over the MATERIALIZED index: identical
     * semantics (and identical DuckDB oracle) to [[llmDecontaminate]], but
@@ -1281,16 +1549,36 @@ object DedupOps {
     * restricted path at fixture scale to pin its plan shape. */
   @volatile private[graft] var containRestrictFloorOverride: Option[Long] = None
 
+  /** Broadcast ceiling of the candidate-doc restriction (ADVICE r18 /
+    * VERDICT r18 #2): candDocs is bounded above by the corpus count
+    * (every candidate doc is a doc), and 100M doc_id longs ≈ 800 MB —
+    * comfortably under Spark's 8 GB / 512M-row BroadcastExchange hard
+    * caps, past which the hint would FAIL the job instead of degrading.
+    * Above the cap the semi-join runs unhinted: both sides shuffle on
+    * doc_id — linear, exactly the keyed join any layout pays — so a
+    * pathologically collision-heavy corpus degrades instead of dying.
+    * Gated on docCount (already cached; a count of candDocs itself would
+    * execute the candidate subtree twice — it is the expensive pass the
+    * exchange-reuse design shares). */
+  private[graft] val ContainBroadcastDocCap = 100000000L
+
+  /** Test hook: NearDupSpec/PlanSpec force the shuffle-fallback side at
+    * fixture scale (byte-identity + no-BroadcastExchange pin). */
+  @volatile private[graft] var containBroadcastDocCapOverride: Option[Long] = None
+
   val llmDedupContainmentIndexed: QFn = (spark, sfDir) => {
     val grams = spark.table(gramTable(spark, sfDir)).select("doc_id", "g")
     val cand = rarePairs(rareGroups(grams, "g")).distinct()
     val floor = containRestrictFloorOverride.getOrElse(ContainRestrictFloor)
+    val bcastCap = containBroadcastDocCapOverride.getOrElse(ContainBroadcastDocCap)
     val setSrc =
       if (docCount(spark, sfDir) < floor) grams
       else {
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-        grams.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        val candSide =
+          if (docCount(spark, sfDir) <= bcastCap) broadcast(candDocs) else candDocs
+        grams.join(candSide, Seq("doc_id"), "left_semi")
       }
     containmentVerified(
       cand,
@@ -1488,6 +1776,9 @@ object DedupOps {
     "llm_source_overlap" -> llmSourceOverlap,
     "llm_pipeline_clean_corpus" -> llmPipelineCleanCorpus,
     "llm_gram_index_build" -> llmGramIndexBuild,
+    "llm_gram_index_append" -> llmGramIndexAppend,
+    "llm_emb_index_append" -> llmEmbIndexAppend,
+    "llm_dedup_cluster_incremental" -> llmDedupClusterIncremental,
     "llm_decontaminate_indexed" -> llmDecontaminateIndexed,
     "llm_emb_index_build" -> llmEmbIndexBuild,
     "llm_dedup_embedding_indexed" -> llmDedupEmbeddingIndexed,
@@ -1768,7 +2059,57 @@ object DedupOps {
       "WHERE greatest(CAST(ns AS DOUBLE) / na.n_g, CAST(ns AS DOUBLE) / nb.n_g) >= 0.5 " +
       "ORDER BY s.doc_a, s.doc_b")
 
+  // shared verbatim by llm_decontaminate, its bloom/indexed twins, and the
+  // two-generation append consumer — all four are result-identical by
+  // construction (blooms never false-negative; bucketing/generations are
+  // layout events)
+  private val decontaminateOracleSql: String =
+    ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+      "g AS (SELECT DISTINCT doc_id, doc_id % 2 = 0 AS is_train, " +
+      "substr(t, CAST(i AS BIGINT), 13) AS gram " +
+      "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)), " +
+      "tr AS (SELECT DISTINCT gram FROM g WHERE is_train) " +
+      "SELECT doc_id, count(*) AS n_shared_grams " +
+      "FROM g JOIN tr USING (gram) WHERE NOT is_train " +
+      "GROUP BY doc_id ORDER BY doc_id")
+
+  // shared by the in-memory, indexed, and two-generation embedding pair
+  // producers (byte-identical by NearDupSpec)
+  private lazy val embeddingPairsOracleSql: String =
+    (s"WITH e AS ($embIndexSqlDuck) " +
+      "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      "ROUND(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) / (a.norm * b.norm), 6) AS cosine " +
+      "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+      "ORDER BY cosine DESC, vec_a, vec_b LIMIT 100")
+
+  // shared by the from-scratch and incremental cluster ops (byte-identical
+  // by construction — min-label composition over graph contraction — and
+  // by NearDupSpec)
+  private val clusterOracleSql: String =
+    ("WITH RECURSIVE d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+      "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 5) AS gram " +
+      "FROM d, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)), " +
+      "n AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id), " +
+      "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i " +
+      "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "p AS (SELECT doc_a, doc_b FROM c JOIN n na ON na.doc_id = doc_a " +
+      "JOIN n nb ON nb.doc_id = doc_b " +
+      "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5), " +
+      "e AS (SELECT doc_a AS a, doc_b AS b FROM p " +
+      "UNION SELECT doc_b, doc_a FROM p), " +
+      "reach(s, t) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a) " +
+      "SELECT s AS doc_id, min(t) AS cluster_id, (min(t) = s) AS is_canonical " +
+      "FROM reach GROUP BY s ORDER BY doc_id")
+
   val oracleSql: Map[String, String] = Map(
+    // generation-append consumers + incremental cluster (round 19): each
+    // must be result-INVISIBLE relative to its from-scratch twin, so each
+    // shares that twin's full oracle verbatim
+    "llm_gram_index_append" -> decontaminateOracleSql,
+    "llm_emb_index_append" -> embeddingPairsOracleSql,
+    "llm_dedup_cluster_incremental" -> clusterOracleSql,
     // full replay: the same exact-Jaccard pair CTE as ngram_jaccard,
     // symmetrized, labeled with documents.source, counted per source
     // pair with distinct-doc semantics, normalized by source size
@@ -1893,37 +2234,11 @@ object DedupOps {
     // sum of component sizes squared — near-dup components are tiny by
     // nature, so the closure stays small at any corpus size. Verified
     // identical to the Spark pointer-doubling loop at sf0.001/0.01/0.1.
-    "llm_dedup_cluster" ->
-      ("WITH RECURSIVE d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
-        "g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 5) AS gram " +
-        "FROM d, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)), " +
-        "n AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id), " +
-        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i " +
-        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2), " +
-        "p AS (SELECT doc_a, doc_b FROM c JOIN n na ON na.doc_id = doc_a " +
-        "JOIN n nb ON nb.doc_id = doc_b " +
-        "WHERE ROUND(CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i), 4) >= 0.5), " +
-        "e AS (SELECT doc_a AS a, doc_b AS b FROM p " +
-        "UNION SELECT doc_b, doc_a FROM p), " +
-        "reach(s, t) AS (SELECT doc_id, doc_id FROM documents " +
-        "UNION SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a) " +
-        "SELECT s AS doc_id, min(t) AS cluster_id, (min(t) = s) AS is_canonical " +
-        "FROM reach GROUP BY s ORDER BY doc_id"),
-    "llm_dedup_embedding" ->
-      (s"WITH e AS ($embIndexSqlDuck) " +
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-        "ROUND(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) / (a.norm * b.norm), 6) AS cosine " +
-        "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
-        "ORDER BY cosine DESC, vec_a, vec_b LIMIT 100"),
+    "llm_dedup_cluster" -> clusterOracleSql,
+    "llm_dedup_embedding" -> embeddingPairsOracleSql,
     // the materialized-index path must be invisible to results — shares
     // the llm_dedup_embedding oracle verbatim
-    "llm_dedup_embedding_indexed" ->
-      (s"WITH e AS ($embIndexSqlDuck) " +
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-        "ROUND(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) / (a.norm * b.norm), 6) AS cosine " +
-        "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
-        "ORDER BY cosine DESC, vec_a, vec_b LIMIT 100"),
+    "llm_dedup_embedding_indexed" -> embeddingPairsOracleSql,
     // SemDeDup: the exact-integer centroid (micro-unit sums / count) and
     // both micro-quantized cosines replay the plan's integer orderings;
     // parallel unnest zips (element, position) so list() can rebuild the
@@ -1970,40 +2285,15 @@ object DedupOps {
         "count(DISTINCT gram) AS n_distinct_grams " +
         "FROM g GROUP BY is_train ORDER BY is_train"),
     // identical semantics to llm_decontaminate — the materialized-index
-    // path must be invisible to results, so it shares the oracle verbatim
-    "llm_decontaminate_indexed" ->
-      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
-        "g AS (SELECT DISTINCT doc_id, doc_id % 2 = 0 AS is_train, " +
-        "substr(t, CAST(i AS BIGINT), 13) AS gram " +
-        "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)), " +
-        "tr AS (SELECT DISTINCT gram FROM g WHERE is_train) " +
-        "SELECT doc_id, count(*) AS n_shared_grams " +
-        "FROM g JOIN tr USING (gram) WHERE NOT is_train " +
-        "GROUP BY doc_id ORDER BY doc_id"),
+    // path must be invisible to results, so it shares the oracle verbatim.
     // Replayable without xxhash64: gram IDENTITY doesn't matter, only
     // equality — DuckDB intersects the raw 13-char substrings the Spark
     // side hashes (64-bit collisions over ~1M grams: P ≈ 1e-8, ignorable).
-    // identical result to llm_decontaminate (the bloom prefilter only
-    // removes rows the exact semi-join would drop anyway), so the oracle
-    // replays the exact-join SQL
-    "llm_decontaminate_bloom" ->
-      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
-        "g AS (SELECT DISTINCT doc_id, doc_id % 2 = 0 AS is_train, " +
-        "substr(t, CAST(i AS BIGINT), 13) AS gram " +
-        "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)), " +
-        "tr AS (SELECT DISTINCT gram FROM g WHERE is_train) " +
-        "SELECT doc_id, count(*) AS n_shared_grams " +
-        "FROM g JOIN tr USING (gram) WHERE NOT is_train " +
-        "GROUP BY doc_id ORDER BY doc_id"),
-    "llm_decontaminate" ->
-      ("WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
-        "g AS (SELECT DISTINCT doc_id, doc_id % 2 = 0 AS is_train, " +
-        "substr(t, CAST(i AS BIGINT), 13) AS gram " +
-        "FROM d, unnest(range(1, greatest(length(t) - 12, 1) + 1)) AS u(i)), " +
-        "tr AS (SELECT DISTINCT gram FROM g WHERE is_train) " +
-        "SELECT doc_id, count(*) AS n_shared_grams " +
-        "FROM g JOIN tr USING (gram) WHERE NOT is_train " +
-        "GROUP BY doc_id ORDER BY doc_id"),
+    // The bloom twin is also identical (the prefilter only removes rows
+    // the exact semi-join would drop anyway).
+    "llm_decontaminate_indexed" -> decontaminateOracleSql,
+    "llm_decontaminate_bloom" -> decontaminateOracleSql,
+    "llm_decontaminate" -> decontaminateOracleSql,
     // weak-form oracles (round 15) — these keys' Verify dumps are the
     // verification FRAMES above, not the raw sketch outputs
     "llm_dedup_minhash" -> minhashVerifyOracleSql,

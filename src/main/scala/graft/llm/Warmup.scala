@@ -40,6 +40,11 @@ object Warmup {
     timed("simTable") { DedupOps.simTable(spark, sfDir) }
     timed("spanTable") { DedupOps.spanTable(spark, sfDir) }
     timed("sigAppendTable") { DedupOps.sigAppendTable(spark, sfDir) }
+    timed("gramAppendTable") { DedupOps.gramAppendTable(spark, sfDir) }
+    timed("embAppendTable") { DedupOps.embAppendTable(spark, sfDir) }
+    // the stored cluster state the incremental-CC op folds its delta into
+    // — same build-once category as the tables above
+    timed("baseClusters") { DedupOps.baseClusters(spark, sfDir).count() }
     // the BPE merge table is a trained MODEL shared by llm_bpe_train
     // (emits it) and llm_bpe_apply (encodes with it) — same category as
     // unigramModel above: train once per corpus, both bench rows measure

