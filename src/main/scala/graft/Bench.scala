@@ -134,6 +134,20 @@ object Bench {
       // median in the round-10 capture). registerAll is memoized per
       // (session, sfDir) so the in-query calls become no-ops after this.
       graft.tables.Tables.registerAll(spark, sfDir)
+      // Lifecycle audit (round 19, VERDICT r18 #6): the warmup persists
+      // are the timed loop's co-tenants — report their resident footprint
+      // so every capture records whether the ×128 neighbor effect (a
+      // builder persist occupying most of the heap while consumers are
+      // timed, BASELINE r18) can exist at fixture scale. Numbers land in
+      // BASELINE.md; the r19 reading is ~hundreds of MB against a 24 GB
+      // heap (storage fraction ~1-2% — no co-tenant pressure possible).
+      try {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        val memMb = infos.map(_.memSize).sum / 1048576.0
+        val diskMb = infos.map(_.diskSize).sum / 1048576.0
+        System.err.println(f"[bench] resident storage after warmup: " +
+          f"${infos.length} cached RDDs, $memMb%.1f MB memory, $diskMb%.1f MB disk")
+      } catch { case _: Throwable => () }
       (System.nanoTime() - w0) / 1e9
     }
     only.foreach { s =>

@@ -607,6 +607,16 @@ object ScaleCheck {
       // consumers 3-6× via storage/GC pressure (SigScaleProbe isolated
       // it; BASELINE r18). Table-name caches survive the release, so the
       // timed consumers read the files they would in production.
+      // Round 19: the builders stream from RAW plans when the in-memory
+      // persists are cold (this path — DedupOps gramSource/sigSource/
+      // embSource), so these builds leave no executor-storage residue by
+      // construction; releaseBuilderPersists below is belt-and-braces.
+      // Build TIMES here are io-window-dominated and the corpus was just
+      // replicated — sync+settle first, or the first build measures the
+      // replica flush (BuildScaleProbe runs A vs B/C, BASELINE r19:
+      // 109 s contaminated vs 25-75 s settled for the ×128 gram build).
+      try { new ProcessBuilder("sync").start().waitFor() } catch { case _: Throwable => () }
+      Thread.sleep(10000)
       println(s"""{"metric":"scale_check_planshape_build","scale":$planScale,""" +
         s""""gram_sec":${f2(time(graft.llm.DedupOps.gramTable(spark, ddir)))},""" +
         s""""sig_sec":${f2(time(graft.llm.DedupOps.sigTable(spark, ddir)))},""" +

@@ -94,6 +94,21 @@ object StreamOps {
         s"SPARK_GRAFT_MIN_BATCHES_RETAIN must be >= 2 (resume-from-last-commit needs the previous batch retained), got $v")
       ss.conf.set("spark.sql.streaming.minBatchesToRetain", v.toString)
     }
+    // round 19 (VERDICT r18 #5): the next two bounded commit-floor
+    // experiments after retention — background state-store maintenance
+    // cadence and the changelog→snapshot consolidation threshold. Both
+    // opt-in env for the A/B (BASELINE r19), defaults untouched: neither
+    // affects recovery correctness (maintenance is a background
+    // optimization; snapshots only shorten changelog replay), so the
+    // recovery specs gate adoption, not semantics.
+    sys.env.get("SPARK_GRAFT_STATE_MAINTENANCE_SEC").foreach { _ =>
+      val v = graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_STATE_MAINTENANCE_SEC", 60)
+      ss.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", s"${v}s")
+    }
+    sys.env.get("SPARK_GRAFT_MIN_DELTAS_SNAPSHOT").foreach { _ =>
+      val v = graft.util.EnvKnobs.positiveInt("SPARK_GRAFT_MIN_DELTAS_SNAPSHOT", 10)
+      ss.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", v.toString)
+    }
     if (p == RocksProvider)
       // changelog checkpointing: upload per-batch CHANGELOGS instead of
       // SST snapshots — attacks exactly the per-batch commit floor the

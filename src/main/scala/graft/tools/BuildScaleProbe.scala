@@ -77,11 +77,26 @@ object BuildScaleProbe {
     scales.zip(buckets).zip(bucketsAlt).foreach { case ((scale, nb), nbAlt) =>
       val dir = graft.util.Replicas.docsDir(spark, base, scale, "buildprobe")
       import graft.llm.DedupOps
+      // The replica corpus was JUST written (GBs of dirty pages at ×128)
+      // — flush and settle before timing anything, or the first big
+      // write measures the corpus flush's io contention on top of its
+      // own cost (first-run suspicion from the initial r19 capture:
+      // gram_direct 109 s cold-after-replicate vs 21.6 s for the same
+      // shuffle volume from the persist minutes later).
+      try { new ProcessBuilder("sync").start().waitFor() } catch { case _: Throwable => () }
+      Thread.sleep(10000)
 
-      // empty-heap measurements first
+      // empty-heap measurements first; gram_direct repeated 3× (fresh
+      // table each time) so write-order/io-window effects are visible
       val gramScan = time(DedupOps.gramPlan(spark, dir).count())
-      val gramDirect = time(writeTbl(DedupOps.gramPlan(spark, dir),
-        s"bsp_gram_x$scale", nb, Seq("g")))
+      val gramDirectReps = (1 to 3).map { i =>
+        val t = time(writeTbl(DedupOps.gramPlan(spark, dir),
+          s"bsp_gram_x$scale", nb, Seq("g")))
+        spark.sql(s"DROP TABLE IF EXISTS bsp_gram_x$scale")
+        graft.util.Scratch.wipeWhere(_ == s"bsp_bsp_gram_x$scale")
+        t
+      }
+      val gramDirect = gramDirectReps.sorted.apply(1)
       val gramAlt = time(writeTbl(DedupOps.gramPlan(spark, dir),
         s"bsp_gram_alt_x$scale", nbAlt, Seq("g")))
       val sigDirect = time(writeTbl(DedupOps.banded(DedupOps.sigPlan(spark, dir)),
@@ -119,6 +134,7 @@ object BuildScaleProbe {
 
       println(s"""{"metric":"build_scale_probe","scale":$scale,"buckets":$nb,""" +
         s""""gram_scan_sec":${f2(gramScan)},"gram_direct_sec":${f2(gramDirect)},""" +
+        s""""gram_direct_reps":[${gramDirectReps.map(f2).mkString(",")}],""" +
         s""""gram_alt_buckets":$nbAlt,"gram_alt_sec":${f2(gramAlt)},""" +
         s""""gram_persist_sec":${f2(gramPersist)},"gram_frompersist_sec":${f2(gramFromPersist)},""" +
         s""""sig_direct_sec":${f2(sigDirect)},"sig_withgram_sec":${f2(sigWithGram)},""" +
