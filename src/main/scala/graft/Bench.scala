@@ -138,9 +138,10 @@ object Bench {
       // are the timed loop's co-tenants — report their resident footprint
       // so every capture records whether the ×128 neighbor effect (a
       // builder persist occupying most of the heap while consumers are
-      // timed, BASELINE r18) can exist at fixture scale. Numbers land in
-      // BASELINE.md; the r19 reading is ~hundreds of MB against a 24 GB
-      // heap (storage fraction ~1-2% — no co-tenant pressure possible).
+      // timed, BASELINE r18) can exist at fixture scale. The reading is
+      // recorded per-round in BASELINE.md's close (first recorded: round
+      // 20) — this comment cites no number so prose cannot drift from
+      // the artifact (VERDICT r19 #3).
       try {
         val infos = spark.sparkContext.getRDDStorageInfo
         val memMb = infos.map(_.memSize).sum / 1048576.0

@@ -390,7 +390,14 @@ object DedupOps {
     * pair graph, built once per (session, sfDir) like every other index
     * artifact and persisted. The label of a base doc is the min doc_id of
     * its base component — the cluster table a daily pipeline stores
-    * between runs. */
+    * between runs. Stored as PARQUET, not an executor-memory persist
+    * (ADVICE r19): the pre-r20 MEMORY_AND_DISK persist was built in
+    * warmup and stayed resident through the whole timed bench loop —
+    * exactly the co-tenant storage pressure the r19 build-path work
+    * eliminated from the index builders — and a cluster table a pipeline
+    * keeps BETWEEN daily runs lives on disk by definition. The consumer
+    * reads the files (labels are 2 longs/doc — a cheap columnar scan);
+    * zero storage residue after the build. */
   private val baseClusterCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
@@ -399,12 +406,15 @@ object DedupOps {
       val basePairs = verifiedPairs(spark, sfDir)
         .filter(pmod(col("doc_a"), lit(2)) === 0 && pmod(col("doc_b"), lit(2)) === 0)
         .select("doc_a", "doc_b")
-      tracked(connectedComponents(
+      val dir = graft.util.Scratch.dir(
+        s"base_clusters_${graft.util.Scratch.pathTag(sfDir)}")
+      connectedComponents(
         Tables(spark, sfDir, "documents")
           .filter(pmod(col("doc_id"), lit(2)) === 0)
           .select(col("doc_id"), col("doc_id").as("label")),
         basePairs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .write.mode("overwrite").parquet(s"$dir/labels")
+      spark.read.parquet(s"$dir/labels")
     })
 
   /** Incremental near-dup cluster maintenance (round 19, VERDICT r18 #7
@@ -415,16 +425,20 @@ object DedupOps {
     * incremental-CC move: every new pair's endpoints map through the
     * stored labels (base docs collapse to their component representative;
     * delta docs map to themselves), CC runs on the CONTRACTED graph whose
-    * nodes are base representatives + delta docs — delta-sized, not
-    * corpus-sized — and base docs take their representative's new label.
+    * nodes are the TOUCHED endpoints of the contracted edges (round 20 —
+    * delta-EDGE-sized, strictly smaller than r19's base-reps+delta-docs
+    * seed, which was corpus-sized because most components are singletons)
+    * — and base docs take their representative's new label.
     * Min-label composition is associative (min over a merged component =
     * min(min of each part)), so the result is BYTE-IDENTICAL to
     * [[llmDedupCluster]] run from scratch on the full corpus — the
     * NearDupSpec pin and the shared recursive-CTE DuckDB oracle both
     * enforce exactly that. At 100 TB: the from-scratch loop is O(log d)
-    * rounds of corpus-sized shuffles every day; this is the same rounds
-    * over pair-graph-plus-delta-sized frames — the stored labels are the
-    * only corpus-sized input, and they join once, keyed on label. */
+    * rounds of corpus-sized shuffles every day; this runs the same loop
+    * over delta-edge-sized frames. The corpus-sized inputs (stored
+    * labels, delta doc list) each join exactly once, OUTSIDE the loop,
+    * against delta-sized (broadcastable) sides. Measured crossover vs
+    * from-scratch: BASELINE.md round-20 close (tools/MaintainProbe). */
   val llmDedupClusterIncremental: QFn = (spark, sfDir) => {
     val base = baseClusters(spark, sfDir)
     val newPairs = verifiedPairs(spark, sfDir)
@@ -442,21 +456,38 @@ object DedupOps {
       .filter(col("doc_a") =!= col("doc_b"))
     val deltaDocs = Tables(spark, sfDir, "documents")
       .filter(pmod(col("doc_id"), lit(2)) === 1).select("doc_id")
-    val reducedSeed = base.select(col("label").as("doc_id")).distinct()
-      .unionByName(deltaDocs)
+    // CC node set restricted to TOUCHED nodes — the distinct endpoints of
+    // the contracted edge set (round 20): a node with no contracted edge
+    // can never change label (base reps keep their component, edge-less
+    // delta docs label themselves), so seeding CC with every base label +
+    // every delta doc — as this op did in round 19 — ran the label loop
+    // over a CORPUS-sized node frame even for a tiny delta (most docs are
+    // singleton components, so distinct base labels ≈ n). With the
+    // touched-only seed the loop's every frame is bounded by the delta
+    // edge count; the corpus-sized inputs (stored labels, delta docs)
+    // each join ONCE, outside the loop, against delta-sized sides.
+    // Byte-identity with the full-seed plan (and with from-scratch CC)
+    // is by the same min-label associativity as before; untouched nodes
+    // re-enter via coalesce in the expansion below. NearDupSpec pins it.
+    val touchedSeed = contracted.select(col("doc_a").as("doc_id"))
+      .unionByName(contracted.select(col("doc_b").as("doc_id")))
+      .distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
-    val reduced = connectedComponents(reducedSeed, contracted)
+    val reduced = connectedComponents(touchedSeed, contracted)
     // expand: base docs via their representative; delta docs directly.
     // min over the contracted component = min(base reps ∪ delta docs) =
     // min of the merged full component, since each base rep IS its
-    // component's min and delta ids are present verbatim.
+    // component's min and delta ids are present verbatim. Left joins +
+    // coalesce: nodes the delta never touched keep their stored label
+    // (base) or themselves (delta) — exactly what the full seed produced.
     val baseOut = base
       .join(reduced.select(col("doc_id").as("label"), col("label").as("cl")),
-        Seq("label"))
-      .select(col("doc_id"), col("cl").as("cluster_id"))
+        Seq("label"), "left")
+      .select(col("doc_id"), coalesce(col("cl"), col("label")).as("cluster_id"))
     val deltaOut = deltaDocs
-      .join(reduced, Seq("doc_id"))
-      .select(col("doc_id"), col("label").as("cluster_id"))
+      .join(reduced, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
     baseOut.unionByName(deltaOut)
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
@@ -1550,17 +1581,24 @@ object DedupOps {
   @volatile private[graft] var containRestrictFloorOverride: Option[Long] = None
 
   /** Broadcast ceiling of the candidate-doc restriction (ADVICE r18 /
-    * VERDICT r18 #2): candDocs is bounded above by the corpus count
-    * (every candidate doc is a doc), and 100M doc_id longs ≈ 800 MB —
-    * comfortably under Spark's 8 GB / 512M-row BroadcastExchange hard
-    * caps, past which the hint would FAIL the job instead of degrading.
-    * Above the cap the semi-join runs unhinted: both sides shuffle on
-    * doc_id — linear, exactly the keyed join any layout pays — so a
-    * pathologically collision-heavy corpus degrades instead of dying.
-    * Gated on docCount (already cached; a count of candDocs itself would
-    * execute the candidate subtree twice — it is the expensive pass the
-    * exchange-reuse design shares). */
-  private[graft] val ContainBroadcastDocCap = 100000000L
+    * VERDICT r18 #2; tightened ADVICE r19): candDocs is bounded above by
+    * the corpus count (every candidate doc is a doc) — a deliberately
+    * CONSERVATIVE proxy, since counting candDocs itself would execute
+    * the expensive candidate subtree a second time (it is the pass the
+    * exchange-reuse design shares), while docCount is already cached.
+    * The cost of the proxy is only a missed broadcast on >cap corpora
+    * whose candidate sets happen to be tiny — and AQE still converts
+    * those to broadcast at runtime from actual exchange sizes. The cap
+    * is sized for the worst case the proxy admits: 25M doc_id longs
+    * ≈ 200 MB broadcast — well under executor/driver memory comfort on
+    * any plausible profile, not just under Spark's 8 GB / 512M-row
+    * BroadcastExchange hard caps past which the hint would FAIL the job
+    * (the r18 cap of 100M put the worst case at 800 MB, near typical
+    * comfort limits — ADVICE r19). Above the cap the semi-join runs
+    * unhinted: both sides shuffle on doc_id — linear, exactly the keyed
+    * join any layout pays — so a pathologically collision-heavy corpus
+    * degrades instead of dying. */
+  private[graft] val ContainBroadcastDocCap = 25000000L
 
   /** Test hook: NearDupSpec/PlanSpec force the shuffle-fallback side at
     * fixture scale (byte-identity + no-BroadcastExchange pin). */

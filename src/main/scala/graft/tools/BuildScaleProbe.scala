@@ -74,6 +74,28 @@ object BuildScaleProbe {
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
     }
 
+    /** The shipped simTable projection (DedupOps.simTable): lb band
+      * column + posexplode into nChunks (chunk, cval) rows per doc —
+      * ADVICE r19: the probe's original sim row wrote simFoldPlan
+      * bucketed on doc_id (1 row/doc), a structurally SMALLER write than
+      * the builder whose curve this probe decomposes; sim rows now pay
+      * the builder's real row multiplication and its (chunk, cval)
+      * cluster keys. Geometry derives from the replica corpus count,
+      * exactly as the builder's simChunkGeom call does. */
+    def simProj(fold: DataFrame, nDocs: Long): DataFrame = {
+      import org.apache.spark.sql.functions.{col, expr, posexplode, length, bin}
+      val (nChunks, w) = graft.llm.DedupOps.simChunkGeom(nDocs)
+      val perHalf = nChunks / 2
+      val mask = (1L << w) - 1
+      fold
+        .withColumn("lb", length(bin(col("n_tok").cast("long"))))
+        .select(col("doc_id"), col("simhash"), col("simhash2"), col("lb"),
+          posexplode(expr(
+            s"transform(sequence(0, ${nChunks - 1}), " +
+              s"c -> shiftright(IF(c < $perHalf, simhash, simhash2), $w * (c % $perHalf)) & $mask)"))
+            .as(Seq("chunk", "cval")))
+    }
+
     scales.zip(buckets).zip(bucketsAlt).foreach { case ((scale, nb), nbAlt) =>
       val dir = graft.util.Replicas.docsDir(spark, base, scale, "buildprobe")
       import graft.llm.DedupOps
@@ -102,14 +124,16 @@ object BuildScaleProbe {
       val sigDirect = time(writeTbl(DedupOps.banded(DedupOps.sigPlan(spark, dir)),
         s"bsp_sig_x$scale", nb, Seq("band", "bhash")))
       // sim direct: bitsums barrier persisted, written, released — the
-      // round-19 build path, bitsums cost reported separately
+      // round-19 build path, bitsums cost reported separately; the write
+      // is the shipped posexplode/(chunk,cval) spec at the shipped SIM
+      // bucket count (fixed layout — cval is width-masked, so buckets do
+      // NOT scale with the corpus for this family)
+      val nDocs = DedupOps.docCount(spark, dir)
+      val nbSim = DedupOps.indexBucketsFor("SIM")
       var bs = DedupOps.bitsumsPlan(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val simBitsums = time(bs.count())
-      val simWrite = time(writeTbl(DedupOps.simFoldPlan(bs)
-        .withColumn("lb", org.apache.spark.sql.functions.length(
-          org.apache.spark.sql.functions.bin(org.apache.spark.sql.functions
-            .col("n_tok").cast("long")))),
-        s"bsp_sim_x$scale", nb, Seq("doc_id")))
+      val simWrite = time(writeTbl(simProj(DedupOps.simFoldPlan(bs), nDocs),
+        s"bsp_sim_x$scale", nbSim, Seq("chunk", "cval")))
       bs.unpersist(blocking = true)
 
       // pre-round-19 gram path: persist populate, then write from it
@@ -124,11 +148,9 @@ object BuildScaleProbe {
       val sigWithGram = time(writeTbl(DedupOps.banded(DedupOps.sigPlan(spark, dir)),
         s"bsp_sig_ng_x$scale", nb, Seq("band", "bhash")))
       bs = DedupOps.bitsumsPlan(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val simWithGram = time(bs.count()) + time(writeTbl(DedupOps.simFoldPlan(bs)
-        .withColumn("lb", org.apache.spark.sql.functions.length(
-          org.apache.spark.sql.functions.bin(org.apache.spark.sql.functions
-            .col("n_tok").cast("long")))),
-        s"bsp_sim_ng_x$scale", nb, Seq("doc_id")))
+      val simWithGram = time(bs.count()) + time(writeTbl(
+        simProj(DedupOps.simFoldPlan(bs), nDocs),
+        s"bsp_sim_ng_x$scale", nbSim, Seq("chunk", "cval")))
       bs.unpersist(blocking = true)
       gramPersistFrame.unpersist(blocking = true)
 
@@ -138,8 +160,8 @@ object BuildScaleProbe {
         s""""gram_alt_buckets":$nbAlt,"gram_alt_sec":${f2(gramAlt)},""" +
         s""""gram_persist_sec":${f2(gramPersist)},"gram_frompersist_sec":${f2(gramFromPersist)},""" +
         s""""sig_direct_sec":${f2(sigDirect)},"sig_withgram_sec":${f2(sigWithGram)},""" +
-        s""""sim_bitsums_sec":${f2(simBitsums)},"sim_write_sec":${f2(simWrite)},""" +
-        s""""sim_withgram_sec":${f2(simWithGram)}}""")
+        s""""sim_buckets":$nbSim,"sim_bitsums_sec":${f2(simBitsums)},""" +
+        s""""sim_write_sec":${f2(simWrite)},"sim_withgram_sec":${f2(simWithGram)}}""")
 
       // drop probe tables + free disk between scales
       Seq("", "_alt", "_fp").foreach(sfx =>

@@ -40,9 +40,13 @@ object Replicas {
     * historical id layout) — a fixed 10⁷ silently ALIASES ids across
     * replicas on a >10M-doc base, planting phantom exact dups that would
     * corrupt a scale curve while looking like algorithm behavior
-    * (ADVICE r18). One max() job per call; probe-tool-only code. */
+    * (ADVICE r18). One max() job per call; probe-tool-only code. An
+    * EMPTY base yields a null max (ADVICE r19 — .getLong on it is an
+    * NPE): fall back to the 10⁷ floor stride, replicating emptiness
+    * harmlessly instead of crashing the probe. */
   def replicate(docs: DataFrame, scale: Int, idCol: String): DataFrame = {
-    val maxId = docs.agg(max(col(idCol).cast("long"))).head.getLong(0)
+    val maxRow = docs.agg(max(col(idCol).cast("long"))).head
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     var stride = 10000000L
     while (stride <= maxId) stride *= 10
     (0 until scale).map { r =>
