@@ -908,18 +908,53 @@ object DedupOps {
   private val embAppendCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Table property recording the RP width an emb index was bucketed
+    * under — the append-soundness invariant made CHECKABLE (round 20,
+    * VERDICT r19 #8): [[projBitsFor]] grows with corpus count, so a
+    * pipeline that appends a delta under a width derived AFTER the
+    * corpus crossed an occupancy boundary would bucket the delta
+    * differently than a rebuild — silently missing every cross-width
+    * pair. The builder stamps the width at base-write time;
+    * [[embAppendGuard]] re-derives it before every append leg. */
+  private[graft] val EmbBitsProperty = "graft.proj_bits"
+
+  /** Refuses an append whose RP width disagrees with the width the base
+    * generation was bucketed under. A width flip is the REBUILD trigger
+    * for this family (the emb analogue of sim's simChunkGeom boundary,
+    * SURVEY §2.10): there is no sound append across it, because bucket
+    * ids from different widths are incomparable key spaces. */
+  private[graft] def embAppendGuard(spark: SparkSession, tbl: String, bits: Int): Unit = {
+    val stored = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .properties.get(EmbBitsProperty)
+    require(stored.contains(bits.toString),
+      s"emb index $tbl was bucketed under proj_bits=${stored.getOrElse("<unset>")} " +
+        s"but the current corpus derives proj_bits=$bits — appending under a " +
+        "different RP width would bucket the delta differently than a full " +
+        "rebuild (silently losing cross-width pairs); a width flip is this " +
+        "family's REBUILD trigger, not an append")
+  }
+
   private[graft] def embAppendTable(spark: SparkSession, sfDir: String): String =
     embAppendCache.getOrElseUpdate(cacheKey(spark, sfDir), {
       val suffix = graft.util.Scratch.pathTag(sfDir)
       val tbl = s"emb_app_$suffix"
       val dir = graft.util.Scratch.dir(s"emb_append_$suffix")
       val e = embSource(spark, sfDir)
+      val bits = embBits(spark, sfDir)
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       e.filter(pmod(col("vec_id"), lit(2)) === 0)
         .repartition(indexBucketsFor("EMB"), col("bucket"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(indexBucketsFor("EMB"), "bucket").sortBy("bucket")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
+      // stamp the width the base generation was bucketed under, then
+      // guard the append leg against a width drift — trivially true in
+      // this single-session builder, load-bearing for a real pipeline
+      // whose append runs in a later session over a grown corpus
+      spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        s"('$EmbBitsProperty' = '$bits')")
+      embAppendGuard(spark, tbl, bits)
       e.filter(pmod(col("vec_id"), lit(2)) === 1)
         .repartition(indexBucketsFor("EMB"), col("bucket"))
         .write.mode("append").format("parquet")

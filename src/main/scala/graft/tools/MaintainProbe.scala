@@ -227,6 +227,13 @@ object MaintainProbe {
           .select(col("doc_id"), col("doc_id").as("label"))
         DedupOps.connectedComponents(baseSeed, basePairs)
           .write.mode("overwrite").parquet(s"$ccDir/base_$d")
+        // settle INSIDE the section too: the base-labels write above is
+        // corpus-sized, and its background flush bleeds into the timed
+        // reps otherwise (observed at ×128: reps growing 7→56→73 s within
+        // a section and the slowness carrying into the NEXT section's
+        // first rep — the same dirty-page artifact the r19 build probe
+        // pinned, recurring one staging level deeper)
+        settle()
         val deltaPairCount = pairs
           .filter(col("doc_a") >= lo || col("doc_b") >= lo).count()
         val ts = (1 to reps).map { _ =>

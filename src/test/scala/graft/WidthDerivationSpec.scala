@@ -88,4 +88,27 @@ class WidthDerivationSpec extends AnyFunSuite {
           s"radius drift at n=$n")
       }
   }
+
+  test("emb append guard: a stale RP width is refused, naming the rebuild trigger (round 20)") {
+    // VERDICT r19 #8 (stretch): the emb generation-append is sound ONLY
+    // while projBitsFor(corpus) stays on the width the base generation was
+    // bucketed under. The builder stamps that width as a table property;
+    // this test proves the guard (a) passes for the stamped width and (b)
+    // REJECTS a drifted width — the scenario where a later-session append
+    // derives its width from a corpus that crossed an occupancy boundary.
+    val ops = graft.llm.DedupOps
+    val tbl = ops.embAppendTable(spark, SparkFixture.sfDir)
+    val bits = ops.embBits(spark, SparkFixture.sfDir)
+    val stamped = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .properties.get(ops.EmbBitsProperty)
+    assert(stamped.contains(bits.toString),
+      s"builder must stamp ${ops.EmbBitsProperty}=$bits, found $stamped")
+    ops.embAppendGuard(spark, tbl, bits) // the sound case is silent
+    val ex = intercept[IllegalArgumentException] {
+      ops.embAppendGuard(spark, tbl, bits + 1)
+    }
+    assert(ex.getMessage.contains("REBUILD trigger"), ex.getMessage)
+    assert(ex.getMessage.contains(s"proj_bits=$bits"), ex.getMessage)
+  }
 }
