@@ -435,25 +435,74 @@ object DedupOps {
     * NearDupSpec pin and the shared recursive-CTE DuckDB oracle both
     * enforce exactly that. At 100 TB: the from-scratch loop is O(log d)
     * rounds of corpus-sized shuffles every day; this runs the same loop
-    * over delta-edge-sized frames. The corpus-sized inputs (stored
-    * labels, delta doc list) each join exactly once, OUTSIDE the loop,
-    * against delta-sized (broadcastable) sides. Measured crossover vs
-    * from-scratch: BASELINE.md round-20 close (tools/MaintainProbe). */
-  val llmDedupClusterIncremental: QFn = (spark, sfDir) => {
+    * over delta-edge-sized frames. Measured crossover vs from-scratch:
+    * BASELINE.md round-20 close (tools/MaintainProbe) — which also
+    * exposed that "broadcastable" was an unenforced adjective: the
+    * contraction joins are LEFT-outer with the delta on the LEFT, so the
+    * planner cannot broadcast the delta side, and the corpus-sized label
+    * table shuffled TWICE (doc_a, then doc_b) plus once more in the
+    * expansion. Round-20 restructure: the stored labels are first
+    * restricted by a broadcast semi-join to the TOUCHED endpoints (a
+    * delta-edge-bounded set), so both contraction joins are delta×delta;
+    * the expansion joins broadcast the delta-sized `reduced` labels as
+    * their BUILD side. Net: the corpus-sized label table is SCANNED
+    * (twice: restriction + expansion), never shuffled. Identical results
+    * by construction — the semi-join only drops base rows matching no
+    * pair endpoint, which contributed nothing to the left joins anyway
+    * (NearDupSpec pins byte-equality on both gate sides). Broadcasts are
+    * size-gated by the [[ContainBroadcastDocCap]] precedent (docCount
+    * proxy — cached, zero extra jobs; above the cap the hints drop and
+    * AQE converts from actual exchange sizes, degrading to keyed
+    * shuffles instead of dying). */
+  /** Test hook (the containBroadcastDocCapOverride precedent): NearDupSpec
+    * forces the shuffle-fallback side at fixture scale and pins
+    * byte-identity there too. */
+  @volatile private[graft] var clusterBroadcastDocCapOverride: Option[Long] = None
+
+  /** Whether this corpus size admits the broadcast hints (the docCount
+    * proxy — see the op's doc comment). */
+  private def clusterBcast(spark: SparkSession, sfDir: String): Boolean =
+    docCount(spark, sfDir) <=
+      clusterBroadcastDocCapOverride.getOrElse(ContainBroadcastDocCap)
+
+  /** Contraction stage of [[llmDedupClusterIncremental]], split out
+    * because the op's FINAL plan cannot show it: the CC loop eagerly
+    * materializes its input (localCheckpoint), so the semi-join /
+    * broadcast shape of this frame lives in earlier jobs. PlanSpec pins
+    * it here by construction instead. */
+  private[graft] def clusterContraction(spark: SparkSession, sfDir: String): DataFrame = {
     val base = baseClusters(spark, sfDir)
     val newPairs = verifiedPairs(spark, sfDir)
       .filter(pmod(col("doc_a"), lit(2)) === 1 || pmod(col("doc_b"), lit(2)) === 1)
       .select("doc_a", "doc_b")
-    // contract endpoints through the stored labels (delta docs are not in
-    // base → coalesce to themselves); self-loops drop
-    val contracted = newPairs
-      .join(base.select(col("doc_id").as("doc_a"), col("label").as("rep_a")),
+    def hinted(df: DataFrame): DataFrame =
+      if (clusterBcast(spark, sfDir)) broadcast(df) else df
+    // the touched endpoints — bounded by 2× the delta edge count
+    val ends = newPairs.select(col("doc_a").as("doc_id"))
+      .unionByName(newPairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // corpus-sized stored labels: one SCAN, restricted to rows that can
+    // influence contraction before anything joins them
+    val baseTouched = base.join(hinted(ends), Seq("doc_id"), "left_semi")
+    // contract endpoints through the (restricted) stored labels — delta
+    // docs are not in base → coalesce to themselves; self-loops drop
+    newPairs
+      .join(hinted(baseTouched
+        .select(col("doc_id").as("doc_a"), col("label").as("rep_a"))),
         Seq("doc_a"), "left")
-      .join(base.select(col("doc_id").as("doc_b"), col("label").as("rep_b")),
+      .join(hinted(baseTouched
+        .select(col("doc_id").as("doc_b"), col("label").as("rep_b"))),
         Seq("doc_b"), "left")
       .select(coalesce(col("rep_a"), col("doc_a")).as("doc_a"),
         coalesce(col("rep_b"), col("doc_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
+  }
+
+  val llmDedupClusterIncremental: QFn = (spark, sfDir) => {
+    val base = baseClusters(spark, sfDir)
+    def hinted(df: DataFrame): DataFrame =
+      if (clusterBcast(spark, sfDir)) broadcast(df) else df
+    val contracted = clusterContraction(spark, sfDir)
     val deltaDocs = Tables(spark, sfDir, "documents")
       .filter(pmod(col("doc_id"), lit(2)) === 1).select("doc_id")
     // CC node set restricted to TOUCHED nodes — the distinct endpoints of
@@ -481,11 +530,12 @@ object DedupOps {
     // coalesce: nodes the delta never touched keep their stored label
     // (base) or themselves (delta) — exactly what the full seed produced.
     val baseOut = base
-      .join(reduced.select(col("doc_id").as("label"), col("label").as("cl")),
+      .join(hinted(reduced
+        .select(col("doc_id").as("label"), col("label").as("cl"))),
         Seq("label"), "left")
       .select(col("doc_id"), coalesce(col("cl"), col("label")).as("cluster_id"))
     val deltaOut = deltaDocs
-      .join(reduced, Seq("doc_id"), "left")
+      .join(hinted(reduced), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
     baseOut.unionByName(deltaOut)

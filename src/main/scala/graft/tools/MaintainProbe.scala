@@ -238,14 +238,24 @@ object MaintainProbe {
           .filter(col("doc_a") >= lo || col("doc_b") >= lo).count()
         val ts = (1 to reps).map { _ =>
           // the shipped llm_dedup_cluster_incremental plan, stored labels
-          // from parquet (fresh plan per rep)
+          // from parquet (fresh plan per rep). Round-20 restructure
+          // mirrored here for probe/op parity (the ADVICE r19 rule): the
+          // stored labels are semi-join-restricted to touched endpoints
+          // and every delta-sized side broadcasts — the corpus-sized
+          // label table is scanned, never shuffled. Probe corpora are
+          // far below ContainBroadcastDocCap, so the hints are
+          // unconditional here, matching the shipped gate's verdict.
           time {
             val b = spark.read.parquet(s"$ccDir/base_$d")
             val newPairs = pairs.filter(col("doc_a") >= lo || col("doc_b") >= lo)
+            val ends = newPairs.select(col("doc_a").as("doc_id"))
+              .unionByName(newPairs.select(col("doc_b").as("doc_id")))
+              .distinct()
+            val bt = b.join(broadcast(ends), Seq("doc_id"), "left_semi")
             val contracted = newPairs
-              .join(b.select(col("doc_id").as("doc_a"), col("label").as("rep_a")),
+              .join(broadcast(bt.select(col("doc_id").as("doc_a"), col("label").as("rep_a"))),
                 Seq("doc_a"), "left")
-              .join(b.select(col("doc_id").as("doc_b"), col("label").as("rep_b")),
+              .join(broadcast(bt.select(col("doc_id").as("doc_b"), col("label").as("rep_b"))),
                 Seq("doc_b"), "left")
               .select(coalesce(col("rep_a"), col("doc_a")).as("doc_a"),
                 coalesce(col("rep_b"), col("doc_b")).as("doc_b"))
@@ -257,11 +267,12 @@ object MaintainProbe {
               .select(col("doc_id"), col("doc_id").as("label"))
             val reduced = DedupOps.connectedComponents(touchedSeed, contracted)
             val baseOut = b
-              .join(reduced.select(col("doc_id").as("label"), col("label").as("cl")),
+              .join(broadcast(reduced
+                .select(col("doc_id").as("label"), col("label").as("cl"))),
                 Seq("label"), "left")
               .select(col("doc_id"), coalesce(col("cl"), col("label")).as("cluster_id"))
             val deltaOut = deltaDocs
-              .join(reduced, Seq("doc_id"), "left")
+              .join(broadcast(reduced), Seq("doc_id"), "left")
               .select(col("doc_id"),
                 coalesce(col("label"), col("doc_id")).as("cluster_id"))
             baseOut.unionByName(deltaOut).count()

@@ -243,6 +243,20 @@ class NearDupSpec extends AnyFunSuite {
     assert(inc.toSeq == full.toSeq && inc.nonEmpty)
   }
 
+  test("incremental cluster maintenance equals from-scratch on the broadcast-fallback side too") {
+    // round 20: the op's contraction/expansion broadcasts are size-gated
+    // (ContainBroadcastDocCap precedent) — force the >cap side so the
+    // unhinted shuffled-join plan is pinned byte-identical as well
+    graft.llm.DedupOps.clusterBroadcastDocCapOverride = Some(0L)
+    val inc =
+      try graft.llm.DedupOps.llmDedupClusterIncremental(spark, sfDir)
+        .collect().map(_.toString)
+      finally graft.llm.DedupOps.clusterBroadcastDocCapOverride = None
+    val full = graft.llm.DedupOps.llmDedupCluster(spark, sfDir)
+      .collect().map(_.toString)
+    assert(inc.toSeq == full.toSeq && inc.nonEmpty)
+  }
+
   test("materialized signature index reproduces the in-memory minhash pairs exactly") {
     // the bucketed sig table is a LAYOUT decision — results must be
     // byte-identical to the in-memory banded-index path
