@@ -449,11 +449,14 @@ object DedupOps {
     * (twice: restriction + expansion), never shuffled. Identical results
     * by construction — the semi-join only drops base rows matching no
     * pair endpoint, which contributed nothing to the left joins anyway
-    * (NearDupSpec pins byte-equality on both gate sides). Broadcasts are
-    * size-gated by the [[ContainBroadcastDocCap]] precedent (docCount
-    * proxy — cached, zero extra jobs; above the cap the hints drop and
-    * AQE converts from actual exchange sizes, degrading to keyed
-    * shuffles instead of dying). */
+    * (NearDupSpec pins byte-equality on both gate sides). Two size gates
+    * pick the shape: below [[ClusterRestrictFloor]] docs the flat plan
+    * stays (the scale shape's extra stages are pure overhead on a tiny
+    * label table — measured 2-3× on the bench fixture), and above
+    * [[ContainBroadcastDocCap]] docs the broadcast hints drop so AQE
+    * converts from actual exchange sizes, degrading to keyed shuffles
+    * instead of dying. Both proxies read the cached docCount — zero
+    * extra jobs. */
   /** Test hook (the containBroadcastDocCapOverride precedent): NearDupSpec
     * forces the shuffle-fallback side at fixture scale and pins
     * byte-identity there too. */
@@ -465,6 +468,30 @@ object DedupOps {
     docCount(spark, sfDir) <=
       clusterBroadcastDocCapOverride.getOrElse(ContainBroadcastDocCap)
 
+  /** Corpus floor below which the incremental op keeps the FLAT plan
+    * (labels join the delta pairs directly, planner/AQE choose the join
+    * strategy) — the [[ContainRestrictFloor]] precedent, found the same
+    * way: the scale shape's extra stages (endpoint distinct, semi-join,
+    * nested broadcast chains — each a sequential driver stage) are pure
+    * orchestration overhead when the label table is already tiny. The
+    * round-20 confirmation capture measured the scale shape at 2-3× the
+    * flat plan on the 5k-doc bench fixture (9.6-11.0 s vs the 4.0 s
+    * band, reproduced in isolation) while the same shape at 320k+ docs
+    * is flat-in-corpus where the old plan grew superlinearly
+    * (BASELINE.md round-20 follow-up). Same floor value as containment:
+    * the two gates key on the same quantity (is the corpus-sized table
+    * big enough that restricting it beats touching it whole?). */
+  private[graft] val ClusterRestrictFloor = 50000L
+
+  /** Test hook (the containRestrictFloorOverride precedent): PlanSpec
+    * forces the scale path at fixture scale to pin its shape; NearDupSpec
+    * forces it to pin byte-identity on both gate sides. */
+  @volatile private[graft] var clusterRestrictFloorOverride: Option[Long] = None
+
+  private def clusterScalePath(spark: SparkSession, sfDir: String): Boolean =
+    docCount(spark, sfDir) >=
+      clusterRestrictFloorOverride.getOrElse(ClusterRestrictFloor)
+
   /** Contraction stage of [[llmDedupClusterIncremental]], split out
     * because the op's FINAL plan cannot show it: the CC loop eagerly
     * materializes its input (localCheckpoint), so the semi-join /
@@ -475,23 +502,29 @@ object DedupOps {
     val newPairs = verifiedPairs(spark, sfDir)
       .filter(pmod(col("doc_a"), lit(2)) === 1 || pmod(col("doc_b"), lit(2)) === 1)
       .select("doc_a", "doc_b")
-    def hinted(df: DataFrame): DataFrame =
-      if (clusterBcast(spark, sfDir)) broadcast(df) else df
-    // the touched endpoints — bounded by 2× the delta edge count
-    val ends = newPairs.select(col("doc_a").as("doc_id"))
-      .unionByName(newPairs.select(col("doc_b").as("doc_id")))
-      .distinct()
-    // corpus-sized stored labels: one SCAN, restricted to rows that can
-    // influence contraction before anything joins them
-    val baseTouched = base.join(hinted(ends), Seq("doc_id"), "left_semi")
-    // contract endpoints through the (restricted) stored labels — delta
-    // docs are not in base → coalesce to themselves; self-loops drop
+    val (lhs, rhs) =
+      if (!clusterScalePath(spark, sfDir)) (base, base) // flat: join labels whole
+      else {
+        def hinted(df: DataFrame): DataFrame =
+          if (clusterBcast(spark, sfDir)) broadcast(df) else df
+        // the touched endpoints — bounded by 2× the delta edge count
+        val ends = newPairs.select(col("doc_a").as("doc_id"))
+          .unionByName(newPairs.select(col("doc_b").as("doc_id")))
+          .distinct()
+        // corpus-sized stored labels: one SCAN, restricted to rows that
+        // can influence contraction before anything joins them
+        val t = base.join(hinted(ends), Seq("doc_id"), "left_semi")
+        (hinted(t), hinted(t))
+      }
+    // contract endpoints through the (possibly restricted) stored labels
+    // — delta docs are not in base → coalesce to themselves; self-loops
+    // drop. The semi-join only removes base rows matching no pair
+    // endpoint, which could never match these left joins: both shapes
+    // produce identical rows (NearDupSpec pins it).
     newPairs
-      .join(hinted(baseTouched
-        .select(col("doc_id").as("doc_a"), col("label").as("rep_a"))),
+      .join(lhs.select(col("doc_id").as("doc_a"), col("label").as("rep_a")),
         Seq("doc_a"), "left")
-      .join(hinted(baseTouched
-        .select(col("doc_id").as("doc_b"), col("label").as("rep_b"))),
+      .join(rhs.select(col("doc_id").as("doc_b"), col("label").as("rep_b")),
         Seq("doc_b"), "left")
       .select(coalesce(col("rep_a"), col("doc_a")).as("doc_a"),
         coalesce(col("rep_b"), col("doc_b")).as("doc_b"))
@@ -500,8 +533,14 @@ object DedupOps {
 
   val llmDedupClusterIncremental: QFn = (spark, sfDir) => {
     val base = baseClusters(spark, sfDir)
+    // expansion hints ride the same two gates as the contraction: below
+    // the corpus floor the planner/AQE handle a tiny `reduced` fine, and
+    // above the broadcast cap the hint must be absent (AQE converts from
+    // actual sizes instead)
     def hinted(df: DataFrame): DataFrame =
-      if (clusterBcast(spark, sfDir)) broadcast(df) else df
+      if (clusterScalePath(spark, sfDir) && clusterBcast(spark, sfDir))
+        broadcast(df)
+      else df
     val contracted = clusterContraction(spark, sfDir)
     val deltaDocs = Tables(spark, sfDir, "documents")
       .filter(pmod(col("doc_id"), lit(2)) === 1).select("doc_id")

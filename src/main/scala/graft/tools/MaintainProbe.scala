@@ -242,9 +242,11 @@ object MaintainProbe {
           // mirrored here for probe/op parity (the ADVICE r19 rule): the
           // stored labels are semi-join-restricted to touched endpoints
           // and every delta-sized side broadcasts — the corpus-sized
-          // label table is scanned, never shuffled. Probe corpora are
-          // far below ContainBroadcastDocCap, so the hints are
-          // unconditional here, matching the shipped gate's verdict.
+          // label table is scanned, never shuffled. Probe corpora sit
+          // between ClusterRestrictFloor (≥50k docs → scale shape) and
+          // ContainBroadcastDocCap (<25M docs → hints on), so the
+          // unconditional scale shape here matches the shipped gates'
+          // verdict for every probe scale.
           time {
             val b = spark.read.parquet(s"$ccDir/base_$d")
             val newPairs = pairs.filter(col("doc_a") >= lo || col("doc_b") >= lo)

@@ -243,18 +243,32 @@ class NearDupSpec extends AnyFunSuite {
     assert(inc.toSeq == full.toSeq && inc.nonEmpty)
   }
 
-  test("incremental cluster maintenance equals from-scratch on the broadcast-fallback side too") {
-    // round 20: the op's contraction/expansion broadcasts are size-gated
-    // (ContainBroadcastDocCap precedent) — force the >cap side so the
-    // unhinted shuffled-join plan is pinned byte-identical as well
-    graft.llm.DedupOps.clusterBroadcastDocCapOverride = Some(0L)
-    val inc =
-      try graft.llm.DedupOps.llmDedupClusterIncremental(spark, sfDir)
-        .collect().map(_.toString)
-      finally graft.llm.DedupOps.clusterBroadcastDocCapOverride = None
+  test("incremental cluster maintenance equals from-scratch on every gate side") {
+    // round 20: the op has two size gates — ClusterRestrictFloor picks
+    // flat vs scale shape, ContainBroadcastDocCap picks hinted vs
+    // AQE-fallback within the scale shape. The default fixture run above
+    // pins the flat side; force the other two combinations and pin
+    // byte-identity for each.
     val full = graft.llm.DedupOps.llmDedupCluster(spark, sfDir)
       .collect().map(_.toString)
-    assert(inc.toSeq == full.toSeq && inc.nonEmpty)
+    // scale shape, broadcasts hinted
+    graft.llm.DedupOps.clusterRestrictFloorOverride = Some(0L)
+    val scaleB =
+      try graft.llm.DedupOps.llmDedupClusterIncremental(spark, sfDir)
+        .collect().map(_.toString)
+      finally graft.llm.DedupOps.clusterRestrictFloorOverride = None
+    assert(scaleB.toSeq == full.toSeq && scaleB.nonEmpty)
+    // scale shape, above the broadcast cap (unhinted shuffled joins)
+    graft.llm.DedupOps.clusterRestrictFloorOverride = Some(0L)
+    graft.llm.DedupOps.clusterBroadcastDocCapOverride = Some(0L)
+    val scaleS =
+      try graft.llm.DedupOps.llmDedupClusterIncremental(spark, sfDir)
+        .collect().map(_.toString)
+      finally {
+        graft.llm.DedupOps.clusterRestrictFloorOverride = None
+        graft.llm.DedupOps.clusterBroadcastDocCapOverride = None
+      }
+    assert(scaleS.toSeq == full.toSeq && scaleS.nonEmpty)
   }
 
   test("materialized signature index reproduces the in-memory minhash pairs exactly") {

@@ -938,28 +938,34 @@ class PlanSpec extends AnyFunSuite {
     // on the touched endpoints and broadcasts the delta-sized sides, so
     // the only shuffles keyed on `label` or landing on the label scan
     // are gone: the stored cluster table crosses no exchange.
-    // (a) the contraction stage — invisible in the op's final plan
-    // because the CC loop eagerly materializes it (localCheckpoint), so
-    // it is pinned on the shared builder the op calls
-    val c = graft.llm.DedupOps.clusterContraction(spark, sfDir)
-    c.collect() // AQE: final plan only exists after execution
-    val pc = plan(c)
-    assert(pc.contains("LeftSemi"),
-      s"stored labels must be restricted to touched endpoints:\n$pc")
-    assert(pc.contains("BroadcastExchange"),
-      s"the delta-sized sides must broadcast under the size gate:\n$pc")
-    assert(!pc.contains("hashpartitioning(label"),
-      s"contraction must not shuffle the stored label table:\n$pc")
-    // (b) the expansion — the op's visible output plan: the label scan
-    // feeds broadcast left joins, never an exchange keyed on label
-    val df = graft.llm.DedupOps.llmDedupClusterIncremental(spark, sfDir)
-    df.collect()
-    val p = plan(df)
-    assert(p.contains("BroadcastExchange"),
-      s"the reduced labels must broadcast into the expansion:\n$p")
-    assert(!p.contains("hashpartitioning(label"),
-      s"the expansion join must not shuffle the stored label table:\n$p")
-    assert(!p.contains("hashpartitioning(rep_"),
-      s"contracted endpoints must never become a shuffle key:\n$p")
+    // the scale shape is floor-gated (fixture corpora keep the flat
+    // plan), so force the scale path — the containRestrictFloorOverride
+    // precedent
+    graft.llm.DedupOps.clusterRestrictFloorOverride = Some(0L)
+    try {
+      // (a) the contraction stage — invisible in the op's final plan
+      // because the CC loop eagerly materializes it (localCheckpoint), so
+      // it is pinned on the shared builder the op calls
+      val c = graft.llm.DedupOps.clusterContraction(spark, sfDir)
+      c.collect() // AQE: final plan only exists after execution
+      val pc = plan(c)
+      assert(pc.contains("LeftSemi"),
+        s"stored labels must be restricted to touched endpoints:\n$pc")
+      assert(pc.contains("BroadcastExchange"),
+        s"the delta-sized sides must broadcast under the size gate:\n$pc")
+      assert(!pc.contains("hashpartitioning(label"),
+        s"contraction must not shuffle the stored label table:\n$pc")
+      // (b) the expansion — the op's visible output plan: the label scan
+      // feeds broadcast left joins, never an exchange keyed on label
+      val df = graft.llm.DedupOps.llmDedupClusterIncremental(spark, sfDir)
+      df.collect()
+      val p = plan(df)
+      assert(p.contains("BroadcastExchange"),
+        s"the reduced labels must broadcast into the expansion:\n$p")
+      assert(!p.contains("hashpartitioning(label"),
+        s"the expansion join must not shuffle the stored label table:\n$p")
+      assert(!p.contains("hashpartitioning(rep_"),
+        s"contracted endpoints must never become a shuffle key:\n$p")
+    } finally graft.llm.DedupOps.clusterRestrictFloorOverride = None
   }
 }
