@@ -105,8 +105,7 @@ object BuildScaleProbe {
       // own cost (first-run suspicion from the initial r19 capture:
       // gram_direct 109 s cold-after-replicate vs 21.6 s for the same
       // shuffle volume from the persist minutes later).
-      try { new ProcessBuilder("sync").start().waitFor() } catch { case _: Throwable => () }
-      Thread.sleep(10000)
+      graft.util.Settle.drain() // sync + poll Dirty/Writeback down (round 20)
 
       // empty-heap measurements first; gram_direct repeated 3× (fresh
       // table each time) so write-order/io-window effects are visible

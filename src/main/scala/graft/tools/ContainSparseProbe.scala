@@ -73,8 +73,7 @@ object ContainSparseProbe {
           .otherwise(col("body")))
       .select(col("doc_id"), col("text"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    try { new ProcessBuilder("sync").start().waitFor() } catch { case _: Throwable => () }
-    Thread.sleep(5000)
+    graft.util.Settle.drain() // sync + poll Dirty/Writeback down (round 20)
 
     // untimed: the stored gram table both paths read (the once-per-corpus
     // offline build, same as Warmup)

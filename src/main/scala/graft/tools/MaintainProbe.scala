@@ -75,10 +75,10 @@ object MaintainProbe {
     }
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    def settle(): Unit = {
-      try { new ProcessBuilder("sync").start().waitFor() } catch { case _: Throwable => () }
-      Thread.sleep(5000)
-    }
+    // sync + wait for the page cache to actually DRAIN (a fixed 5 s
+    // sleep was not enough at ×128 volumes — graft.util.Settle's doc has
+    // the numbers)
+    def settle(): Unit = graft.util.Settle.drain()
     def writeTbl(df: DataFrame, tbl: String, n: Int, keys: Seq[String]): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val dir = graft.util.Scratch.dir(s"mp_$tbl")
