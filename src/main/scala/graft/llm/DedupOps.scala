@@ -100,6 +100,7 @@ object DedupOps {
     embIndexCache.clear()
     embCountCache.clear()
     docCountCache.clear()
+    deltaPairCountCache.clear()
     gramIndexCache.clear()
     gramSetsCache.clear()
     rareGroupsCache.clear()
@@ -329,9 +330,28 @@ object DedupOps {
     * (base generation + contracted delta graph). Returns the converged
     * (doc_id, label) frame, label = min reachable seed label. */
   private[graft] def connectedComponents(seed: DataFrame, pairs: DataFrame): DataFrame = {
+    // Round 21 (guide §2.4 — remove shuffles outright): SELF-LOOPS ride in
+    // the edge list, so "min over self and neighbors" is ONE join + ONE
+    // aggregate per round instead of join + aggregate + a second join of
+    // the label table back onto the neighbor minima. The old shape
+    // (nbrMin left-joined into labels, least(label, nl)) shuffled the
+    // label table twice per round (once into the neighbor join, once into
+    // the combine join); with the self-edge the aggregate's min already
+    // covers the node's own label and the label table shuffles ONCE.
+    // Identical values by construction: min({self} ∪ neighbors) =
+    // least(label, min(neighbors)). Contract (all callers comply): every
+    // pair endpoint is in the seed — a stray endpoint would previously
+    // have been dropped by the combine join, here the self-loop set
+    // defines the node universe, so seed self-loops alone decide
+    // membership and the pair union only adds endpoints already seeded.
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint() // rejoined every round — materialize once
+      .unionByName(seed.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")))
+      // rejoined every round — materialized once, LAZILY (round 21): the
+      // first round's aggregate job computes-and-caches it; an eager
+      // checkpoint here would spend a whole extra job on a frame the very
+      // next job reads anyway
+      .localCheckpoint(eager = false)
     var labels = seed
     // Iterate to fixpoint with a hard bound as a pathological-graph stop.
     // Convergence check: labels only ever move DOWNWARD (least of self and
@@ -358,20 +378,27 @@ object DedupOps {
       }
     var prevCkpt: org.apache.spark.sql.DataFrame = null
     while (changed > 0 && rounds < 20) {
-      val nbrMin = edges
+      // min over self (via the seeded self-loop) and all neighbors — the
+      // round-21 one-join spelling of least(label, min(neighbor labels))
+      val stepped = edges
         .join(labels.withColumnsRenamed(Map("doc_id" -> "doc_b", "label" -> "nbl")), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("nbl")).as("nl"))
-      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-      // pointer doubling: follow the label one more hop
+        .agg(min(col("nbl")).as("label"))
+      // pointer doubling: follow the label one more hop. The probe side
+      // joins on stepped's grouping key (doc_id), so its required
+      // partitioning is already satisfied by the aggregate's exchange —
+      // only the label-side shuffle is new.
       val next = stepped
         .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
+        // LAZY checkpoint (round 21): the convergence sum right below is
+        // the action that materializes this round's labels — one Spark job
+        // per round where eager + sum cost two. Lineage is still truncated
+        // and the blocks cached before any reuse (the sum IS the first
+        // consumer), so release/convergence semantics are unchanged.
+        .localCheckpoint(eager = false)
       val newSum = labelSum(next)
       if (prevCkpt != null) releaseCheckpoint(prevCkpt)
       prevCkpt = next
@@ -462,11 +489,37 @@ object DedupOps {
     * byte-identity there too. */
   @volatile private[graft] var clusterBroadcastDocCapOverride: Option[Long] = None
 
-  /** Whether this corpus size admits the broadcast hints (the docCount
-    * proxy — see the op's doc comment). */
+  /** Delta-edge ceiling of the incremental-CC broadcast hints (round 21,
+    * ADVICE r20 medium): every frame those hints broadcast — touched
+    * endpoints, restricted labels, reduced labels — is bounded by 2× the
+    * DELTA pair count, not by corpus size, so the corpus-docCount proxy
+    * alone under-gates a duplicate-heavy delta (a dense delta on a mid-
+    * sized corpus could force-broadcast past driver comfort and OOM
+    * instead of degrading). Worst case admitted here: 2 × 6M endpoints ×
+    * (doc_id, label) longs ≈ 190 MB framed — same comfort budget as
+    * [[ContainBroadcastDocCap]]'s 200 MB. Above the cap the hints drop
+    * and AQE converts from actual exchange sizes. */
+  private[graft] val ClusterBroadcastEdgeCap = 6000000L
+
+  /** Delta pair count, one cheap count over the persisted verified-pair
+    * frame per (session, sfDir) — the actual-broadcast-side bound the
+    * hints gate on (the docCount precedent; ADVICE r20). */
+  private val deltaPairCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def deltaPairCount(spark: SparkSession, sfDir: String): Long =
+    deltaPairCountCache.getOrElseUpdate(cacheKey(spark, sfDir),
+      verifiedPairs(spark, sfDir)
+        .filter(pmod(col("doc_a"), lit(2)) === 1 || pmod(col("doc_b"), lit(2)) === 1)
+        .count())
+
+  /** Whether this corpus admits the broadcast hints: the corpus-docCount
+    * proxy (expansion joins' stored-label side stays scan-only) AND the
+    * delta-edge bound of the frames actually broadcast (ADVICE r20 —
+    * docCount alone said nothing about a dense delta). */
   private def clusterBcast(spark: SparkSession, sfDir: String): Boolean =
     docCount(spark, sfDir) <=
-      clusterBroadcastDocCapOverride.getOrElse(ContainBroadcastDocCap)
+      clusterBroadcastDocCapOverride.getOrElse(ContainBroadcastDocCap) &&
+      deltaPairCount(spark, sfDir) <= ClusterBroadcastEdgeCap
 
   /** Corpus floor below which the incremental op keeps the FLAT plan
     * (labels join the delta pairs directly, planner/AQE choose the join
@@ -1037,20 +1090,31 @@ object DedupOps {
         .write.mode("overwrite").format("parquet")
         .bucketBy(indexBucketsFor("EMB"), "bucket").sortBy("bucket")
         .option("path", s"$dir/$tbl").saveAsTable(tbl)
-      // stamp the width the base generation was bucketed under, then
-      // guard the append leg against a width drift — trivially true in
-      // this single-session builder, load-bearing for a real pipeline
-      // whose append runs in a later session over a grown corpus
+      // stamp the width the base generation was bucketed under; the
+      // append leg below re-derives and guards on ITS OWN path
       spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
         s"('$EmbBitsProperty' = '$bits')")
-      embAppendGuard(spark, tbl, bits)
-      e.filter(pmod(col("vec_id"), lit(2)) === 1)
-        .repartition(indexBucketsFor("EMB"), col("bucket"))
-        .write.mode("append").format("parquet")
-        .bucketBy(indexBucketsFor("EMB"), "bucket").sortBy("bucket")
-        .saveAsTable(tbl)
+      embAppendLeg(spark, sfDir, tbl,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1))
       tbl
     })
+
+  /** THE append entry point of the emb family (round 21, ADVICE r20 #2):
+    * re-derives the RP width from the CURRENT corpus and guards it
+    * against the table's stamped width before any rows land — so the
+    * width-drift refusal sits on the path the invariant protects (a
+    * later-session append over a grown corpus), not only inside the
+    * single-session builder where stamp and guard trivially agree.
+    * Any future append caller goes through here by construction. */
+  private[graft] def embAppendLeg(spark: SparkSession, sfDir: String,
+      tbl: String, delta: DataFrame): Unit = {
+    embAppendGuard(spark, tbl, embBits(spark, sfDir))
+    delta
+      .repartition(indexBucketsFor("EMB"), col("bucket"))
+      .write.mode("append").format("parquet")
+      .bucketBy(indexBucketsFor("EMB"), "bucket").sortBy("bucket")
+      .saveAsTable(tbl)
+  }
 
   /** Embedding near-dup served from the APPENDED two-generation index —
     * byte-identical to [[llmDedupEmbeddingIndexed]] (NearDupSpec asserts)

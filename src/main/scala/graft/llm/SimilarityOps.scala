@@ -479,13 +479,20 @@ object SimilarityOps {
       cents: Array[Array[Double]]): org.apache.spark.sql.DataFrame =
     assignCells(e, cents)
 
-  /** One Lloyd assignment pass: centroids as literal arrays folded into
-    * the scan; argmin of ‖c‖²−2·v·c (ties → lowest index), plus the full
-    * ‖v−c‖² for inertia reporting. */
+  /** One Lloyd assignment pass: centroids ride into the scan as ONE
+    * array-typed literal each (`typedLit`), not k×dim CreateArray nodes —
+    * round 21: the per-iteration plans then differ only in the literal's
+    * VALUE, so whole-stage codegen compiles the assignment class once and
+    * every later iteration is a codegen-cache hit (the k×dim literal tree
+    * forced a fresh ~512-node analysis + compile per iteration, the
+    * dominant cost of this op at fixture scale — guide §1.2 "per-task
+    * work" applied to the driver). Same arithmetic, same values: argmin
+    * of ‖c‖²−2·v·c (ties → lowest index), plus the full ‖v−c‖² for
+    * inertia reporting. */
   private def assignCells(e: org.apache.spark.sql.DataFrame,
       cents: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
-    val centsCol = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
-    val cnorms = array(cents.map(c => lit(c.map(x => x * x).sum)): _*)
+    val centsCol = typedLit(cents.map(_.toSeq).toSeq)
+    val cnorms = typedLit(cents.map(c => c.map(x => x * x).sum).toSeq)
     e.withColumn("cents", centsCol).withColumn("cnorms", cnorms)
       .withColumn("keys", expr(
         "zip_with(cnorms, transform(cents, c -> vector_dot(emb, c)), " +

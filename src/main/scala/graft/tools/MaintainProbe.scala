@@ -209,6 +209,21 @@ object MaintainProbe {
       def pairs = spark.read.parquet(s"$ccDir/pairs")
       def allDocs = spark.read.parquet(s"$ccDir/docs")
       val nPairs = pairs.count()
+      // Probe/op parity gate (round 21, ADVICE r20 #3): this section
+      // unconditionally measures the SCALE shape (forced broadcasts), which
+      // matches the shipped op only when the corpus sits between
+      // ClusterRestrictFloor and ContainBroadcastDocCap. SPARK_GRAFT_
+      // MAINTAIN_SCALE is user-settable, so an out-of-range scale must be
+      // flagged loudly instead of silently measuring a plan the op would
+      // never choose.
+      val ccDocCount = allDocs.count()
+      if (ccDocCount < DedupOps.ClusterRestrictFloor ||
+          ccDocCount >= DedupOps.ContainBroadcastDocCap)
+        System.err.println(s"[maintain] WARNING: cc section corpus " +
+          s"($ccDocCount docs) is OUTSIDE [ClusterRestrictFloor=" +
+          s"${DedupOps.ClusterRestrictFloor}, ContainBroadcastDocCap=" +
+          s"${DedupOps.ContainBroadcastDocCap}) — the shipped op would NOT " +
+          "use the scale shape measured here; raise SPARK_GRAFT_MAINTAIN_SCALE")
 
       // from-scratch: CC over the full graph, full doc seed (the daily
       // rebuild a pipeline without stored labels pays) — delta-independent
