@@ -330,15 +330,19 @@ object Upsert {
         sum(col("o_totalprice").cast("decimal(28,4)")).as("rev"))
     // stored aggregate = everything before the current load window
     partial(orders.filter(col("o_orderdate") < lit("2001-01-01")))
-      .write.mode("overwrite").parquet(dir)
-    // incremental refresh: delta partials ∪ stored partials, re-summed
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    // incremental refresh: delta partials ∪ stored partials, re-summed.
+    // Written to a NEW version dir (round 21) — the old in-place overwrite
+    // of the dir being read forced an eager localCheckpoint (a whole extra
+    // materialization job) purely as a self-overwrite guard; versioned
+    // commits are also what a real table format does (a snapshot dir /
+    // Delta commit, never a read-modify-overwrite of live files).
     val delta = partial(orders.filter(col("o_orderdate") >= lit("2001-01-01")))
-    val refreshed = spark.read.parquet(dir).unionByName(delta)
+    spark.read.parquet(s"$dir/v1").unionByName(delta)
       .groupBy("o_orderstatus", "o_year")
       .agg(sum(col("n_orders")).as("n_orders"), sum(col("rev")).as("rev"))
-      .localCheckpoint()
-    refreshed.write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir)
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    spark.read.parquet(s"$dir/v2")
       .select(col("o_orderstatus"), col("o_year"), col("n_orders"),
         round(col("rev").cast("double"), 2).as("revenue"))
       .orderBy("o_orderstatus", "o_year")

@@ -594,7 +594,13 @@ object DedupOps {
       if (clusterScalePath(spark, sfDir) && clusterBcast(spark, sfDir))
         broadcast(df)
       else df
-    val contracted = clusterContraction(spark, sfDir)
+    // LAZY checkpoint (round 21): the contracted edge set feeds THREE
+    // consumers (the CC seed's endpoint-distinct, the CC loop's edge list,
+    // and the loop's convergence pre-sum over the seed) — uncheckpointed,
+    // the contraction joins re-ran once per consumer (measured ~0.4 s each
+    // at fixture). One delta-edge-bounded frame, materialized by the first
+    // consumer's job, read cached by the rest.
+    val contracted = clusterContraction(spark, sfDir).localCheckpoint(eager = false)
     val deltaDocs = Tables(spark, sfDir, "documents")
       .filter(pmod(col("doc_id"), lit(2)) === 1).select("doc_id")
     // CC node set restricted to TOUCHED nodes — the distinct endpoints of

@@ -277,6 +277,10 @@ object MaintainProbe {
               .select(coalesce(col("rep_a"), col("doc_a")).as("doc_a"),
                 coalesce(col("rep_b"), col("doc_b")).as("doc_b"))
               .filter(col("doc_a") =!= col("doc_b"))
+              // probe/op parity (round 21): the shipped op lazily
+              // checkpoints the contracted edges so its three consumers
+              // share one materialization — mirror it
+              .localCheckpoint(false)
             val deltaDocs = allDocs.filter(col("doc_id") >= lo)
             val touchedSeed = contracted.select(col("doc_a").as("doc_id"))
               .unionByName(contracted.select(col("doc_b").as("doc_id")))
