@@ -72,8 +72,10 @@ object StreamOps {
     }
 
   /** Pre-stage every bench-visible stream fixture (called from Bench's
-    * untimed warmup; idempotent). */
+    * untimed warmup; idempotent). Itemized to stderr like Warmup.indexes
+    * so the warmup-budget audit (VERDICT r20 #7) can attribute it. */
   def stageFixtures(spark: SparkSession, sfDir: String): Unit = {
+    val t0 = System.nanoTime()
     eventSrc4(spark, sfDir)
     watermarkLateSrc(spark, sfDir)
     fileUpsertFix(spark, sfDir)
@@ -81,6 +83,8 @@ object StreamOps {
     exactlyOnceFix(spark, sfDir)
     sessionStateFix(spark, sfDir)
     sessionWindowFix(spark, sfDir)
+    System.err.println(
+      f"[warmup] streamFixtures ${(System.nanoTime() - t0) / 1e9}%.2fs")
   }
 
   /** State-store provider for every stateful stream: RocksDB (bundled
