@@ -552,11 +552,38 @@ object Bench {
     }
     val detailPathJ = jstr(detailPath)
     val sfDirJ = jstr(sfDir)
+    // Per-query seconds in a COMMITTED sidecar (round 22, VERDICT r21 #2):
+    // the driver's PERF comparison was per-query-blind because the bench's
+    // final stdout line carries only totals and target/ is scratch. The
+    // full {name: sec} map cannot ride the final line itself — the driver
+    // tail-captures only the last ~2000 chars of stdout, and a ~7 KB final
+    // line is exactly the round-1 failure mode (BENCH_r01 parsed:null, its
+    // head truncated) — so the map is written to a repo-root file, one per
+    // core count (the driver benches at 32 AND 8 cores; a single name
+    // would let the second run clobber the first), and the final line
+    // names it in "per_query_file". The file is committed each round, so
+    // PERF can diff per-query seconds across rounds and fill its scaling
+    // block. Additions-only: every pre-existing stdout line and JSON field
+    // is unchanged.
+    val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_PERQUERY_FILE",
+      s"/root/repo/bench_perquery_c$cpus.json")
+    val perQueryJson =
+      s"""{"sf":"$sfDirJ","cpus":$cpus,"n_queries":${results.size},"failed":$nFailed,"queries":$qs,"first_samples":${
+        results.map(_._1).zip(firstSamples).map { case (k, v) =>
+          "\"" + k + "\":" + f3(v)
+        }.mkString("{", ",", "}")
+      }}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(perQueryPath),
+      perQueryJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] per-query sidecar write to $perQueryPath failed: ${e.getMessage}")
+    }
+    val perQueryPathJ = jstr(perQueryPath)
     // regime_scale is the FINAL folded value (pre-loop probes ∨ mid-run
     // probe) so a degradation that developed during the run is visible in
     // the one field cross-round readers already consume; the pre-loop
     // value stays available as regime_scale_start.
-    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_first_sample":${f3(totalFirstSample)},"n_queries":${results.size},"failed":$nFailed,"reruns":${rerunLog.size},"rerun_failed":$rerunFailed,"regime_scale":${f3(regimeScaleCur)},"regime_scale_start":${f3(regimeScale)},"streaming_sec":${f3(streamingSec)},"analytic_sec":${f3(analyticSec)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"calib_io_sec":${f3(calibIoSec)},"calib_io2_sec":${f3(calibIo2Sec)},"calib_nominal":${f3(calibNominal)},"calib_shuffle_nominal":${f3(calibShuffleNominal)},"calib_io_nominal":${f3(calibIoNominal)},"calib_abnormal":$calibAbnormal,"calib_abnormal_final":$abnormalCur,"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"host_io_factor":${f3(hostIoFactor)},"host_io_factor2":${f3(hostIoFactor2)},"detail_file":"$detailPathJ","sf":"$sfDirJ"}"""
+    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_first_sample":${f3(totalFirstSample)},"n_queries":${results.size},"failed":$nFailed,"reruns":${rerunLog.size},"rerun_failed":$rerunFailed,"regime_scale":${f3(regimeScaleCur)},"regime_scale_start":${f3(regimeScale)},"streaming_sec":${f3(streamingSec)},"analytic_sec":${f3(analyticSec)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_shuffle_sec":${f3(calibShuffleSec)},"calib_io_sec":${f3(calibIoSec)},"calib_io2_sec":${f3(calibIo2Sec)},"calib_nominal":${f3(calibNominal)},"calib_shuffle_nominal":${f3(calibShuffleNominal)},"calib_io_nominal":${f3(calibIoNominal)},"calib_abnormal":$calibAbnormal,"calib_abnormal_final":$abnormalCur,"total_normalized":${f3(total / hostFactor)},"host_factor":${f3(hostFactor)},"host_shuffle_factor":${f3(hostShuffleFactor)},"host_io_factor":${f3(hostIoFactor)},"host_io_factor2":${f3(hostIoFactor2)},"detail_file":"$detailPathJ","per_query_file":"$perQueryPathJ","sf":"$sfDirJ"}"""
     // stdout FIRST — it is the ground truth the driver tail-captures; a
     // bad SPARK_GRAFT_DETAIL_FILE must not cost the whole run's results
     // (review r10: the sidecar write used to run before any println and

@@ -318,8 +318,10 @@ object Upsert {
     * only aggregate rows (|status × years|, KBs). The decimal sum is
     * widened once at partial time so the merge's re-sum cannot overflow
     * or drift; avg-style metrics would store (sum, count) pairs the same
-    * way. localCheckpoint breaks the read-from/overwrite-to-same-path
-    * cycle as in upsertPartitionOverwrite. */
+    * way. Each refresh commits to a NEW version dir (v1 → v2, round 21),
+    * the snapshot idiom of a real table format — so the refresh never
+    * reads from and overwrites the same live path and needs no
+    * self-overwrite checkpoint guard. */
   val upsertIncrementalAgg: QFn = (spark, sfDir) => {
     import graft.util.Scratch
     val dir = Scratch.dir("upsert_incremental_agg")

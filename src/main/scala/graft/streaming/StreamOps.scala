@@ -52,15 +52,36 @@ object StreamOps {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Memoized fixture dir: `stage` runs once per (session, sfDir, name)
-    * into a fresh dir; later calls return the staged path. */
+    * into a fresh dir; later calls return the staged path. The cached dir
+    * is RE-VALIDATED on every hit (ADVICE r21): other tools issue
+    * mid-session scratch wipes (ScaleCheck's sink loop wipes everything
+    * except spark_local/derby/corpus), and a stale cache entry pointing at
+    * a deleted dir would make later stream ops read empty input — restage
+    * if the staged files are gone. */
   private def stagedFixture(spark: SparkSession, sfDir: String, name: String)(
-      stage: String => Unit): String =
-    fixtureCache.getOrElseUpdate(
-      spark.sparkContext.applicationId + "|" + sfDir + "|" + name, {
-        val dir = Scratch.dir(s"stream_fix_${name}_${Scratch.pathTag(sfDir)}")
-        stage(dir)
-        dir
-      })
+      stage: String => Unit): String = {
+    val key = spark.sparkContext.applicationId + "|" + sfDir + "|" + name
+    def staged(): String = {
+      val dir = Scratch.dir(s"stream_fix_${name}_${Scratch.pathTag(sfDir)}")
+      stage(dir)
+      dir
+    }
+    // recursive: fileUpsertFix stages into SUBDIRS (hist/, incoming/), so a
+    // top-level dataFiles() probe would read a healthy fixture as wiped
+    def hasDataFile(f: java.io.File): Boolean =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).exists(hasDataFile)
+      else f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+    val dir = fixtureCache.getOrElseUpdate(key, staged())
+    if (hasDataFile(new java.io.File(dir))) dir
+    else {
+      // wiped under us: drop the stale entry and restage (drop-then-update
+      // keeps the TrieMap idiom race-safe — a concurrent caller at worst
+      // restages the same deterministic content into the same dir)
+      fixtureCache.remove(key)
+      fixtureCache.getOrElseUpdate(key, staged())
+    }
+  }
 
   /** The shared 4-file event source read by the tumbling/topk/sliding/
     * enrich/stream-join ops — identical content, staged once. 4 source
@@ -73,16 +94,50 @@ object StreamOps {
 
   /** Pre-stage every bench-visible stream fixture (called from Bench's
     * untimed warmup; idempotent). Itemized to stderr like Warmup.indexes
-    * so the warmup-budget audit (VERDICT r20 #7) can attribute it. */
+    * so the warmup-budget audit (VERDICT r20 #7) can attribute it.
+    *
+    * Round 22 (VERDICT r21 #5, guide §2.6 — overlap independent jobs):
+    * the seven stagings are independent tiny write jobs, several of them
+    * repartition(1) funnels whose single write task leaves 31 cores idle —
+    * run sequentially they summed to ~4-6 s of warmup. A small driver
+    * thread pool overlaps them so the funnels back-fill each other
+    * (job descriptions are thread-local; FIFO scheduling gives exactly the
+    * back-fill behaviour the guide describes). Safe because each staging
+    * writes its own fixture dir, the memoization keys are distinct, and
+    * the shared table loads are resolved BEFORE the pool below — so no
+    * staging thread races the events conf-dance inside Tables.load. */
   def stageFixtures(spark: SparkSession, sfDir: String): Unit = {
     val t0 = System.nanoTime()
-    eventSrc4(spark, sfDir)
-    watermarkLateSrc(spark, sfDir)
-    fileUpsertFix(spark, sfDir)
-    dedupIncrementalFix(spark, sfDir)
-    exactlyOnceFix(spark, sfDir)
-    sessionStateFix(spark, sfDir)
-    sessionWindowFix(spark, sfDir)
+    // resolve shared inputs once, single-threaded: every staging thread
+    // then hits the Tables memo instead of racing schema resolution
+    Seq("events", "orders", "documents").foreach(Tables(spark, sfDir, _))
+    val stagings: Seq[(String, () => String)] = Seq(
+      "events4" -> (() => eventSrc4(spark, sfDir)),
+      "wm_late" -> (() => watermarkLateSrc(spark, sfDir)),
+      "file_upsert" -> (() => fileUpsertFix(spark, sfDir)),
+      "dedup_inc" -> (() => dedupIncrementalFix(spark, sfDir)),
+      "exactly_once" -> (() => exactlyOnceFix(spark, sfDir)),
+      "sess_state" -> (() => sessionStateFix(spark, sfDir)),
+      "sess_window" -> (() => sessionWindowFix(spark, sfDir)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = stagings.map { case (name, f) =>
+        name -> pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            spark.sparkContext.setJobDescription(s"stageFixture:$name")
+            try f() finally spark.sparkContext.setJobDescription(null)
+          }
+        })
+      }
+      // propagate the FIRST failure (the bench warmup catch reports it);
+      // remaining futures still complete on the pool before shutdown
+      futures.foreach { case (name, fut) =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw new RuntimeException(s"stream fixture '$name' failed", e.getCause)
+        }
+      }
+    } finally pool.shutdown()
     System.err.println(
       f"[warmup] streamFixtures ${(System.nanoTime() - t0) / 1e9}%.2fs")
   }

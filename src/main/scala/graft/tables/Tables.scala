@@ -17,33 +17,92 @@ object Tables {
   // InMemoryFileIndex on EVERY call, and nearly every one of the 225 timed
   // operators loads 1-3 tables through here — tens of ms of driver work per
   // timed row for files that are immutable for the life of the session.
-  // Memoize the resolved (unexecuted) DataFrame per (session, sfDir, name):
-  // the logical plan and its file index are reusable across queries — this
-  // caches schema RESOLUTION, never data or results (the same class of
-  // memoization registerAll below has carried since round 10). Weak on the
-  // session so short-lived spec sessions don't pin their SessionState.
+  //
+  // Round 22 (ADVICE r21 medium): round 21 memoized the resolved DataFrame
+  // per (session, sfDir, name) in a WeakHashMap keyed on the session — but
+  // a Dataset strongly references its SparkSession, so the VALUE map
+  // strongly referenced the KEY and no entry was ever collectable: every
+  // short-lived spec session and per-op cloned stream session stayed
+  // pinned for the JVM's life, accumulating SessionStates. Redesigned in
+  // two measured layers (R22Micro, BASELINE.md round 22):
+  //
+  //  1. SESSION-INDEPENDENT schema cache per (sfDir, name): the expensive,
+  //     immutable part of a load is parquet SCHEMA RESOLUTION — measured
+  //     at ~60-77 ms/call (footer read + inference + the events
+  //     inference-flag dance) vs ~5-10 ms for a schema-supplied
+  //     `read.schema(s).parquet(path)` rebuild. A StructType holds no
+  //     session reference, so this layer can never pin anything.
+  //  2. BOUNDED per-session DataFrame memo: the ~5-10 ms rebuild is still
+  //     real money across the ~300+ loads of a bench session, so resolved
+  //     DataFrames stay memoized per session — but in a size-capped LRU
+  //     ([[MaxCachedSessions]] sessions, identity-keyed) instead of the
+  //     never-collectable WeakHashMap: the long-lived bench/Verify session
+  //     keeps its ~0 ms hits, while short-lived spec sessions and per-op
+  //     stream clones churn through the LRU and can pin at most
+  //     MaxCachedSessions SessionStates at any time — bounded by design,
+  //     which is what the ADVICE finding was actually about.
+  //
+  // Still plans only, never data or results. The adjacent `registered`
+  // map stays weak-keyed and safe because its value is a String.
+  private case class ResolvedTable(schema: org.apache.spark.sql.types.StructType,
+                                   tsNanosAsLong: Boolean)
+
+  private val resolved =
+    scala.collection.concurrent.TrieMap.empty[(String, String), ResolvedTable]
+
+  /** Upper bound on sessions whose resolved DataFrames stay memoized. */
+  private[graft] val MaxCachedSessions = 4
+
+  // access-ordered LRU; identity semantics are SparkSession's default
+  // equals/hashCode. All access goes through loaded.synchronized.
   private val loaded =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+    new java.util.LinkedHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[(String, String), DataFrame]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            scala.collection.concurrent.TrieMap[(String, String), DataFrame]]): Boolean =
+        size() > MaxCachedSessions
+    }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // every operator loads its inputs here, so this is the one chokepoint
     // where the session reliably picks up the graft native functions
     graft.functions.GraftFunctions.ensure(spark)
-    val perSession = {
+    val perSession = loaded.synchronized {
       val m = loaded.get(spark)
       if (m != null) m
       else {
         val fresh = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-        val prev = loaded.putIfAbsent(spark, fresh)
-        if (prev != null) prev else fresh
+        loaded.put(spark, fresh)
+        fresh
       }
     }
-    perSession.getOrElseUpdate((sfDir, name), load(spark, sfDir, name))
+    perSession.getOrElseUpdate((sfDir, name), build(spark, sfDir, name))
   }
 
-  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Cheap per-session relation build over the cached schema — no footer
+    * read, no inference, no flag dance. */
+  private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val r = resolved.getOrElseUpdate((sfDir, name), resolve(spark, sfDir, name))
+    val df = spark.read.schema(r.schema).parquet(s"$sfDir/$name.parquet")
+    if (r.tsNanosAsLong)
+      // generation (a): ts stored as TIMESTAMP(NANOS), read as raw long
+      // (the cached schema says LongType) and truncated to micros in-plan —
+      // the same truncation DuckDB applies for ns→µs
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** One-time schema resolution per (sfDir, name) — the only step that
+    * reads parquet footers or needs the events inference-flag dance. The
+    * result is session-independent: a StructType plus the ts-generation
+    * verdict. Execution-time behavior is unchanged from the round-21 shape:
+    * the relation's catalyst schema (what `resolve` captured) is what
+    * drives the scan — the inference flags were ALREADY restored before any
+    * action ran (see the scope note below), so skipping inference via
+    * read.schema() executes the identical plan. */
+  private def resolve(spark: SparkSession, sfDir: String, name: String): ResolvedTable = {
     if (name == "events") {
       // events.ts has shipped in two parquet generations:
       //   (a) TIMESTAMP(NANOS), which Spark 4 refuses to read natively —
@@ -83,18 +142,17 @@ object Tables {
         val prev = flags.map { case (k, _) => k -> spark.conf.getOption(k) }
         flags.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
-          val df = spark.read.parquet(s"$sfDir/$name.parquet")
-          df.schema("ts").dataType match {
-            case org.apache.spark.sql.types.LongType => // generation (a): nanos-as-long
-              df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-            case _ => df // generation (b): already TimestampType with exact micros
-          }
+          val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
+          // generation (a) iff ts resolved as raw nanos-long; the micros
+          // truncation is applied per-call in apply() above
+          ResolvedTable(schema,
+            schema("ts").dataType == org.apache.spark.sql.types.LongType)
         } finally prev.foreach {
           case (k, Some(v)) => spark.conf.set(k, v)
           case (k, None) => spark.conf.unset(k)
         }
       }
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else ResolvedTable(spark.read.parquet(s"$sfDir/$name.parquet").schema, false)
   }
 
   // Memoization for registerAll (VERDICT r10 #2): registering all ten views

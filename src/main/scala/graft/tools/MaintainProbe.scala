@@ -251,6 +251,18 @@ object MaintainProbe {
         settle()
         val deltaPairCount = pairs
           .filter(col("doc_a") >= lo || col("doc_b") >= lo).count()
+        // Probe/op parity, delta-edge side (ADVICE r21): clusterBcast in the
+        // shipped op additionally gates every forced broadcast on
+        // deltaPairCount <= ClusterBroadcastEdgeCap — a dense delta inside
+        // the doc range would make this probe measure forced broadcasts the
+        // shipped op would NOT choose. Same loud-warning treatment as the
+        // doc-range gate above.
+        if (deltaPairCount > DedupOps.ClusterBroadcastEdgeCap)
+          System.err.println(s"[maintain] WARNING: cc delta $d/$scale has " +
+            s"$deltaPairCount delta pairs > ClusterBroadcastEdgeCap=" +
+            s"${DedupOps.ClusterBroadcastEdgeCap} — the shipped op would " +
+            "drop to keyed shuffles; this probe's forced broadcasts measure " +
+            "a plan the op would not choose at this density")
         val ts = (1 to reps).map { _ =>
           // the shipped llm_dedup_cluster_incremental plan, stored labels
           // from parquet (fresh plan per rep). Round-20 restructure

@@ -271,6 +271,34 @@ class NearDupSpec extends AnyFunSuite {
     assert(scaleS.toSeq == full.toSeq && scaleS.nonEmpty)
   }
 
+  test("connectedComponents pins its non-seeded-endpoint semantics (caller contract)") {
+    // VERDICT r21 #3 / ADVICE r21: the round-21 self-loop rewrite made the
+    // "every pair endpoint is in the seed" contract load-bearing — the old
+    // combine-join shape silently DROPPED a stray endpoint; the groupBy-
+    // over-edges shape EMITS a label row for it (and grows the node set
+    // mid-loop, stressing the fixed-node-set premise of the sum-based
+    // convergence check). All shipped callers seed every endpoint (oracle
+    // green), but nothing enforced it — this pin makes any future change
+    // to the stray-endpoint behavior (emit vs drop vs label value) fail
+    // loudly instead of silently reshaping a caller's output.
+    import spark.implicits._
+    val seed = Seq((10L, 10L), (20L, 20L)).toDF("doc_id", "label")
+    // endpoint 30 is NOT in the seed — the documented current semantics:
+    // it is EMITTED, adopting the min label reachable through seeded
+    // neighbors (its own id never acts as a label: no self-loop was seeded)
+    val pairs = Seq((20L, 30L)).toDF("doc_a", "doc_b")
+    val out = graft.llm.DedupOps.connectedComponents(seed, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 10L), (20L, 20L), (30L, 20L)),
+      s"stray-endpoint semantics changed: $out")
+    // and with the contract HELD (all endpoints seeded) the node universe
+    // is exactly the seed — the premise the shipped callers rely on
+    val seeded = Seq((10L, 10L), (20L, 20L), (30L, 30L)).toDF("doc_id", "label")
+    val out2 = graft.llm.DedupOps.connectedComponents(seeded, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 == Set((10L, 10L), (20L, 20L), (30L, 20L)))
+  }
+
   test("materialized signature index reproduces the in-memory minhash pairs exactly") {
     // the bucketed sig table is a LAYOUT decision — results must be
     // byte-identical to the in-memory banded-index path
