@@ -288,6 +288,11 @@ object GraftFunctions {
       require(exprs.length == 3, "winnow_fps(text, n, w) takes exactly 3 arguments")
       WinnowFps(exprs.head, exprs(1), exprs(2))
     },
+    "sorted_intersect_count" -> { exprs =>
+      require(exprs.length == 2,
+        "sorted_intersect_count(a, b) takes exactly 2 arguments")
+      SortedIntersectCount(exprs.head, exprs(1))
+    },
     "collect_upto" -> { exprs =>
       require(exprs.length == 2, "collect_upto(key, cap) takes exactly 2 arguments")
       CollectUpto(exprs.head, exprs(1))

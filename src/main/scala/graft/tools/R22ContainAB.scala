@@ -115,6 +115,18 @@ object R22ContainAB {
       time("B_skinny", () => variantB())
       time("C_bcast", () => variantC())
     }
+    // DIAGNOSTIC (timing-only, different result): variant A's join spine
+    // without the array_intersect — splits A's cost into "move the arrays"
+    // vs "intersect the arrays" so the next optimization (if any) targets
+    // the measured side.
+    def variantD(): DataFrame = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(col("gs_a")) + size(col("gs_b"))).as("w"))
+    time("D_joinsOnly", () => variantD())
     spark.stop()
   }
 }

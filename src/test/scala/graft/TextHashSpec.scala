@@ -130,4 +130,48 @@ class TextHashSpec extends AnyFunSuite {
     assert(java.text.Normalizer.normalize(decomposed,
       java.text.Normalizer.Form.NFC) == composed)
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on the corpus gram sets") {
+    // round 22: the containment verification replaced array_intersect with
+    // the native merge count over sorted sets — count equality over every
+    // candidate-doc pairing shape is what the rewrite's correctness rides
+    // on (the full DuckDB oracle pins the shipped ops; this pins the
+    // expression itself on real data, all-pairs, both argument orders)
+    graft.tables.Tables(spark, sfDir, "region") // ensure function registration
+    val sets = docs
+      .select(col("doc_id"), expr("sort_array(ngram_hashes(t, 13))").as("gs"))
+      .limit(60)
+    val a = sets.select(col("doc_id").as("ida"), col("gs").as("ga"))
+    val b = sets.select(col("doc_id").as("idb"), col("gs").as("gb"))
+    val both = a.crossJoin(b)
+      .select(
+        expr("sorted_intersect_count(ga, gb)").as("native"),
+        expr("size(array_intersect(ga, gb))").cast("long").as("builtin"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"merge count ${r.getLong(0)} != array_intersect ${r.getLong(1)}"))
+  }
+
+  test("sorted_intersect_count: edge cases and the loud unsorted-input contract") {
+    graft.tables.Tables(spark, sfDir, "region") // ensure function registration
+    val r = spark.sql(
+      "SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,4L)) AS a, " +
+        "sorted_intersect_count(array(), array(1L)) AS b, " +
+        "sorted_intersect_count(array(1L), array()) AS c, " +
+        "sorted_intersect_count(array(1L,2L), array(3L,4L)) AS d, " +
+        "sorted_intersect_count(array(-5L,0L,7L), array(-5L,0L,7L)) AS e, " +
+        "sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS f")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 3L && r.isNullAt(5))
+    // unsorted input must fail loudly, never return a silently wrong count
+    // (left walks past 5 toward the descending 1 — the monotonicity check
+    // on the advance path fires)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(array(5L,1L), array(6L))")
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -53,7 +53,7 @@ class VectorAvgSpec extends AnyFunSuite {
     assert(byName.keySet == Set("vector_dot", "vector_avg", "vector_sumq",
       "cms_estimate", "bloom_might_contain", "bloom_filter_agg",
       "ngram_hashes", "minhash_sig", "bitmap_distinct", "winnow_fps",
-      "nfc_normalize", "collect_upto"))
+      "nfc_normalize", "collect_upto", "sorted_intersect_count"))
     val lit = Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val bin = Literal.create(Array[Byte](1),
@@ -86,6 +86,9 @@ class VectorAvgSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](byName("bloom_might_contain")(Seq(bin)))
     assert(byName("bitmap_distinct")(Seq(one))
       .isInstanceOf[graft.functions.BitmapDistinct])
+    assert(byName("sorted_intersect_count")(Seq(keys, keys))
+      .isInstanceOf[graft.functions.SortedIntersectCount])
+    intercept[IllegalArgumentException](byName("sorted_intersect_count")(Seq(keys)))
     intercept[IllegalArgumentException](byName("bloom_filter_agg")(Seq(one, one)))
     assert(byName("winnow_fps")(Seq(str, n, n))
       .isInstanceOf[graft.functions.WinnowFps])
