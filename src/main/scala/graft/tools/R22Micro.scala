@@ -49,6 +49,51 @@ object R22Micro {
     bench("fn_year_month executedPlan (analyze+optimize)") {
       fn(spark, sfDir).queryExecution.executedPlan
     }
+    // Fixed-cost floor decomposition (VERDICT r21 #6): for representative
+    // cheap long-tail ops, split one timed row (the bench's fn().count())
+    // into plan build, analyze+optimize, and action wall vs job wall vs
+    // Σtask time — so "the floor is Spark-inherent" is a measured claim
+    // naming its parts (driver analysis/codegen/scheduling vs executor
+    // work) rather than a guess.
+    val jobWallMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val nJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobStarts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStarts.put(js.jobId, System.nanoTime())
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobStarts.remove(je.jobId).foreach { t0 =>
+          jobWallMs.addAndGet((System.nanoTime() - t0) / 1000000); nJobs.incrementAndGet()
+        }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) { taskMs.addAndGet(te.taskInfo.duration); nTasks.incrementAndGet() }
+    })
+    for (op <- Seq("fn_year_month", "agg_sum_revenue", "filter_event_type",
+        "window_ratio_share", "llm_token_count")) {
+      val f = graft.SparkEntry.queries(op)
+      f(spark, sfDir).count() // warm (JIT + codegen cache for this plan)
+      val reps = 5
+      var planMs = 0.0; var optMs = 0.0; var actMs = 0.0
+      var jw = 0L; var tk = 0L; var nj = 0; var nt = 0
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        val d = f(spark, sfDir)
+        val t1 = System.nanoTime()
+        d.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        jobWallMs.set(0); taskMs.set(0); nJobs.set(0); nTasks.set(0)
+        d.count()
+        val t3 = System.nanoTime()
+        Thread.sleep(150) // drain listener bus
+        planMs += (t1 - t0) / 1e6; optMs += (t2 - t1) / 1e6; actMs += (t3 - t2) / 1e6
+        jw += jobWallMs.get(); tk += taskMs.get(); nj += nJobs.get(); nt += nTasks.get()
+      }
+      println(f"[floor] $op%-22s plan=${planMs / reps}%6.1f opt=${optMs / reps}%6.1f " +
+        f"action=${actMs / reps}%7.1f jobWall=${jw / reps}%5d task=${tk / reps}%5d " +
+        f"driverGap=${actMs / reps - jw / reps}%7.1f ms jobs=${nj / reps} tasks=${nt / reps}")
+    }
     spark.stop()
   }
 }
