@@ -94,6 +94,33 @@ object R22Micro {
         f"action=${actMs / reps}%7.1f jobWall=${jw / reps}%5d task=${tk / reps}%5d " +
         f"driverGap=${actMs / reps - jw / reps}%7.1f ms jobs=${nj / reps} tasks=${nt / reps}")
     }
+    // attribution diagnostics for the measured ~70-105 ms per-action driver
+    // gap: (a) a trivial 1-job query's floor in the same session, (b) the
+    // same ops on an AQE-off child session (DIAGNOSTIC ONLY — AQE stays on
+    // in the shipped sessions; this tells us whether the gap is AQE stage
+    // coordination or something else)
+    def actionOnly(tag: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
+      mk().count()
+      val reps = 5
+      var actMs = 0.0; var jw = 0L
+      (1 to reps).foreach { _ =>
+        val d = mk()
+        d.queryExecution.executedPlan
+        jobWallMs.set(0)
+        val t0 = System.nanoTime()
+        d.count()
+        actMs += (System.nanoTime() - t0) / 1e6
+        Thread.sleep(150)
+        jw += jobWallMs.get()
+      }
+      println(f"[floor] $tag%-32s action=${actMs / reps}%7.1f jobWall=${jw / reps}%5d gap=${actMs / reps - jw / reps}%7.1f ms")
+    }
+    actionOnly("range(1000) trivial", () => spark.range(1000).toDF("id"))
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    noAqe.conf.set("spark.sql.shuffle.partitions", cpus)
+    for (op <- Seq("fn_year_month", "agg_sum_revenue", "window_ratio_share"))
+      actionOnly(s"$op (AQE off, diag)", () => graft.SparkEntry.queries(op)(noAqe, sfDir))
     spark.stop()
   }
 }
